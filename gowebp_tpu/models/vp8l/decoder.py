@@ -1,0 +1,393 @@
+"""VP8L (WebP lossless) decoder — spec-exact reference implementation.
+
+Host side: bit reading, Huffman symbol decode, LZ77/color-cache resolution
+(all inherently sequential byte/bit logic).  Plane side: inverse transforms
+(NumPy here; JAX/TPU versions in gowebp_tpu/ops/lossless_ops.py).
+
+Feature parity target: /root/reference/pkg/vp8/vp8l_dec.c.go (header
+:107-124, transforms :1221-1269, meta-huffman :344-526, main loop
+:1038-1189) — written fresh from the lossless bitstream spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...constants import (
+    CODE_LENGTH_CODE_ORDER,
+    CODE_LENGTH_REPEATS,
+    COLOR_INDEXING_TRANSFORM,
+    COLOR_TRANSFORM,
+    HASH_MUL,
+    NUM_CODE_LENGTH_CODES,
+    NUM_DISTANCE_CODES,
+    NUM_LENGTH_CODES,
+    NUM_LITERAL_CODES,
+    PREDICTOR_TRANSFORM,
+    SUBTRACT_GREEN_TRANSFORM,
+    VP8L_SIGNATURE,
+)
+from ...entropy.bitio import BitReader
+from ...entropy.huffman import HuffmanDecodeTable
+from ...errors import BitstreamError
+from . import transforms_np as tnp
+
+# ---------------------------------------------------------------------------
+# 2-D distance mapping (the 120 near codes)
+# ---------------------------------------------------------------------------
+
+
+def _build_dist_map() -> list[tuple[int, int]]:
+    pairs = []
+    for dy in range(8):
+        lo = 1 if dy == 0 else -7
+        for dx in range(lo, 9):
+            pairs.append((dx, dy))
+    pairs.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    assert len(pairs) == 120
+    return pairs
+
+
+DIST_MAP = _build_dist_map()
+
+
+def plane_code_to_distance(xsize: int, code: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = DIST_MAP[code - 1]
+    dist = dy * xsize + dx
+    return dist if dist >= 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# Huffman code reading
+# ---------------------------------------------------------------------------
+
+
+def _read_single_code(br: BitReader, alphabet_size: int) -> HuffmanDecodeTable:
+    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+    if br.read_bit():  # simple code
+        num_symbols = br.read_bit() + 1
+        if br.read_bit():  # first symbol is 8 bits
+            sym0 = br.read_bits(8)
+        else:
+            sym0 = br.read_bits(1)
+        lengths = np.zeros(alphabet_size, dtype=np.int32)
+        if sym0 >= alphabet_size:
+            raise BitstreamError("simple-code symbol out of range")
+        lengths[sym0] = 1
+        if num_symbols == 2:
+            sym1 = br.read_bits(8)
+            if sym1 >= alphabet_size:
+                raise BitstreamError("simple-code symbol out of range")
+            lengths[sym1] = 1
+        return HuffmanDecodeTable(lengths)
+
+    # Code-length-coded.
+    num_codes = br.read_bits(4) + 4
+    if num_codes > NUM_CODE_LENGTH_CODES:
+        raise BitstreamError("too many code length codes")
+    cl_lengths = np.zeros(NUM_CODE_LENGTH_CODES, dtype=np.int32)
+    for i in range(num_codes):
+        cl_lengths[CODE_LENGTH_CODE_ORDER[i]] = br.read_bits(3)
+    cl_table = HuffmanDecodeTable(cl_lengths)
+
+    # Optional cap on the number of coded symbols.
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read_bits(3)
+        max_symbol = 2 + br.read_bits(length_nbits)
+        if max_symbol > alphabet_size:
+            raise BitstreamError("max_symbol out of range")
+    else:
+        max_symbol = alphabet_size
+
+    lengths = np.zeros(alphabet_size, dtype=np.int32)
+    prev_len = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code = cl_table.decode(br)
+        if code < 16:
+            lengths[sym] = code
+            sym += 1
+            if code != 0:
+                prev_len = code
+        else:
+            offset, extra = CODE_LENGTH_REPEATS[code - 16]
+            repeat = offset + br.read_bits(extra)
+            if sym + repeat > alphabet_size:
+                raise BitstreamError("code length repeat overflows alphabet")
+            fill = prev_len if code == 16 else 0
+            lengths[sym : sym + repeat] = fill
+            sym += repeat
+        if br.eos:
+            raise BitstreamError("truncated huffman code lengths")
+    return HuffmanDecodeTable(lengths)
+
+
+@dataclass
+class PrefixGroup:
+    green: HuffmanDecodeTable   # literals + lengths + cache indices
+    red: HuffmanDecodeTable
+    blue: HuffmanDecodeTable
+    alpha: HuffmanDecodeTable
+    dist: HuffmanDecodeTable
+
+
+def _read_prefix_groups(
+    br: BitReader, num_groups: int, cache_bits: int
+) -> list[PrefixGroup]:
+    cache_size = (1 << cache_bits) if cache_bits > 0 else 0
+    groups = []
+    for _ in range(num_groups):
+        green = _read_single_code(
+            br, NUM_LITERAL_CODES + NUM_LENGTH_CODES + cache_size
+        )
+        red = _read_single_code(br, NUM_LITERAL_CODES)
+        blue = _read_single_code(br, NUM_LITERAL_CODES)
+        alpha = _read_single_code(br, NUM_LITERAL_CODES)
+        dist = _read_single_code(br, NUM_DISTANCE_CODES)
+        groups.append(PrefixGroup(green, red, blue, alpha, dist))
+    return groups
+
+
+# ---------------------------------------------------------------------------
+# Image stream decoding
+# ---------------------------------------------------------------------------
+
+
+def _read_prefix_coded_value(br: BitReader, code: int) -> int:
+    """Length/distance prefix decode: code → value (1-based)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read_bits(extra) + 1
+
+
+def _decode_pixels(
+    br: BitReader,
+    width: int,
+    height: int,
+    groups: list[PrefixGroup],
+    huffman_image: np.ndarray | None,
+    huffman_bits: int,
+    cache_bits: int,
+) -> np.ndarray:
+    """The hot sequential loop: one ARGB uint32 per pixel."""
+    npix = width * height
+    pixels = [0] * npix
+    cache = [0] * (1 << cache_bits) if cache_bits > 0 else None
+    cache_shift = 32 - cache_bits if cache_bits > 0 else 0
+    cache_limit = NUM_LITERAL_CODES + NUM_LENGTH_CODES
+
+    if huffman_image is not None:
+        meta_w = huffman_image.shape[1]
+        meta_idx = huffman_image.tolist()
+    group = groups[0]
+    last_group_key = -1
+
+    pos = 0
+    x = 0
+    while pos < npix:
+        if huffman_image is not None:
+            key = (pos // width >> huffman_bits) * meta_w + (x >> huffman_bits)
+            if key != last_group_key:
+                y = pos // width
+                group = groups[meta_idx[y >> huffman_bits][x >> huffman_bits]]
+                last_group_key = key
+        sym = group.green.decode(br)
+        if br.eos:
+            raise BitstreamError("truncated pixel data")
+        if sym < NUM_LITERAL_CODES:
+            red = group.red.decode(br)
+            blue = group.blue.decode(br)
+            alpha = group.alpha.decode(br)
+            argb = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            pixels[pos] = argb
+            if cache is not None:
+                cache[(HASH_MUL * argb & 0xFFFFFFFF) >> cache_shift] = argb
+            pos += 1
+            x += 1
+            if x >= width:
+                x = 0
+        elif sym < cache_limit:
+            length = _read_prefix_coded_value(br, sym - NUM_LITERAL_CODES)
+            dist_code = group.dist.decode(br)
+            dist = plane_code_to_distance(
+                width, _read_prefix_coded_value(br, dist_code)
+            )
+            if dist > pos:
+                raise BitstreamError("backward reference before image start")
+            if cache is None:
+                for _ in range(length):
+                    if pos >= npix:
+                        raise BitstreamError("backward reference overflows image")
+                    pixels[pos] = pixels[pos - dist]
+                    pos += 1
+            else:
+                for _ in range(length):
+                    if pos >= npix:
+                        raise BitstreamError("backward reference overflows image")
+                    argb = pixels[pos - dist]
+                    pixels[pos] = argb
+                    cache[(HASH_MUL * argb & 0xFFFFFFFF) >> cache_shift] = argb
+                    pos += 1
+            x = pos % width
+            last_group_key = -1
+        else:
+            if cache is None:
+                raise BitstreamError("cache symbol without color cache")
+            idx = sym - cache_limit
+            argb = cache[idx]
+            pixels[pos] = argb
+            pos += 1
+            x += 1
+            if x >= width:
+                x = 0
+
+    return np.array(pixels, dtype=np.uint32).reshape(height, width)
+
+
+@dataclass
+class Transform:
+    kind: int
+    bits: int = 0
+    data: np.ndarray | None = None   # sub-image (tiles) or palette
+    orig_width: int = 0              # xsize before this transform shrank it
+
+
+def _read_transform(
+    br: BitReader, xsize: int, ysize: int, seen: set[int]
+) -> tuple[Transform, int]:
+    kind = br.read_bits(2)
+    if kind in seen:
+        raise BitstreamError("duplicate transform")
+    seen.add(kind)
+    t = Transform(kind=kind, orig_width=xsize)
+    new_xsize = xsize
+    if kind in (PREDICTOR_TRANSFORM, COLOR_TRANSFORM):
+        t.bits = br.read_bits(3) + 2
+        tw = tnp.subsample_size(xsize, t.bits)
+        th = tnp.subsample_size(ysize, t.bits)
+        t.data = _decode_image_stream(br, tw, th, top_level=False)
+    elif kind == COLOR_INDEXING_TRANSFORM:
+        num_colors = br.read_bits(8) + 1
+        t.bits = 0 if num_colors > 16 else (1 if num_colors > 4 else (2 if num_colors > 2 else 3))
+        raw = _decode_image_stream(br, num_colors, 1, top_level=False)
+        # Palette entries are delta-coded component-wise.
+        palette = np.zeros(num_colors, dtype=np.uint32)
+        prev = 0
+        for i in range(num_colors):
+            cur = 0
+            for shift in (24, 16, 8, 0):
+                c = ((int(raw[0, i]) >> shift) + (prev >> shift)) & 0xFF
+                cur |= c << shift
+            palette[i] = cur
+            prev = cur
+        t.data = palette
+        new_xsize = tnp.subsample_size(xsize, t.bits)
+    elif kind == SUBTRACT_GREEN_TRANSFORM:
+        pass
+    else:
+        raise BitstreamError("bad transform type")
+    return t, new_xsize
+
+
+def _decode_image_stream(
+    br: BitReader, xsize: int, ysize: int, *, top_level: bool
+) -> np.ndarray:
+    """Decode one image stream → (ysize, xsize) ARGB uint32 (pre-inverse).
+
+    At top level, transforms are read and inverse-applied before returning.
+    """
+    transforms: list[Transform] = []
+    seen: set[int] = set()
+    cur_xsize = xsize
+    if top_level:
+        while br.read_bit():
+            t, cur_xsize = _read_transform(br, cur_xsize, ysize, seen)
+            transforms.append(t)
+            if len(transforms) > 4:
+                raise BitstreamError("too many transforms")
+
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read_bits(4)
+        if not (1 <= cache_bits <= 11):
+            raise BitstreamError("bad color cache bits")
+
+    huffman_image = None
+    huffman_bits = 0
+    num_groups = 1
+    if top_level and br.read_bit():
+        huffman_bits = br.read_bits(3) + 2
+        hw = tnp.subsample_size(cur_xsize, huffman_bits)
+        hh = tnp.subsample_size(ysize, huffman_bits)
+        raw = _decode_image_stream(br, hw, hh, top_level=False)
+        huffman_image = ((raw >> 8) & 0xFFFF).astype(np.int32)
+        num_groups = int(huffman_image.max()) + 1
+
+    groups = _read_prefix_groups(br, num_groups, cache_bits)
+    argb = _decode_pixels(
+        br, cur_xsize, ysize, groups, huffman_image, huffman_bits, cache_bits
+    )
+
+    for t in reversed(transforms):
+        if t.kind == COLOR_INDEXING_TRANSFORM:
+            argb = tnp.color_index_inverse(argb, t.data, t.orig_width)
+        elif t.kind == SUBTRACT_GREEN_TRANSFORM:
+            argb = tnp.add_green_inverse(argb)
+        elif t.kind == PREDICTOR_TRANSFORM:
+            argb = tnp.predictor_inverse(argb, t.data, t.bits)
+        elif t.kind == COLOR_TRANSFORM:
+            argb = tnp.color_transform_inverse(argb, t.data, t.bits)
+    return argb
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def decode_vp8l_header(payload: bytes) -> tuple[int, int, bool]:
+    if len(payload) < 5 or payload[0] != VP8L_SIGNATURE:
+        raise BitstreamError("bad VP8L header")
+    br = BitReader(payload[1:])
+    width = br.read_bits(14) + 1
+    height = br.read_bits(14) + 1
+    has_alpha = bool(br.read_bit())
+    version = br.read_bits(3)
+    if version != 0:
+        raise BitstreamError("bad VP8L version")
+    return width, height, has_alpha
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a VP8L chunk payload → (H, W, 4) uint8 RGBA."""
+    width, height, _ = decode_vp8l_header(payload)
+    br = BitReader(payload[1:])
+    br.skip_bits(14 + 14 + 1 + 3)
+    argb = _decode_image_stream(br, width, height, top_level=True)
+    ch = tnp.argb_to_channels(argb)          # A,R,G,B
+    return ch[..., [1, 2, 3, 0]]             # → R,G,B,A
+
+
+def decode_vp8l_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode the 8-bit VP8L stream used inside ALPH chunks (no header)."""
+    br = BitReader(payload)
+    argb = _decode_image_stream(br, width, height, top_level=True)
+    return ((argb >> 8) & 0xFF).astype(np.uint8)   # alpha lives in green
+
+
+__all__ = [
+    "decode_vp8l",
+    "decode_vp8l_header",
+    "decode_vp8l_alpha",
+    "plane_code_to_distance",
+    "DIST_MAP",
+]
