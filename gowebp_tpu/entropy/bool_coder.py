@@ -37,7 +37,9 @@ class BoolDecoder:
         return 0
 
     def exhausted(self) -> bool:
-        return self.pos > len(self.data) + 2
+        # Allow a few virtual zero bytes of tail padding (the encoder's
+        # 32-bit flush guarantees decided symbols never need more).
+        return self.pos > len(self.data) + 4
 
     def get_bit(self, prob: int) -> int:
         split = 1 + (((self.range - 1) * prob) >> 8)

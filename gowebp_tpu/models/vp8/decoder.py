@@ -1,0 +1,731 @@
+"""VP8 (WebP lossy) decoder — spec-exact reference implementation.
+
+Split per the TPU-first design (SURVEY.md §7): the *host phase* here runs
+the sequential entropy decode (boolean coder) and produces dense per-MB
+tensors — dequantized coefficients, modes, filter info.  The *plane phase*
+(reconstruction, loop filter, upsampling) is pure array math; the NumPy
+versions in this file are the golden reference for the JAX/TPU engine in
+gowebp_tpu/ops/vp8_recon_jax.py.
+
+Feature parity target: /root/reference/pkg/vp8/vp8_dec.go (headers
+:362-484, residuals :485-705, frame loop :750-817) and
+pkg/libwebp/decoder/frame_dec.c.go (ReconstructRow :69-197, filters
+:204-261) — written from RFC 6386 with the reference as the spec oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ...constants import VP8_SIGNATURE
+from ...entropy.bool_coder import BoolDecoder
+from ...errors import BitstreamError, UnsupportedFeature
+from ...ops import yuv_np
+from . import dsp_np
+from .tables import (
+    BANDS,
+    BMODE_TREE,
+    CAT_PROBAS,
+    COEFF_PROBAS,
+    COEFF_UPDATE_PROBAS,
+    DC_QUANT,
+    AC_QUANT,
+    KF_BMODE_PROBAS,
+    ZIGZAG,
+    B_DC,
+    B_TM,
+    B_VE,
+    B_HE,
+)
+
+# ---------------------------------------------------------------------------
+# Headers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SegmentHeader:
+    use_segment: bool = False
+    update_map: bool = False
+    absolute_delta: bool = True
+    quantizer: list = field(default_factory=lambda: [0] * 4)
+    filter_strength: list = field(default_factory=lambda: [0] * 4)
+
+
+@dataclass
+class FilterHeader:
+    simple: bool = False
+    level: int = 0
+    sharpness: int = 0
+    use_lf_delta: bool = False
+    ref_lf_delta: list = field(default_factory=lambda: [0] * 4)
+    mode_lf_delta: list = field(default_factory=lambda: [0] * 4)
+
+
+@dataclass
+class QuantMatrix:
+    y1_dc: int = 0
+    y1_ac: int = 0
+    y2_dc: int = 0
+    y2_ac: int = 0
+    uv_dc: int = 0
+    uv_ac: int = 0
+
+
+@dataclass
+class FrameState:
+    width: int = 0
+    height: int = 0
+    mb_w: int = 0
+    mb_h: int = 0
+    segment_hdr: SegmentHeader = field(default_factory=SegmentHeader)
+    filter_hdr: FilterHeader = field(default_factory=FilterHeader)
+    filter_type: int = 0            # 0=none, 1=simple, 2=complex
+    dqm: list = field(default_factory=list)        # QuantMatrix per segment
+    segment_probs: list = field(default_factory=lambda: [255] * 3)
+    coeff_probs: np.ndarray | None = None           # (4,8,3,11)
+    use_skip_proba: bool = False
+    skip_p: int = 0
+    partitions: list = field(default_factory=list)  # BoolDecoder per partition
+
+
+def _clip(v, mx):
+    return 0 if v < 0 else (mx if v > mx else v)
+
+
+def parse_frame_header(payload: bytes) -> tuple[FrameState, BoolDecoder]:
+    """Parse the uncompressed frame tag + first partition headers."""
+    if len(payload) < 10:
+        raise BitstreamError("VP8 payload too small")
+    tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    if tag & 1:
+        raise UnsupportedFeature("not a key frame")
+    show = (tag >> 4) & 1
+    part0_len = tag >> 5
+    if not show:
+        raise UnsupportedFeature("non-displayable frame")
+    if ((payload[3] << 16) | (payload[4] << 8) | payload[5]) != VP8_SIGNATURE:
+        raise BitstreamError("bad VP8 start code")
+    st = FrameState()
+    st.width = (payload[6] | (payload[7] << 8)) & 0x3FFF
+    st.height = (payload[8] | (payload[9] << 8)) & 0x3FFF
+    if st.width == 0 or st.height == 0:
+        raise BitstreamError("bad dimensions")
+    st.mb_w = (st.width + 15) >> 4
+    st.mb_h = (st.height + 15) >> 4
+
+    body = payload[10:]
+    if part0_len > len(body):
+        raise BitstreamError("bad partition0 length")
+    bd = BoolDecoder(body[:part0_len])
+
+    bd.get_flag()  # color_space
+    bd.get_flag()  # clamp_type
+
+    # Segment header (RFC 9.3).
+    sh = st.segment_hdr
+    sh.use_segment = bool(bd.get_flag())
+    if sh.use_segment:
+        sh.update_map = bool(bd.get_flag())
+        if bd.get_flag():  # update data
+            sh.absolute_delta = bool(bd.get_flag())
+            for s in range(4):
+                sh.quantizer[s] = bd.get_signed_literal(7) if bd.get_flag() else 0
+            for s in range(4):
+                sh.filter_strength[s] = bd.get_signed_literal(6) if bd.get_flag() else 0
+        if sh.update_map:
+            for s in range(3):
+                st.segment_probs[s] = bd.get_literal(8) if bd.get_flag() else 255
+
+    # Filter header (RFC 9.4).
+    fh = st.filter_hdr
+    fh.simple = bool(bd.get_flag())
+    fh.level = bd.get_literal(6)
+    fh.sharpness = bd.get_literal(3)
+    fh.use_lf_delta = bool(bd.get_flag())
+    if fh.use_lf_delta:
+        if bd.get_flag():
+            for i in range(4):
+                if bd.get_flag():
+                    fh.ref_lf_delta[i] = bd.get_signed_literal(6)
+            for i in range(4):
+                if bd.get_flag():
+                    fh.mode_lf_delta[i] = bd.get_signed_literal(6)
+    st.filter_type = 0 if fh.level == 0 else (1 if fh.simple else 2)
+
+    # Token partitions (RFC 9.5).
+    rest = body[part0_len:]
+    num_parts = 1 << bd.get_literal(2)
+    sizes_bytes = 3 * (num_parts - 1)
+    if len(rest) < sizes_bytes:
+        raise BitstreamError("cannot read partition sizes")
+    pos = sizes_bytes
+    st.partitions = []
+    for p in range(num_parts - 1):
+        psz = rest[3 * p] | (rest[3 * p + 1] << 8) | (rest[3 * p + 2] << 16)
+        psz = min(psz, len(rest) - pos)
+        st.partitions.append(BoolDecoder(rest[pos : pos + psz]))
+        pos += psz
+    st.partitions.append(BoolDecoder(rest[pos:]))
+
+    # Quantizers (RFC 9.6).
+    base_q0 = bd.get_literal(7)
+    dqy1_dc = bd.get_signed_literal(4) if bd.get_flag() else 0
+    dqy2_dc = bd.get_signed_literal(4) if bd.get_flag() else 0
+    dqy2_ac = bd.get_signed_literal(4) if bd.get_flag() else 0
+    dquv_dc = bd.get_signed_literal(4) if bd.get_flag() else 0
+    dquv_ac = bd.get_signed_literal(4) if bd.get_flag() else 0
+    st.dqm = []
+    for s in range(4):
+        if sh.use_segment:
+            q = sh.quantizer[s] + (0 if sh.absolute_delta else base_q0)
+        else:
+            q = base_q0
+        m = QuantMatrix()
+        m.y1_dc = int(DC_QUANT[_clip(q + dqy1_dc, 127)])
+        m.y1_ac = int(AC_QUANT[_clip(q, 127)])
+        m.y2_dc = int(DC_QUANT[_clip(q + dqy2_dc, 127)]) * 2
+        m.y2_ac = max(8, (int(AC_QUANT[_clip(q + dqy2_ac, 127)]) * 101581) >> 16)
+        m.uv_dc = int(DC_QUANT[_clip(q + dquv_dc, 117)])
+        m.uv_ac = int(AC_QUANT[_clip(q + dquv_ac, 127)])
+        st.dqm.append(m)
+
+    # Probability updates (RFC 9.8-9.11).
+    bd.get_flag()  # refresh_entropy_probs (always for keyframes)
+    probs = COEFF_PROBAS.copy()
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    if bd.get_bit(int(COEFF_UPDATE_PROBAS[t, b, c, p])):
+                        probs[t, b, c, p] = bd.get_literal(8)
+    st.coeff_probs = probs
+    st.use_skip_proba = bool(bd.get_flag())
+    if st.use_skip_proba:
+        st.skip_p = bd.get_literal(8)
+    return st, bd
+
+
+# ---------------------------------------------------------------------------
+# Symbol decoding (per-MB modes and coefficients)
+# ---------------------------------------------------------------------------
+
+
+def _parse_intra_mode(bd: BoolDecoder, st: FrameState, top4: np.ndarray,
+                      left4: np.ndarray):
+    """One MB's segment/skip/modes. Returns (segment, skip, is_i4, imodes, uv)."""
+    segment = 0
+    if st.segment_hdr.update_map:
+        if not bd.get_bit(st.segment_probs[0]):
+            segment = bd.get_bit(st.segment_probs[1])
+        else:
+            segment = 2 + bd.get_bit(st.segment_probs[2])
+    skip = bd.get_bit(st.skip_p) if st.use_skip_proba else 0
+
+    imodes = np.zeros(16, np.int32)
+    is_i4 = not bd.get_bit(145)
+    if not is_i4:
+        # Hardcoded 16x16 mode tree (libwebp enum DC/TM/VE/HE).
+        if bd.get_bit(156):
+            ymode = B_TM if bd.get_bit(128) else B_HE
+        else:
+            ymode = B_VE if bd.get_bit(163) else B_DC
+        imodes[:] = ymode
+        top4[:] = ymode
+        left4[:] = ymode
+    else:
+        for y in range(4):
+            ymode = left4[y]
+            for x in range(4):
+                prob = KF_BMODE_PROBAS[top4[x]][ymode]
+                i = BMODE_TREE[bd.get_bit(int(prob[0]))]
+                while i > 0:
+                    i = BMODE_TREE[2 * i + bd.get_bit(int(prob[i]))]
+                ymode = -i
+                top4[x] = ymode
+                imodes[4 * y + x] = ymode
+            left4[y] = ymode
+
+    # UV mode tree.
+    if not bd.get_bit(142):
+        uvmode = B_DC
+    elif not bd.get_bit(114):
+        uvmode = B_VE
+    elif bd.get_bit(183):
+        uvmode = B_TM
+    else:
+        uvmode = B_HE
+    return segment, skip, is_i4, imodes, uvmode
+
+
+def _get_large_value(bd: BoolDecoder, p) -> int:
+    if not bd.get_bit(int(p[3])):
+        if not bd.get_bit(int(p[4])):
+            return 2
+        return 3 + bd.get_bit(int(p[5]))
+    if not bd.get_bit(int(p[6])):
+        if not bd.get_bit(int(p[7])):
+            return 5 + bd.get_bit(159)
+        return 7 + 2 * bd.get_bit(165) + bd.get_bit(145)
+    bit1 = bd.get_bit(int(p[8]))
+    bit0 = bd.get_bit(int(p[9 + bit1]))
+    cat = 2 * bit1 + bit0
+    v = 0
+    for tab_p in CAT_PROBAS[cat]:
+        v += v + bd.get_bit(tab_p)
+    return v + 3 + (8 << cat)
+
+
+def _get_coeffs(bd: BoolDecoder, probs_t, ctx: int, dq: tuple, first: int,
+                out: np.ndarray) -> int:
+    """Token-decode one 4x4 block; returns last-nonzero position + 1."""
+    p = probs_t[BANDS[first]][ctx]
+    n = first
+    while n < 16:
+        if not bd.get_bit(int(p[0])):
+            return n
+        while not bd.get_bit(int(p[1])):
+            n += 1
+            if n == 16:
+                return 16
+            p = probs_t[BANDS[n]][0]
+        if not bd.get_bit(int(p[2])):
+            v = 1
+            next_ctx = 1
+        else:
+            v = _get_large_value(bd, p)
+            next_ctx = 2
+        out[ZIGZAG[n]] = bd.get_signed(v) * dq[n > 0]
+        p = probs_t[BANDS[n + 1]][next_ctx]
+        n += 1
+    return 16
+
+
+def _nz_code_bits(nz_coeffs: int, nz: int, dc_nz: int) -> int:
+    nz_coeffs <<= 2
+    nz_coeffs |= 3 if nz > 3 else (2 if nz > 1 else dc_nz)
+    return nz_coeffs
+
+
+@dataclass
+class MBData:
+    segment: int = 0
+    skip: int = 0
+    is_i4: bool = False
+    imodes: np.ndarray | None = None
+    uvmode: int = 0
+    coeffs: np.ndarray | None = None     # (25, 16) int32, dequantized
+    non_zero_y: int = 0
+    non_zero_uv: int = 0
+
+
+def _parse_residuals(bd: BoolDecoder, st: FrameState, mb: MBData,
+                     ctx_mb, ctx_left) -> bool:
+    """Decode all coefficients of one MB; updates nz contexts.
+
+    ctx_mb/ctx_left are 2-element lists [nz, nz_dc] for above/left context.
+    Returns True if the whole MB is empty (skippable).
+    """
+    probs = st.coeff_probs
+    q = st.dqm[mb.segment]
+    coeffs = np.zeros((25, 16), np.int32)
+    first = 0
+    if not mb.is_i4:
+        dc = np.zeros(16, np.int32)
+        ctx = ctx_mb[1] + ctx_left[1]
+        nz = _get_coeffs(bd, probs[1], ctx, (q.y2_dc, q.y2_ac), 0, dc)
+        ctx_mb[1] = ctx_left[1] = int(nz > 0)
+        if nz > 1:
+            coeffs[24] = dc
+            dcs = dsp_np.iwht4x4(dc)
+        else:
+            dc0 = (int(dc[0]) + 3) >> 3
+            dcs = np.full(16, dc0, np.int32)
+        for i in range(16):
+            coeffs[i, 0] = dcs[i]
+        first = 1
+        ac_probs = probs[0]
+    else:
+        ac_probs = probs[3]
+
+    non_zero_y = 0
+    tnz = ctx_mb[0] & 0x0F
+    lnz = ctx_left[0] & 0x0F
+    for y in range(4):
+        l = lnz & 1
+        nz_coeffs = 0
+        for x in range(4):
+            ctx = l + (tnz & 1)
+            blk = coeffs[4 * y + x]
+            nz = _get_coeffs(bd, ac_probs, ctx, (q.y1_dc, q.y1_ac), first, blk)
+            l = int(nz > first)
+            tnz = (tnz >> 1) | (l << 7)
+            nz_coeffs = _nz_code_bits(nz_coeffs, nz, int(blk[0] != 0))
+        tnz >>= 4
+        lnz = (lnz >> 1) | (l << 7)
+        non_zero_y = (non_zero_y << 8) | nz_coeffs
+    out_t_nz = tnz
+    out_l_nz = lnz >> 4
+
+    non_zero_uv = 0
+    for ch in range(0, 4, 2):
+        nz_coeffs = 0
+        tnz = (ctx_mb[0] >> (4 + ch)) & 0xFF
+        lnz = (ctx_left[0] >> (4 + ch)) & 0xFF
+        for y in range(2):
+            l = lnz & 1
+            for x in range(2):
+                ctx = l + (tnz & 1)
+                blk = coeffs[16 + 2 * ch + 2 * y + x]
+                nz = _get_coeffs(bd, probs[2], ctx, (q.uv_dc, q.uv_ac), 0, blk)
+                l = int(nz > 0)
+                tnz = (tnz >> 1) | (l << 3)
+                nz_coeffs = _nz_code_bits(nz_coeffs, nz, int(blk[0] != 0))
+            tnz >>= 2
+            lnz = (lnz >> 1) | (l << 5)
+        non_zero_uv |= nz_coeffs << (4 * ch)
+        out_t_nz |= ((tnz << 4) << ch) & 0xFFFFFFFF
+        out_l_nz |= (lnz & 0xF0) << ch
+    ctx_mb[0] = out_t_nz
+    ctx_left[0] = out_l_nz
+
+    mb.coeffs = coeffs
+    mb.non_zero_y = non_zero_y
+    mb.non_zero_uv = non_zero_uv
+    return (non_zero_y | non_zero_uv) == 0
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction (plane phase — NumPy reference)
+# ---------------------------------------------------------------------------
+
+# Position of the n-th luma 4x4 sub-block inside the MB.
+_SCAN = [(4 * (n >> 2), 4 * (n & 3)) for n in range(16)]
+
+
+def _reconstruct(st: FrameState, mbs: list[list[MBData]]):
+    """Raster-order intra prediction + inverse transform (unfiltered)."""
+    mb_w, mb_h = st.mb_w, st.mb_h
+    W, H = mb_w * 16, mb_h * 16
+    Y = np.zeros((H, W), np.int64)
+    U = np.zeros((H // 2, W // 2), np.int64)
+    V = np.zeros((H // 2, W // 2), np.int64)
+
+    # Working buffers with a 1-px top/left border (plus 4 top-right for Y).
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            mb = mbs[mb_y][mb_x]
+            ybuf = np.empty((17, 21), np.int64)
+            ubuf = np.empty((9, 9), np.int64)
+            vbuf = np.empty((9, 9), np.int64)
+            have_top = mb_y > 0
+            have_left = mb_x > 0
+
+            # Top border row (17.. incl 4 top-right) and left border col.
+            if have_top:
+                ybuf[0, 1:17] = Y[mb_y * 16 - 1, mb_x * 16 : mb_x * 16 + 16]
+                if mb_x < mb_w - 1:
+                    ybuf[0, 17:21] = Y[mb_y * 16 - 1, mb_x * 16 + 16 : mb_x * 16 + 20]
+                else:
+                    ybuf[0, 17:21] = Y[mb_y * 16 - 1, mb_x * 16 + 15]
+                ubuf[0, 1:9] = U[mb_y * 8 - 1, mb_x * 8 : mb_x * 8 + 8]
+                vbuf[0, 1:9] = V[mb_y * 8 - 1, mb_x * 8 : mb_x * 8 + 8]
+                if have_left:
+                    ybuf[0, 0] = Y[mb_y * 16 - 1, mb_x * 16 - 1]
+                    ubuf[0, 0] = U[mb_y * 8 - 1, mb_x * 8 - 1]
+                    vbuf[0, 0] = V[mb_y * 8 - 1, mb_x * 8 - 1]
+                else:
+                    ybuf[0, 0] = 129
+                    ubuf[0, 0] = 129
+                    vbuf[0, 0] = 129
+            else:
+                ybuf[0, :] = 127
+                ubuf[0, :] = 127
+                vbuf[0, :] = 127
+            if have_left:
+                ybuf[1:17, 0] = Y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 - 1]
+                ubuf[1:9, 0] = U[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 - 1]
+                vbuf[1:9, 0] = V[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 - 1]
+            else:
+                ybuf[1:17, 0] = 129
+                ubuf[1:9, 0] = 129
+                vbuf[1:9, 0] = 129
+
+            coeffs = mb.coeffs
+            if mb.is_i4:
+                # Replicate top-right below row 0 (for right-column blocks).
+                for r in (4, 8, 12):
+                    ybuf[r, 17:21] = ybuf[0, 17:21]
+                bits = mb.non_zero_y
+                for n in range(16):
+                    r, c = _SCAN[n]
+                    dsp_np.predict_luma4(ybuf, c, r, int(mb.imodes[n]))
+                    blkbits = (bits << (2 * n)) & 0xFFFFFFFF
+                    _do_transform(blkbits >> 30, coeffs[n],
+                                  ybuf[r + 1 : r + 5, c + 1 : c + 5])
+            else:
+                dsp_np.predict_block(ybuf, 0, 0, 16, int(mb.imodes[0]),
+                                     have_top, have_left)
+                bits = mb.non_zero_y
+                if bits:
+                    for n in range(16):
+                        r, c = _SCAN[n]
+                        blkbits = (bits << (2 * n)) & 0xFFFFFFFF
+                        _do_transform(blkbits >> 30, coeffs[n],
+                                      ybuf[r + 1 : r + 5, c + 1 : c + 5])
+            # Chroma.
+            dsp_np.predict_block(ubuf, 0, 0, 8, mb.uvmode, have_top, have_left)
+            dsp_np.predict_block(vbuf, 0, 0, 8, mb.uvmode, have_top, have_left)
+            _do_uv_transform(mb.non_zero_uv >> 0, coeffs[16:20], ubuf)
+            _do_uv_transform(mb.non_zero_uv >> 8, coeffs[20:24], vbuf)
+
+            Y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = ybuf[1:17, 1:17]
+            U[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = ubuf[1:9, 1:9]
+            V[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = vbuf[1:9, 1:9]
+    return Y, U, V
+
+
+def _do_transform(code: int, coeffs: np.ndarray, dst: np.ndarray) -> None:
+    if code == 3:
+        dsp_np.idct4x4_add(coeffs, dst)
+    elif code == 2:
+        # AC3 fast path decodes identically to the full transform.
+        dsp_np.idct4x4_add(coeffs, dst)
+    elif code == 1:
+        dsp_np.idct_dc_add(coeffs[0], dst)
+
+
+def _do_uv_transform(bits: int, coeffs, buf: np.ndarray) -> None:
+    if bits & 0xFF:
+        if bits & 0xAA:  # any AC
+            for i, (r, c) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
+                dsp_np.idct4x4_add(coeffs[i], buf[r + 1 : r + 5, c + 1 : c + 5])
+        else:
+            for i, (r, c) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
+                if coeffs[i][0]:
+                    dsp_np.idct_dc_add(coeffs[i][0], buf[r + 1 : r + 5, c + 1 : c + 5])
+
+
+# ---------------------------------------------------------------------------
+# Loop filter (NumPy reference, exact MB scan order)
+# ---------------------------------------------------------------------------
+
+
+def _precompute_filter_info(st: FrameState):
+    """Per (segment, is_i4): (limit, ilevel, hev_thresh) or None."""
+    fh = st.filter_hdr
+    info = [[None, None] for _ in range(4)]
+    if st.filter_type == 0:
+        return info
+    for s in range(4):
+        if st.segment_hdr.use_segment:
+            base = st.segment_hdr.filter_strength[s]
+            if not st.segment_hdr.absolute_delta:
+                base += fh.level
+        else:
+            base = fh.level
+        for i4 in range(2):
+            level = base
+            if fh.use_lf_delta:
+                level += fh.ref_lf_delta[0]
+                if i4:
+                    level += fh.mode_lf_delta[0]
+            level = _clip(level, 63)
+            if level > 0:
+                ilevel = level
+                if fh.sharpness > 0:
+                    ilevel = ilevel >> 2 if fh.sharpness > 4 else ilevel >> 1
+                    ilevel = min(ilevel, 9 - fh.sharpness)
+                ilevel = max(1, ilevel)
+                hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+                info[s][i4] = (2 * level + ilevel, ilevel, hev_t)
+            else:
+                info[s][i4] = None
+    return info
+
+
+def _filter_seg_h(plane, y0, y1, x, limit, ilevel, hev_t, edge):
+    """Filter the vertical edge at column x, rows [y0,y1) (complex filter)."""
+    thresh2 = 2 * limit + 1
+    for y in range(y0, y1):
+        row = plane[y]
+        px = [int(row[x - 4 + k]) for k in range(8)]
+        if dsp_np.needs_filter2(px, thresh2, ilevel):
+            if dsp_np.hev(px[2], px[3], px[4], px[5], hev_t):
+                p1, p0, q0, q1 = dsp_np.do_filter2(px[2:6])
+                row[x - 2], row[x - 1], row[x], row[x + 1] = p1, p0, q0, q1
+            elif edge:
+                vals = dsp_np.do_filter6(px[1:7])
+                for k, v in enumerate(vals):
+                    row[x - 3 + k] = v
+            else:
+                vals = dsp_np.do_filter4(px[2:6])
+                for k, v in enumerate(vals):
+                    row[x - 2 + k] = v
+
+
+def _filter_seg_v(plane, x0, x1, y, limit, ilevel, hev_t, edge):
+    thresh2 = 2 * limit + 1
+    for x in range(x0, x1):
+        px = [int(plane[y - 4 + k, x]) for k in range(8)]
+        if dsp_np.needs_filter2(px, thresh2, ilevel):
+            if dsp_np.hev(px[2], px[3], px[4], px[5], hev_t):
+                p1, p0, q0, q1 = dsp_np.do_filter2(px[2:6])
+                plane[y - 2, x], plane[y - 1, x], plane[y, x], plane[y + 1, x] = p1, p0, q0, q1
+            elif edge:
+                vals = dsp_np.do_filter6(px[1:7])
+                for k, v in enumerate(vals):
+                    plane[y - 3 + k, x] = v
+            else:
+                vals = dsp_np.do_filter4(px[2:6])
+                for k, v in enumerate(vals):
+                    plane[y - 2 + k, x] = v
+
+
+def _filter_simple_h(plane, y0, y1, x, limit):
+    thresh2 = 2 * limit + 1
+    for y in range(y0, y1):
+        row = plane[y]
+        p1, p0, q0, q1 = int(row[x - 2]), int(row[x - 1]), int(row[x]), int(row[x + 1])
+        if dsp_np.needs_filter(p1, p0, q0, q1, thresh2):
+            _, np0, nq0, _ = dsp_np.do_filter2((p1, p0, q0, q1))
+            row[x - 1], row[x] = np0, nq0
+
+
+def _filter_simple_v(plane, x0, x1, y, limit):
+    thresh2 = 2 * limit + 1
+    for x in range(x0, x1):
+        p1, p0, q0, q1 = (int(plane[y - 2, x]), int(plane[y - 1, x]),
+                          int(plane[y, x]), int(plane[y + 1, x]))
+        if dsp_np.needs_filter(p1, p0, q0, q1, thresh2):
+            _, np0, nq0, _ = dsp_np.do_filter2((p1, p0, q0, q1))
+            plane[y - 1, x], plane[y, x] = np0, nq0
+
+
+def _loop_filter(st: FrameState, mbs, Y, U, V):
+    """In-place deblocking in libwebp's exact MB scan order."""
+    if st.filter_type == 0:
+        return
+    finfo = _precompute_filter_info(st)
+    for mb_y in range(st.mb_h):
+        for mb_x in range(st.mb_w):
+            mb = mbs[mb_y][mb_x]
+            # Strength is chosen by is_i4; inner edges filter when the MB
+            # is i4x4 OR has coefficients (libwebp f_inner |= !skip).
+            inner = bool(mb.is_i4) or not mb.skip
+            fi = finfo[mb.segment][1 if mb.is_i4 else 0]
+            if fi is None:
+                continue
+            limit, ilevel, hev_t = fi
+            y0, x0 = mb_y * 16, mb_x * 16
+            if st.filter_type == 1:  # simple (luma only)
+                if mb_x > 0:
+                    _filter_simple_h(Y, y0, y0 + 16, x0, limit + 4)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _filter_simple_h(Y, y0, y0 + 16, x0 + dx, limit)
+                if mb_y > 0:
+                    _filter_simple_v(Y, x0, x0 + 16, y0, limit + 4)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _filter_simple_v(Y, x0, x0 + 16, y0 + dy, limit)
+            else:  # complex (luma + chroma)
+                cy0, cx0 = mb_y * 8, mb_x * 8
+                if mb_x > 0:
+                    _filter_seg_h(Y, y0, y0 + 16, x0, limit + 4, ilevel, hev_t, True)
+                    _filter_seg_h(U, cy0, cy0 + 8, cx0, limit + 4, ilevel, hev_t, True)
+                    _filter_seg_h(V, cy0, cy0 + 8, cx0, limit + 4, ilevel, hev_t, True)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _filter_seg_h(Y, y0, y0 + 16, x0 + dx, limit, ilevel, hev_t, False)
+                    _filter_seg_h(U, cy0, cy0 + 8, cx0 + 4, limit, ilevel, hev_t, False)
+                    _filter_seg_h(V, cy0, cy0 + 8, cx0 + 4, limit, ilevel, hev_t, False)
+                if mb_y > 0:
+                    _filter_seg_v(Y, x0, x0 + 16, y0, limit + 4, ilevel, hev_t, True)
+                    _filter_seg_v(U, cx0, cx0 + 8, cy0, limit + 4, ilevel, hev_t, True)
+                    _filter_seg_v(V, cx0, cx0 + 8, cy0, limit + 4, ilevel, hev_t, True)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _filter_seg_v(Y, x0, x0 + 16, y0 + dy, limit, ilevel, hev_t, False)
+                    _filter_seg_v(U, cx0, cx0 + 8, cy0 + 4, limit, ilevel, hev_t, False)
+                    _filter_seg_v(V, cx0, cx0 + 8, cy0 + 4, limit, ilevel, hev_t, False)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+
+def decode_vp8_yuv(payload: bytes):
+    """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped)."""
+    st, bd = parse_frame_header(payload)
+    mb_w, mb_h = st.mb_w, st.mb_h
+
+    # Mode/nz context arrays.
+    intra_t = np.full(4 * mb_w, B_DC, np.int32)
+    mbs = [[MBData() for _ in range(mb_w)] for _ in range(mb_h)]
+    ctx_above = [[0, 0] for _ in range(mb_w)]   # [nz, nz_dc] per column
+
+    for mb_y in range(mb_h):
+        intra_l = np.full(4, B_DC, np.int32)
+        ctx_left = [0, 0]
+        token_bd = st.partitions[mb_y & (len(st.partitions) - 1)]
+        for mb_x in range(mb_w):
+            mb = mbs[mb_y][mb_x]
+            (mb.segment, mb.skip, mb.is_i4, mb.imodes, mb.uvmode) = \
+                _parse_intra_mode(bd, st, intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
+        for mb_x in range(mb_w):
+            mb = mbs[mb_y][mb_x]
+            skip = mb.skip if st.use_skip_proba else 0
+            if not skip:
+                empty = _parse_residuals(token_bd, st, mb, ctx_above[mb_x], ctx_left)
+                mb.skip = int(empty)
+            else:
+                ctx_above[mb_x][0] = 0
+                ctx_left[0] = 0
+                if not mb.is_i4:
+                    ctx_above[mb_x][1] = 0
+                    ctx_left[1] = 0
+                mb.coeffs = np.zeros((25, 16), np.int32)
+                mb.non_zero_y = 0
+                mb.non_zero_uv = 0
+                mb.skip = 1
+            if token_bd.exhausted():
+                raise BitstreamError("truncated token partition")
+
+    Y, U, V = _reconstruct(st, mbs)
+    _loop_filter(st, mbs, Y, U, V)
+
+    W, H = st.width, st.height
+    y = Y[:H, :W].astype(np.uint8)
+    u = U[: (H + 1) // 2, : (W + 1) // 2].astype(np.uint8)
+    v = V[: (H + 1) // 2, : (W + 1) // 2].astype(np.uint8)
+    return y, u, v
+
+
+def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
+                    fancy_upsampling: bool = True) -> np.ndarray:
+    """Decode VP8 (+optional ALPH) → (H, W, 4) uint8 RGBA."""
+    y, u, v = decode_vp8_yuv(payload)
+    H, W = y.shape
+    if fancy_upsampling:
+        uf = yuv_np.fancy_upsample(u, H, W)
+        vf = yuv_np.fancy_upsample(v, H, W)
+    else:
+        uf = yuv_np.simple_upsample(u, H, W)
+        vf = yuv_np.simple_upsample(v, H, W)
+    rgb = yuv_np.yuv_to_rgb(y.astype(np.int64), uf.astype(np.int64), vf.astype(np.int64))
+    out = np.empty((H, W, 4), np.uint8)
+    out[..., :3] = rgb
+    if alpha_payload is not None:
+        from .alpha import decode_alpha
+
+        out[..., 3] = decode_alpha(alpha_payload, W, H)
+    else:
+        out[..., 3] = 255
+    return out
+
+
+__all__ = ["decode_vp8_yuv", "decode_vp8_rgba", "parse_frame_header"]
