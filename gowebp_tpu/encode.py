@@ -1,0 +1,44 @@
+"""Top-level encode API.
+
+Equivalent surface: /root/reference/encode.go + pkg/libwebp/enc (the
+libwebp WebPEncode pipeline catalogued in SURVEY.md §2.5/§3.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import EncoderConfig
+from .constants import CHUNK_VP8L
+from .container.riff import Chunk, assemble_simple
+from .errors import EncodeError
+
+
+def encode_rgba(
+    rgba: np.ndarray,
+    *,
+    lossless: bool = True,
+    quality: float = 75.0,
+    method: int = 4,
+    config: EncoderConfig | None = None,
+) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array into a .webp byte string."""
+    if config is None:
+        config = EncoderConfig(lossless=lossless, quality=quality, method=method)
+    config.validate()
+    rgba = np.asarray(rgba)
+    if rgba.dtype != np.uint8:
+        raise EncodeError("expected uint8 pixels")
+
+    if config.lossless:
+        from .models.vp8l.encoder import encode_vp8l
+
+        payload = encode_vp8l(rgba, quality=int(config.quality))
+        return assemble_simple(Chunk(CHUNK_VP8L, payload))
+
+    from .models.vp8.encoder import encode_vp8_webp
+
+    return encode_vp8_webp(rgba, config)
+
+
+__all__ = ["encode_rgba"]

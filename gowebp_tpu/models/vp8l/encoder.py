@@ -1,0 +1,700 @@
+"""VP8L (WebP lossless) encoder.
+
+TPU-first split (SURVEY.md §7): entropy analysis, transforms, and the
+per-tile predictor search are dense array ops (NumPy reference here, JAX
+versions in gowebp_tpu/ops/lossless_ops.py); backward-reference detection
+is vectorized run-finding; only the final bit emission is a sequential
+host loop (with a native C++ twin planned in entropy/native/).
+
+Feature parity target: /root/reference/pkg/vp8/vp8l_encoder.go (stream
+layout :1459-1591, huffman storage :467-569, emission :583-640) and
+enc/predictor_enc.go (per-tile predictor search :227-716) — written fresh
+from the lossless bitstream spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...constants import (
+    CODE_LENGTH_CODE_ORDER,
+    NUM_CODE_LENGTH_CODES,
+    NUM_DISTANCE_CODES,
+    NUM_LENGTH_CODES,
+    NUM_LITERAL_CODES,
+    VP8L_SIGNATURE,
+)
+from ...entropy.bitio import BitWriter
+from ...entropy.huffman import build_code_lengths, canonical_codes
+from ...errors import EncodeError
+from . import transforms_np as tnp
+
+# ---------------------------------------------------------------------------
+# Prefix (length/distance) encoding
+# ---------------------------------------------------------------------------
+
+
+def prefix_encode(value: int) -> tuple[int, int, int]:
+    """1-based value → (code, extra_bits_count, extra_bits_value)."""
+    u = value - 1
+    if u < 4:
+        return u, 0, 0
+    e = u.bit_length() - 2
+    if u < (3 << e):
+        return 2 * e + 2, e, u - (2 << e)
+    return 2 * e + 3, e, u - (3 << e)
+
+
+def _reverse_bits(v: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Huffman code storage
+# ---------------------------------------------------------------------------
+
+
+class HuffmanWriteCode:
+    """Canonical code ready for emission: lengths + LSB-first reversed bits."""
+
+    __slots__ = ("lengths", "bits")
+
+    def __init__(self, lengths: np.ndarray):
+        self.lengths = lengths.astype(np.int32)
+        codes = canonical_codes(lengths)
+        self.bits = np.array(
+            [_reverse_bits(int(c), int(l)) for c, l in zip(codes, lengths)],
+            dtype=np.uint32,
+        )
+
+    def write_symbol(self, bw: BitWriter, sym: int) -> None:
+        bw.put_bits(int(self.bits[sym]), int(self.lengths[sym]))
+
+
+def _tokenize_code_lengths(lengths: np.ndarray):
+    """RLE-tokenize per the 16/17/18 repeat scheme → [(sym, extra_bits, extra)]."""
+    tokens = []
+    n = len(lengths)
+    i = 0
+    prev_nz = 8
+    while i < n:
+        v = int(lengths[i])
+        run = 1
+        while i + run < n and int(lengths[i + run]) == v:
+            run += 1
+        if v == 0:
+            r = run
+            while r >= 11:
+                k = min(r, 138)
+                tokens.append((18, 7, k - 11))
+                r -= k
+            while r >= 3:
+                k = min(r, 10)
+                tokens.append((17, 3, k - 3))
+                r -= k
+            tokens.extend([(0, 0, 0)] * r)
+        else:
+            # First occurrence written literally; 16 repeats the previous
+            # nonzero length, so it also works right after it.
+            tokens.append((v, 0, 0))
+            prev_nz = v
+            r = run - 1
+            while r >= 3:
+                k = min(r, 6)
+                tokens.append((16, 2, k - 3))
+                r -= k
+            tokens.extend([(v, 0, 0)] * r)
+        i += run
+    return tokens
+
+
+def store_huffman_code(bw: BitWriter, lengths: np.ndarray) -> HuffmanWriteCode:
+    """Write one prefix-code description; returns the emission code."""
+    used = np.flatnonzero(lengths > 0)
+    if len(used) == 0:
+        # Unused tree: store as trivial simple code (symbol 0).
+        bw.put_bits(1, 1)   # simple
+        bw.put_bits(0, 1)   # num_symbols - 1 = 0
+        bw.put_bits(0, 1)   # is_8bit = 0 (1-bit symbol)
+        bw.put_bits(0, 1)   # symbol 0
+        out = np.zeros_like(lengths)
+        out[0] = 1
+        code = HuffmanWriteCode(out)
+        code.lengths[0] = 0  # zero-bit single-symbol code (never emitted)
+        return code
+
+    if len(used) <= 2 and used[-1] < 256:
+        # Simple code.
+        bw.put_bits(1, 1)
+        bw.put_bits(len(used) - 1, 1)
+        first = int(used[0])
+        if first <= 1:
+            bw.put_bits(0, 1)       # 1-bit first symbol
+            bw.put_bits(first, 1)
+        else:
+            bw.put_bits(1, 1)
+            bw.put_bits(first, 8)
+        if len(used) == 2:
+            bw.put_bits(int(used[1]), 8)
+        # Decoder assigns length-1 codes (or 0 bits when single).
+        out = np.zeros_like(lengths)
+        if len(used) == 1:
+            out[used[0]] = 1
+            code = HuffmanWriteCode(out)
+            code.lengths[used[0]] = 0   # single symbol: zero bits on emit
+            return code
+        out[used] = 1
+        return HuffmanWriteCode(out)
+
+    bw.put_bits(0, 1)  # not simple
+    tokens = _tokenize_code_lengths(lengths)
+    # Histogram of code-length symbols → code-length code.
+    cl_hist = np.zeros(NUM_CODE_LENGTH_CODES, np.int64)
+    for sym, _, _ in tokens:
+        cl_hist[sym] += 1
+    cl_lengths = build_code_lengths(cl_hist, max_depth=7)
+    if cl_lengths.max(initial=0) == 0:
+        cl_lengths[0] = 1
+    cl_code = HuffmanWriteCode(cl_lengths)
+    # Single-symbol cl code still needs nonzero length in the header.
+    # (The decoder's table build treats it as zero-bit; emission below
+    # writes zero bits for it, which is consistent.)
+    used_cl = np.flatnonzero(cl_lengths > 0)
+    if len(used_cl) == 1:
+        cl_code.lengths[used_cl[0]] = 0
+
+    # Trim trailing zeros in the CODE_LENGTH_CODE_ORDER listing (min 4).
+    order_lengths = [int(cl_lengths[CODE_LENGTH_CODE_ORDER[i]])
+                     for i in range(NUM_CODE_LENGTH_CODES)]
+    num_codes = NUM_CODE_LENGTH_CODES
+    while num_codes > 4 and order_lengths[num_codes - 1] == 0:
+        num_codes -= 1
+    bw.put_bits(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.put_bits(order_lengths[i], 3)
+    bw.put_bits(0, 1)  # no max_symbol trick
+    for sym, ebits, extra in tokens:
+        cl_code.write_symbol(bw, sym)
+        if ebits:
+            bw.put_bits(extra, ebits)
+    return HuffmanWriteCode(lengths)
+
+
+# ---------------------------------------------------------------------------
+# Backward references (vectorized run detection: dist 1 and dist width)
+# ---------------------------------------------------------------------------
+
+MIN_COPY_LEN = 4
+MAX_COPY_LEN = 4095
+
+
+@dataclass
+class RefStream:
+    """Tensorized symbol stream: parallel arrays of ops.
+
+    op 0 = literal (argb), op 1 = copy (length, dist).
+    """
+
+    ops: np.ndarray        # (n,) uint8
+    argb: np.ndarray       # (n,) uint32 (literals; undefined for copies)
+    lengths: np.ndarray    # (n,) int32
+    dists: np.ndarray      # (n,) int32
+
+
+def build_backward_refs(argb: np.ndarray, width: int) -> RefStream:
+    """Greedy run-based LZ77 over the flattened image.
+
+    Finds maximal runs matching at distance 1 (left) and `width` (above) —
+    the two dominant distances in natural/graphic images — entirely with
+    NumPy.  A full hash-chain matcher is the native-layer upgrade path.
+    """
+    flat = argb.reshape(-1)
+    n = len(flat)
+    eq1 = np.zeros(n, bool)
+    eqw = np.zeros(n, bool)
+    eq1[1:] = flat[1:] == flat[:-1]
+    if n > width:
+        eqw[width:] = flat[width:] == flat[:-width]
+
+    ops, argbs, lens, dists = [], [], [], []
+    pos = 0
+    # Run-length helper arrays: length of the eq-run starting at each pos.
+    run1 = _forward_run_lengths(eq1)
+    runw = _forward_run_lengths(eqw)
+    while pos < n:
+        l1 = run1[pos] if pos > 0 else 0
+        lw = runw[pos] if pos >= width else 0
+        best_len = max(l1, lw)
+        if best_len >= MIN_COPY_LEN:
+            dist = 1 if l1 >= lw else width
+            length = min(best_len, MAX_COPY_LEN)
+            ops.append(1)
+            argbs.append(0)
+            lens.append(length)
+            dists.append(dist)
+            pos += length
+        else:
+            ops.append(0)
+            argbs.append(int(flat[pos]))
+            lens.append(1)
+            dists.append(0)
+            pos += 1
+    return RefStream(
+        np.array(ops, np.uint8),
+        np.array(argbs, np.uint32),
+        np.array(lens, np.int32),
+        np.array(dists, np.int32),
+    )
+
+
+def _forward_run_lengths(eq: np.ndarray) -> np.ndarray:
+    """run[i] = number of consecutive True starting at i."""
+    n = len(eq)
+    run = np.zeros(n + 1, np.int64)
+    for i in range(n - 1, -1, -1):
+        run[i] = run[i + 1] + 1 if eq[i] else 0
+    return run[:n]
+
+
+def _forward_run_lengths_fast(eq: np.ndarray) -> np.ndarray:
+    """Vectorized version of _forward_run_lengths."""
+    n = len(eq)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    idx = np.arange(n)
+    # For each i, distance to the next False at or after i.
+    false_pos = np.flatnonzero(~eq)
+    next_false = np.full(n, n, np.int64)
+    if len(false_pos):
+        ins = np.searchsorted(false_pos, idx, side="left")
+        valid = ins < len(false_pos)
+        next_false[valid] = false_pos[ins[valid]]
+    return next_false - idx
+
+
+# Use the vectorized version.
+_forward_run_lengths = _forward_run_lengths_fast
+
+
+# ---------------------------------------------------------------------------
+# Distance → plane-code mapping (inverse of decoder's DIST_MAP)
+# ---------------------------------------------------------------------------
+
+
+def _build_dist_code_lut(width: int) -> dict[int, int]:
+    from .decoder import DIST_MAP
+
+    lut = {}
+    for code in range(120, 0, -1):
+        dx, dy = DIST_MAP[code - 1]
+        d = dy * width + dx
+        if d >= 1:
+            lut[d] = code  # smaller codes win (iterate descending)
+    return lut
+
+
+def dist_to_plane_code(width: int, dist: int, lut: dict[int, int]) -> int:
+    return lut.get(dist, dist + 120)
+
+
+# ---------------------------------------------------------------------------
+# Histograms + emission
+# ---------------------------------------------------------------------------
+
+
+def _build_histograms(refs: RefStream, width: int, lut) -> list[np.ndarray]:
+    green = np.zeros(NUM_LITERAL_CODES + NUM_LENGTH_CODES, np.int64)
+    red = np.zeros(256, np.int64)
+    blue = np.zeros(256, np.int64)
+    alpha = np.zeros(256, np.int64)
+    dist = np.zeros(NUM_DISTANCE_CODES, np.int64)
+
+    lit_mask = refs.ops == 0
+    lits = refs.argb[lit_mask]
+    if len(lits):
+        green += np.bincount((lits >> 8) & 0xFF, minlength=280).astype(np.int64)[:280]
+        red += np.bincount((lits >> 16) & 0xFF, minlength=256).astype(np.int64)[:256]
+        blue += np.bincount(lits & 0xFF, minlength=256).astype(np.int64)[:256]
+        alpha += np.bincount((lits >> 24) & 0xFF, minlength=256).astype(np.int64)[:256]
+    for i in np.flatnonzero(refs.ops == 1):
+        lcode, _, _ = prefix_encode(int(refs.lengths[i]))
+        green[NUM_LITERAL_CODES + lcode] += 1
+        dcode, _, _ = prefix_encode(dist_to_plane_code(width, int(refs.dists[i]), lut))
+        dist[dcode] += 1
+    return [green, red, blue, alpha, dist]
+
+
+def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
+    green, red, blue, alpha, dist = codes
+    g_bits, g_lens = green.bits, green.lengths
+    r_bits, r_lens = red.bits, red.lengths
+    b_bits, b_lens = blue.bits, blue.lengths
+    a_bits, a_lens = alpha.bits, alpha.lengths
+    put = bw.put_bits
+    for op, argb, length, d in zip(refs.ops, refs.argb, refs.lengths, refs.dists):
+        if op == 0:
+            a = int(argb)
+            g = (a >> 8) & 0xFF
+            put(int(g_bits[g]), int(g_lens[g]))
+            r = (a >> 16) & 0xFF
+            put(int(r_bits[r]), int(r_lens[r]))
+            b = a & 0xFF
+            put(int(b_bits[b]), int(b_lens[b]))
+            al = (a >> 24) & 0xFF
+            put(int(a_bits[al]), int(a_lens[al]))
+        else:
+            lcode, lext, lval = prefix_encode(int(length))
+            sym = NUM_LITERAL_CODES + lcode
+            put(int(g_bits[sym]), int(g_lens[sym]))
+            if lext:
+                put(lval, lext)
+            dcode, dext, dval = prefix_encode(
+                dist_to_plane_code(width, int(d), lut)
+            )
+            dist.write_symbol(bw, dcode)
+            if dext:
+                put(dval, dext)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (encoder side)
+# ---------------------------------------------------------------------------
+
+
+def _choose_predictors(argb: np.ndarray, bits: int) -> np.ndarray:
+    """Per-tile best predictor by absolute-residual cost proxy.
+
+    Evaluates all 14 predictors over the whole image at once (this is the
+    TPU-shaped part — a (14, H, W) residual tensor reduced per tile).
+    """
+    h, w = argb.shape
+    th = tnp.subsample_size(h, bits)
+    tw = tnp.subsample_size(w, bits)
+    costs = np.zeros((14, th, tw), np.int64)
+    residual_cost = _residual_cost_table()
+    for mode in range(14):
+        pred = _predict_plane(argb, mode)
+        res = _sub_pixels_vec(argb, pred)
+        # Cost: sum over channels of a small-value-favoring table.
+        c = (
+            residual_cost[(res >> 24) & 0xFF]
+            + residual_cost[(res >> 16) & 0xFF]
+            + residual_cost[(res >> 8) & 0xFF]
+            + residual_cost[res & 0xFF]
+        )
+        # Tile-reduce.
+        ph = th * (1 << bits)
+        pw = tw * (1 << bits)
+        cp = np.zeros((ph, pw), np.int64)
+        cp[:h, :w] = c
+        costs[mode] = cp.reshape(th, 1 << bits, tw, 1 << bits).sum(axis=(1, 3))
+    modes = costs.argmin(axis=0).astype(np.uint32)
+    return (0xFF000000 | (modes << 8)).astype(np.uint32)
+
+
+def _residual_cost_table() -> np.ndarray:
+    """Approximate bit cost of a residual byte (symmetric around 0/256)."""
+    v = np.arange(256)
+    folded = np.minimum(v, 256 - v)
+    return (2 * np.ceil(np.log2(1 + folded)) + 1).astype(np.int64)
+
+
+def _predict_plane(argb: np.ndarray, mode: int) -> np.ndarray:
+    """Vectorized predictor over the full plane (encode-side context).
+
+    Matches decoder edge semantics: row 0 → Left, col 0 → Top, (0,0) →
+    black; TR of the last column wraps to current row's first pixel.
+    """
+    h, w = argb.shape
+    L = np.empty_like(argb)
+    T = np.empty_like(argb)
+    TL = np.empty_like(argb)
+    TR = np.empty_like(argb)
+    L[:, 1:] = argb[:, :-1]
+    L[:, 0] = 0
+    T[1:] = argb[:-1]
+    T[0] = 0
+    TL[1:, 1:] = argb[:-1, :-1]
+    TL[0] = 0
+    TL[:, 0] = 0
+    TR[1:, :-1] = argb[:-1, 1:]
+    TR[1:, -1] = argb[1:, 0]   # wrap: current row's first pixel
+    TR[0] = 0
+
+    pred = _apply_predictor_vec(mode, L, T, TL, TR)
+    # Edge overrides.
+    if h > 0:
+        pred[0, 1:] = L[0, 1:]          # top row: Left
+    pred[1:, 0] = T[1:, 0]              # left col: Top
+    pred[0, 0] = 0xFF000000             # origin: black
+    return pred
+
+
+def _avg2_vec(a, b):
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _sub_pixels_vec(x, p):
+    lo = ((x | 0x01000100) - (p & 0x00FF00FF)) & 0x00FF00FF
+    hi = (((x >> 8) | 0x01000100) - ((p >> 8) & 0x00FF00FF)) & 0x00FF00FF
+    return (lo | (hi << 8)).astype(np.uint32)
+
+
+def _add_pixels_vec(x, p):
+    lo = ((x & 0x00FF00FF) + (p & 0x00FF00FF)) & 0x00FF00FF
+    hi = (((x >> 8) & 0x00FF00FF) + ((p >> 8) & 0x00FF00FF)) & 0x00FF00FF
+    return (lo | (hi << 8)).astype(np.uint32)
+
+
+def _channels(v):
+    return (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
+
+
+def _pack(a, r, g, b):
+    return ((a.astype(np.uint64) << 24) | (r.astype(np.uint64) << 16)
+            | (g.astype(np.uint64) << 8) | b.astype(np.uint64)).astype(np.uint32)
+
+
+def _clip255_vec(v):
+    return np.clip(v, 0, 255)
+
+
+def _apply_predictor_vec(mode, L, T, TL, TR):
+    if mode == 0:
+        return np.full_like(L, 0xFF000000)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2_vec(_avg2_vec(L, TR), T)
+    if mode == 6:
+        return _avg2_vec(L, TL)
+    if mode == 7:
+        return _avg2_vec(L, T)
+    if mode == 8:
+        return _avg2_vec(TL, T)
+    if mode == 9:
+        return _avg2_vec(T, TR)
+    if mode == 10:
+        return _avg2_vec(_avg2_vec(L, TL), _avg2_vec(T, TR))
+    if mode == 11:  # Select
+        la, lr, lg, lb = _channels(L.astype(np.int64))
+        ta, tr_, tg, tb = _channels(T.astype(np.int64))
+        tla, tlr, tlg, tlb = _channels(TL.astype(np.int64))
+        p_l = (np.abs(ta - tla) + np.abs(tr_ - tlr)
+               + np.abs(tg - tlg) + np.abs(tb - tlb))
+        p_t = (np.abs(la - tla) + np.abs(lr - tlr)
+               + np.abs(lg - tlg) + np.abs(lb - tlb))
+        return np.where(p_l < p_t, L, T)
+    if mode == 12:  # ClampedAddSubtractFull
+        la, lr, lg, lb = _channels(L.astype(np.int64))
+        ta, tr_, tg, tb = _channels(T.astype(np.int64))
+        tla, tlr, tlg, tlb = _channels(TL.astype(np.int64))
+        return _pack(
+            _clip255_vec(la + ta - tla), _clip255_vec(lr + tr_ - tlr),
+            _clip255_vec(lg + tg - tlg), _clip255_vec(lb + tb - tlb),
+        )
+    if mode == 13:  # ClampedAddSubtractHalf
+        ave = _avg2_vec(L, T).astype(np.int64)
+        aa, ar, ag, ab = _channels(ave)
+        tla, tlr, tlg, tlb = _channels(TL.astype(np.int64))
+
+        def half(a, b):
+            d = a - b
+            h = np.where(d >= 0, d // 2, -((-d) // 2))
+            return _clip255_vec(a + h)
+
+        return _pack(half(aa, tla), half(ar, tlr), half(ag, tlg), half(ab, tlb))
+    raise ValueError(mode)
+
+
+def _apply_predictor_transform(argb: np.ndarray, bits: int,
+                               mode_img: np.ndarray) -> np.ndarray:
+    """Residual = pixel - pred(mode per tile), vectorized per mode."""
+    h, w = argb.shape
+    ty = np.arange(h) >> bits
+    tx = np.arange(w) >> bits
+    modes = ((mode_img[np.ix_(ty, tx)] >> 8) & 0xFF).astype(np.int32)
+    out = np.zeros_like(argb)
+    for mode in np.unique(modes):
+        pred = _predict_plane(argb, int(mode))
+        mask = modes == mode
+        out[mask] = _sub_pixels_vec(argb[mask], pred[mask])
+    # Edge pixels use fixed predictors regardless of tile mode.
+    pred_edge = _predict_plane(argb, 1)  # any mode; edges overridden inside
+    out[0, :] = _sub_pixels_vec(argb[0, :], pred_edge[0, :])
+    out[:, 0] = _sub_pixels_vec(argb[:, 0], pred_edge[:, 0])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stream assembly
+# ---------------------------------------------------------------------------
+
+
+def _write_image_stream(bw: BitWriter, argb: np.ndarray, width: int) -> None:
+    """Entropy-coded image (no transforms): cache bit, codes, pixels."""
+    bw.put_bits(0, 1)  # no color cache
+    refs = build_backward_refs(argb, width)
+    lut = _build_dist_code_lut(width)
+    hists = _build_histograms(refs, width, lut)
+    codes = [store_huffman_code(bw, build_code_lengths(h)) for h in hists]
+    _emit_refs(bw, refs, codes, width, lut)
+
+
+def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int) -> None:
+    """Top-level spatially-coded image body (after transform headers)."""
+    bw.put_bits(0, 1)  # no color cache
+    bw.put_bits(0, 1)  # no meta-huffman
+    refs = build_backward_refs(argb, width)
+    lut = _build_dist_code_lut(width)
+    hists = _build_histograms(refs, width, lut)
+    codes = [store_huffman_code(bw, build_code_lengths(h)) for h in hists]
+    _emit_refs(bw, refs, codes, width, lut)
+
+
+def rgba_to_argb(rgba: np.ndarray) -> np.ndarray:
+    rgba = rgba.astype(np.uint32)
+    return ((rgba[..., 3] << 24) | (rgba[..., 0] << 16)
+            | (rgba[..., 1] << 8) | rgba[..., 2])
+
+
+def _palette_of(argb: np.ndarray) -> np.ndarray | None:
+    uniq = np.unique(argb)
+    if len(uniq) <= 256:
+        return uniq.astype(np.uint32)
+    return None
+
+
+def _pack_palette_indices(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Map pixels → palette indices, bundled into green channel pixels."""
+    h, w = argb.shape
+    n = len(palette)
+    order = np.argsort(palette)
+    idx = order[np.searchsorted(palette, argb.reshape(-1), sorter=order)]
+    idx = idx.reshape(h, w).astype(np.uint32)
+    xbits = 0 if n > 16 else (1 if n > 4 else (2 if n > 2 else 3))
+    if xbits == 0:
+        packed = idx
+    else:
+        per = 1 << xbits
+        bw_ = 8 >> xbits
+        pw = tnp.subsample_size(w, xbits)
+        padded = np.zeros((h, pw * per), np.uint32)
+        padded[:, :w] = idx
+        packed = np.zeros((h, pw), np.uint32)
+        for k in range(per):
+            packed |= padded[:, k::per] << (k * bw_)
+    return (0xFF000000 | (packed << 8)).astype(np.uint32)
+
+
+def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
+                       use_predictor: bool | None = None) -> BitWriter:
+    """Encode the image-stream portion (after the 5-byte header)."""
+    h, w = argb.shape
+    bw = BitWriter()
+
+    palette = _palette_of(argb)
+    if palette is not None and len(palette) <= 256:
+        # Color-indexing transform.
+        bw.put_bits(1, 1)
+        bw.put_bits(3, 2)              # COLOR_INDEXING_TRANSFORM
+        bw.put_bits(len(palette) - 1, 8)
+        # Palette stored delta-coded as a (n,1) entropy image.
+        deltas = np.zeros(len(palette), np.uint32)
+        prev = 0
+        for i, c in enumerate(palette):
+            deltas[i] = _sub_scalar(int(c), prev)
+            prev = int(c)
+        _write_image_stream(bw, deltas.reshape(1, -1), len(palette))
+        packed = _pack_palette_indices(argb, palette)
+        bw.put_bits(0, 1)  # end of transforms
+        _write_spatial_stream(bw, packed, packed.shape[1])
+        return bw
+
+    # Photographic path: subtract-green then per-tile predictor.
+    bw.put_bits(1, 1)
+    bw.put_bits(2, 2)                  # SUBTRACT_GREEN
+    work = tnp.subtract_green_forward(argb)
+
+    if use_predictor is None:
+        use_predictor = quality >= 10
+    if use_predictor:
+        bits = 4
+        mode_img = _choose_predictors(work, bits)
+        bw.put_bits(1, 1)
+        bw.put_bits(0, 2)              # PREDICTOR_TRANSFORM
+        bw.put_bits(bits - 2, 3)
+        _write_image_stream(bw, mode_img, mode_img.shape[1])
+        work = _apply_predictor_transform(work, bits, mode_img)
+
+    bw.put_bits(0, 1)  # end of transforms
+    _write_spatial_stream(bw, work, w)
+    return bw
+
+
+def _sub_scalar(pixel: int, pred: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= (((pixel >> shift) - (pred >> shift)) & 0xFF) << shift
+    return out
+
+
+def encode_vp8l(rgba: np.ndarray, *, quality: int = 75) -> bytes:
+    """(H, W, 4) uint8 RGBA → VP8L chunk payload."""
+    if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
+        raise EncodeError("expected (H, W, 3|4) array")
+    if rgba.shape[2] == 3:
+        rgba = np.concatenate(
+            [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], axis=-1
+        )
+    h, w = rgba.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise EncodeError("dimensions out of range")
+    argb = rgba_to_argb(rgba)
+    has_alpha = bool((rgba[..., 3] != 255).any())
+
+    hdr = BitWriter()
+    hdr.put_bits(VP8L_SIGNATURE, 8)
+    hdr.put_bits(w - 1, 14)
+    hdr.put_bits(h - 1, 14)
+    hdr.put_bits(1 if has_alpha else 0, 1)
+    hdr.put_bits(0, 3)  # version
+    body = encode_vp8l_stream(argb, quality=quality)
+    # Concatenate at the bit level.
+    out = hdr
+    buf = body.getvalue()
+    nbits = body.bit_count
+    for i, byte in enumerate(buf):
+        out.put_bits(byte, min(8, nbits - 8 * i))
+    return out.getvalue()
+
+
+def encode_vp8l_alpha(plane: np.ndarray) -> bytes:
+    """8-bit plane → headerless VP8L stream (values in green channel)."""
+    argb = (0xFF000000 | (plane.astype(np.uint32) << 8)).astype(np.uint32)
+    bw = BitWriter()
+    bw.put_bits(0, 1)  # no transforms
+    _write_spatial_stream(bw, argb, argb.shape[1])
+    return bw.getvalue()
+
+
+__all__ = [
+    "encode_vp8l",
+    "encode_vp8l_stream",
+    "encode_vp8l_alpha",
+    "prefix_encode",
+    "build_backward_refs",
+    "store_huffman_code",
+]
