@@ -110,21 +110,22 @@ def fwht4x4(dc_coeffs: np.ndarray) -> np.ndarray:
     """
     c = dc_coeffs.astype(np.int64).reshape(4, 4)
     tmp = np.zeros((4, 4), np.int64)
+    # Self-inverse butterfly (the exact inverse pair of iwht4x4 up to >>4).
     for i in range(4):  # horizontal (within each block-row)
-        a0 = c[i, 0] + c[i, 2]
-        a1 = c[i, 1] + c[i, 3]
-        a2 = c[i, 1] - c[i, 3]
-        a3 = c[i, 0] - c[i, 2]
+        a0 = c[i, 0] + c[i, 3]
+        a1 = c[i, 1] + c[i, 2]
+        a2 = c[i, 1] - c[i, 2]
+        a3 = c[i, 0] - c[i, 3]
         tmp[i, 0] = a0 + a1
         tmp[i, 1] = a3 + a2
         tmp[i, 2] = a0 - a1
         tmp[i, 3] = a3 - a2
     out = np.zeros((4, 4), np.int64)
-    for i in range(4):  # horizontal
-        a0 = tmp[0, i] + tmp[2, i]
-        a1 = tmp[1, i] + tmp[3, i]
-        a2 = tmp[1, i] - tmp[3, i]
-        a3 = tmp[0, i] - tmp[2, i]
+    for i in range(4):  # vertical
+        a0 = tmp[0, i] + tmp[3, i]
+        a1 = tmp[1, i] + tmp[2, i]
+        a2 = tmp[1, i] - tmp[2, i]
+        a3 = tmp[0, i] - tmp[3, i]
         out[0, i] = (a0 + a1) >> 1
         out[1, i] = (a3 + a2) >> 1
         out[2, i] = (a0 - a1) >> 1

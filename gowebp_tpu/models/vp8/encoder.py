@@ -1,0 +1,702 @@
+"""VP8 (WebP lossy) encoder.
+
+TPU-first split: RGB→YUV420, prediction-candidate evaluation, FDCT/
+quantization and reconstruction are dense integer array math (NumPy
+reference here; JAX versions in gowebp_tpu/ops/).  The boolean-coder
+emission and header syntax are host-side.  Two-pass probability
+adaptation: tokenize once collecting per-node bit statistics, finalize
+probabilities, then emit.
+
+Feature parity target: /root/reference/pkg/libwebp/enc (webp_encoder.go,
+quant_enc.c.go mode search :840-1076, frame_enc.c.go residual coding
+:218-290 + proba finalization :93-165, syntax_enc.c.go headers) — written
+fresh from RFC 6386's decode semantics (the encoder mirrors our decoder).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...config import EncoderConfig
+from ...constants import CHUNK_ALPHA, CHUNK_VP8, VP8_SIGNATURE
+from ...container.riff import Chunk, assemble, assemble_simple, build_vp8x
+from ...entropy.bool_coder import BoolEncoder
+from ...errors import EncodeError
+from ...ops import yuv_np
+from . import dsp_np
+from .tables import (
+    AC_QUANT,
+    BANDS,
+    CAT_PROBAS,
+    COEFF_PROBAS,
+    COEFF_UPDATE_PROBAS,
+    DC_QUANT,
+    ZIGZAG,
+    B_DC,
+    B_TM,
+    B_VE,
+    B_HE,
+)
+
+MAX_LEVEL = 2047
+
+# ---------------------------------------------------------------------------
+# Color conversion + padding
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_yuv420(rgba: np.ndarray):
+    """(H, W, 3|4) uint8 → Y (H,W), U,V ((H+1)//2, (W+1)//2), int arrays.
+
+    Matches libwebp's ImportYUVAFromRGBA: per-pixel Y, 2x2-accumulated
+    chroma with the same fixed-point rounding.
+    """
+    h, w = rgba.shape[:2]
+    r = rgba[..., 0].astype(np.int64)
+    g = rgba[..., 1].astype(np.int64)
+    b = rgba[..., 2].astype(np.int64)
+    y = yuv_np.rgb_to_y(r, g, b)
+    # Pad to even dims by edge replication, then 2x2 sum.
+    r2 = np.pad(r, ((0, h & 1), (0, w & 1)), mode="edge")
+    g2 = np.pad(g, ((0, h & 1), (0, w & 1)), mode="edge")
+    b2 = np.pad(b, ((0, h & 1), (0, w & 1)), mode="edge")
+    rs = r2[0::2, 0::2] + r2[0::2, 1::2] + r2[1::2, 0::2] + r2[1::2, 1::2]
+    gs = g2[0::2, 0::2] + g2[0::2, 1::2] + g2[1::2, 0::2] + g2[1::2, 1::2]
+    bs = b2[0::2, 0::2] + b2[0::2, 1::2] + b2[1::2, 0::2] + b2[1::2, 1::2]
+    u = yuv_np.rgb_to_u(rs, gs, bs)
+    v = yuv_np.rgb_to_v(rs, gs, bs)
+    return y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)
+
+
+def _pad_to_mb(plane: np.ndarray, mb_size: int) -> np.ndarray:
+    h, w = plane.shape
+    H = (h + mb_size - 1) // mb_size * mb_size
+    W = (w + mb_size - 1) // mb_size * mb_size
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+
+def quality_to_q(quality: float) -> int:
+    """Map quality 0..100 → quantizer index 0..127 (libwebp's power law)."""
+    c = quality / 100.0
+    linear_c = c * (2.0 / 3.0) if c < 0.75 else 2.0 * c - 1.0
+    expn = linear_c ** (1.0 / 3.0)
+    return int(127.0 * (1.0 - expn) + 0.5)
+
+
+@dataclass
+class QuantPair:
+    q: int      # quantizer step
+    iq: int     # (1<<17)/q
+    bias: int
+
+    @classmethod
+    def make(cls, q: int, bias8: int) -> "QuantPair":
+        return cls(q=q, iq=(1 << 17) // q, bias=bias8 << 9)
+
+    def quantize(self, v: int) -> int:
+        """abs value → level (QUANTDIV semantics)."""
+        return min((v * self.iq + self.bias) >> 17, MAX_LEVEL)
+
+
+@dataclass
+class SegmentQuant:
+    y1_dc: QuantPair
+    y1_ac: QuantPair
+    y2_dc: QuantPair
+    y2_ac: QuantPair
+    uv_dc: QuantPair
+    uv_ac: QuantPair
+
+
+def make_quants(base_q: int) -> SegmentQuant:
+    """Derive the per-type quant steps exactly as the decoder will."""
+    q = base_q
+    y1_dc = int(DC_QUANT[min(q, 127)])
+    y1_ac = int(AC_QUANT[min(q, 127)])
+    y2_dc = int(DC_QUANT[min(q, 127)]) * 2
+    y2_ac = max(8, (int(AC_QUANT[min(q, 127)]) * 101581) >> 16)
+    uv_dc = int(DC_QUANT[min(q, 117)])
+    uv_ac = int(AC_QUANT[min(q, 127)])
+    return SegmentQuant(
+        y1_dc=QuantPair.make(y1_dc, 96),
+        y1_ac=QuantPair.make(y1_ac, 110),
+        y2_dc=QuantPair.make(y2_dc, 96),
+        y2_ac=QuantPair.make(y2_ac, 96),
+        uv_dc=QuantPair.make(uv_dc, 110),
+        uv_ac=QuantPair.make(uv_ac, 110),
+    )
+
+
+def _quantize_block(coeffs: np.ndarray, dc: QuantPair, ac: QuantPair,
+                    first: int = 0) -> np.ndarray:
+    """Raster-order coeffs (16,) → zigzag-order levels (16,)."""
+    levels = np.zeros(16, np.int32)
+    for n in range(first, 16):
+        j = ZIGZAG[n]
+        v = int(coeffs[j])
+        qp = dc if n == 0 else ac
+        sign = v < 0
+        level = qp.quantize(-v if sign else v)
+        levels[n] = -level if sign else level
+    return levels
+
+
+def _dequant_block(levels: np.ndarray, dc_q: int, ac_q: int) -> np.ndarray:
+    """Zigzag levels → raster-order dequantized coeffs."""
+    out = np.zeros(16, np.int32)
+    for n in range(16):
+        out[ZIGZAG[n]] = int(levels[n]) * (dc_q if n == 0 else ac_q)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-MB encoding (mode decision + transform + reconstruction)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MBEnc:
+    ymode: int = 0
+    uvmode: int = 0
+    # Levels in zigzag order: 16 luma AC blocks, 8 chroma, 1 Y2.
+    y_levels: np.ndarray | None = None    # (16,16)
+    uv_levels: np.ndarray | None = None   # (8,16)
+    y2_levels: np.ndarray | None = None   # (16,)
+    nz: np.ndarray | None = None          # per-block nz (24,)
+    y2_nz: int = 0
+    skip: bool = False
+
+
+_SCAN = [(4 * (n >> 2), 4 * (n & 3)) for n in range(16)]
+
+
+def _sse(a: np.ndarray, b: np.ndarray) -> int:
+    d = a.astype(np.int64) - b.astype(np.int64)
+    return int((d * d).sum())
+
+
+def _encode_mb_luma(src: np.ndarray, ybuf: np.ndarray, q: SegmentQuant,
+                    have_top: bool, have_left: bool, mb: MBEnc) -> None:
+    """i16 mode search + transform + reconstruction into ybuf."""
+    # Try the 4 16x16 modes on prediction alone (distortion only).
+    best_mode, best_cost = 0, None
+    trial = np.empty_like(ybuf)
+    for mode in (B_DC, B_TM, B_VE, B_HE):
+        trial[:] = ybuf
+        dsp_np.predict_block(trial, 0, 0, 16, mode, have_top, have_left)
+        cost = _sse(src, trial[1:17, 1:17])
+        if best_cost is None or cost < best_cost:
+            best_mode, best_cost = mode, cost
+    mb.ymode = best_mode
+    dsp_np.predict_block(ybuf, 0, 0, 16, best_mode, have_top, have_left)
+    pred = ybuf[1:17, 1:17].copy()
+
+    residual = src.astype(np.int64) - pred
+    y_levels = np.zeros((16, 16), np.int32)
+    dcs = np.zeros(16, np.int64)
+    coeffs_list = []
+    for n in range(16):
+        r, c = _SCAN[n]
+        blk = residual[r : r + 4, c : c + 4]
+        coeffs = dsp_np.fdct4x4(blk)
+        dcs[n] = coeffs[0]
+        coeffs_list.append(coeffs)
+        y_levels[n] = _quantize_block(coeffs, q.y1_dc, q.y1_ac, first=1)
+    # WHT on the DCs.
+    y2 = dsp_np.fwht4x4(dcs)
+    y2_levels = _quantize_block(y2, q.y2_dc, q.y2_ac)
+    mb.y_levels = y_levels
+    mb.y2_levels = y2_levels
+
+    # Reconstruction (must mirror the decoder exactly).
+    y2_deq = _dequant_block(y2_levels, q.y2_dc.q, q.y2_ac.q)
+    y2_nz_count = _nz_len(y2_levels)
+    if y2_nz_count > 1:
+        rec_dcs = dsp_np.iwht4x4(np.array(y2_deq, np.int32))
+    else:
+        dc0 = (int(y2_deq[0]) + 3) >> 3
+        rec_dcs = np.full(16, dc0, np.int64)
+    mb.y2_nz = int(y2_nz_count > 0)
+    nz = np.zeros(24, np.int32)
+    for n in range(16):
+        r, c = _SCAN[n]
+        deq = _dequant_block(y_levels[n], q.y1_dc.q, q.y1_ac.q)
+        deq[0] = rec_dcs[n]
+        dst = ybuf[r + 1 : r + 5, c + 1 : c + 5]
+        # Decoder applies full iDCT whenever any coeff present.
+        if (deq != 0).any():
+            dsp_np.idct4x4_add(np.array(deq, np.int32), dst)
+        nz[n] = _nz_len(y_levels[n], first=1)
+    mb.nz = nz
+
+
+def _encode_mb_chroma(usrc, vsrc, ubuf, vbuf, q: SegmentQuant,
+                      have_top, have_left, mb: MBEnc) -> None:
+    best_mode, best_cost = 0, None
+    ut = np.empty_like(ubuf)
+    vt = np.empty_like(vbuf)
+    for mode in (B_DC, B_TM, B_VE, B_HE):
+        ut[:] = ubuf
+        vt[:] = vbuf
+        dsp_np.predict_block(ut, 0, 0, 8, mode, have_top, have_left)
+        dsp_np.predict_block(vt, 0, 0, 8, mode, have_top, have_left)
+        cost = _sse(usrc, ut[1:9, 1:9]) + _sse(vsrc, vt[1:9, 1:9])
+        if best_cost is None or cost < best_cost:
+            best_mode, best_cost = mode, cost
+    mb.uvmode = best_mode
+    dsp_np.predict_block(ubuf, 0, 0, 8, best_mode, have_top, have_left)
+    dsp_np.predict_block(vbuf, 0, 0, 8, best_mode, have_top, have_left)
+
+    uv_levels = np.zeros((8, 16), np.int32)
+    for ch, (srcp, buf) in enumerate(((usrc, ubuf), (vsrc, vbuf))):
+        residual = srcp.astype(np.int64) - buf[1:9, 1:9]
+        for k, (r, c) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
+            blk = residual[r : r + 4, c : c + 4]
+            coeffs = dsp_np.fdct4x4(blk)
+            idx = 4 * ch + k
+            uv_levels[idx] = _quantize_block(coeffs, q.uv_dc, q.uv_ac)
+            deq = _dequant_block(uv_levels[idx], q.uv_dc.q, q.uv_ac.q)
+            dst = buf[r + 1 : r + 5, c + 1 : c + 5]
+            if (deq != 0).any():
+                dsp_np.idct4x4_add(np.array(deq, np.int32), dst)
+            mb.nz[16 + idx] = _nz_len(uv_levels[idx])
+    mb.uv_levels = uv_levels
+
+
+def _nz_len(levels: np.ndarray, first: int = 0) -> int:
+    nz = np.flatnonzero(levels[first:])
+    return 0 if len(nz) == 0 else int(nz[-1]) + 1 + 0  # position count from `first`
+
+
+# ---------------------------------------------------------------------------
+# Token recording / emission
+# ---------------------------------------------------------------------------
+
+
+class TokenRecorder:
+    """Records (type, band, ctx, proba_idx, bit) booleans + fixed-prob bits."""
+
+    __slots__ = ("tokens", "stats")
+
+    def __init__(self):
+        self.tokens = []          # (t, b, c, p, bit) or (-1, prob, bit)
+        self.stats = np.zeros((4, 8, 3, 11, 2), np.int64)
+
+    def bit(self, t, b, c, p, bit):
+        self.tokens.append((t, b, c, p, bit))
+        self.stats[t, b, c, p, bit] += 1
+
+    def fixed(self, prob, bit):
+        self.tokens.append((-1, prob, bit))
+
+    def emit(self, enc: BoolEncoder, probs: np.ndarray):
+        for tok in self.tokens:
+            if tok[0] == -1:
+                enc.put_bit(tok[2], tok[1])
+            else:
+                t, b, c, p, bit = tok
+                enc.put_bit(bit, int(probs[t, b, c, p]))
+
+
+def _record_coeffs(rec: TokenRecorder, t: int, levels: np.ndarray,
+                   ctx: int, first: int) -> int:
+    """Record the token bits for one block; returns nz (last nonzero + 1)."""
+    nzs = np.flatnonzero(levels[first:])
+    if len(nzs) == 0:
+        rec.bit(t, BANDS[first], ctx, 0, 0)
+        return first  # "nz = n" means previous coeff was last nonzero
+    last = int(nzs[-1]) + first
+    n = first
+    b = BANDS[n]
+    c = ctx
+    while n <= last:
+        # EOB check says "more coeffs follow".
+        rec.bit(t, b, c, 0, 1)
+        # Zero run.
+        while levels[n] == 0:
+            rec.bit(t, b, c, 1, 0)
+            n += 1
+            b = BANDS[n]
+            c = 0
+        rec.bit(t, b, c, 1, 1)
+        v = int(levels[n])
+        sign = v < 0
+        av = -v if sign else v
+        if av == 1:
+            rec.bit(t, b, c, 2, 0)
+            next_c = 1
+        else:
+            rec.bit(t, b, c, 2, 1)
+            _record_large(rec, t, b, c, av)
+            next_c = 2
+        rec.fixed(128, 1 if sign else 0)
+        n += 1
+        if n == 16:
+            return 16
+        b = BANDS[n]
+        c = next_c
+    # EOB.
+    rec.bit(t, b, c, 0, 0)
+    return last + 1
+
+
+def _record_large(rec: TokenRecorder, t, b, c, v: int) -> None:
+    if v <= 4:
+        rec.bit(t, b, c, 3, 0)
+        if v == 2:
+            rec.bit(t, b, c, 4, 0)
+        else:
+            rec.bit(t, b, c, 4, 1)
+            rec.bit(t, b, c, 5, v - 3)
+        return
+    rec.bit(t, b, c, 3, 1)
+    if v <= 10:
+        rec.bit(t, b, c, 6, 0)
+        if v <= 6:
+            rec.bit(t, b, c, 7, 0)
+            rec.fixed(159, v - 5)
+        else:
+            rec.bit(t, b, c, 7, 1)
+            rec.fixed(165, (v - 7) >> 1)
+            rec.fixed(145, (v - 7) & 1)
+        return
+    rec.bit(t, b, c, 6, 1)
+    for cat in range(4):
+        base = 3 + (8 << cat)
+        span = 1 << (len(CAT_PROBAS[cat]))
+        if v < base + span or cat == 3:
+            bit1 = cat >> 1
+            bit0 = cat & 1
+            rec.bit(t, b, c, 8, bit1)
+            rec.bit(t, b, c, 9 + bit1, bit0)
+            residue = min(v, MAX_LEVEL + 67) - base
+            nbits = len(CAT_PROBAS[cat])
+            for k in range(nbits - 1, -1, -1):
+                rec.fixed(CAT_PROBAS[cat][nbits - 1 - k], (residue >> k) & 1)
+            return
+    raise AssertionError
+
+
+def _record_mb_tokens(rec: TokenRecorder, mb: MBEnc, ctx_mb, ctx_left) -> bool:
+    """Record all coefficient tokens of one MB with exact decoder contexts."""
+    # Y2 (always coded for i16 MBs).
+    ctx = ctx_mb[1] + ctx_left[1]
+    nz = _record_coeffs(rec, 1, mb.y2_levels, ctx, 0)
+    ctx_mb[1] = ctx_left[1] = int(nz > 0)
+    first = 1
+    t_ac = 0
+
+    any_nz = nz > 0
+    tnz = ctx_mb[0] & 0x0F
+    lnz = ctx_left[0] & 0x0F
+    for y in range(4):
+        l = lnz & 1
+        for x in range(4):
+            ctx = l + (tnz & 1)
+            nz = _record_coeffs(rec, t_ac, mb.y_levels[4 * y + x], ctx, first)
+            l = int(nz > first)
+            any_nz = any_nz or l
+            tnz = (tnz >> 1) | (l << 7)
+        tnz >>= 4
+        lnz = (lnz >> 1) | (l << 7)
+    out_t_nz = tnz
+    out_l_nz = lnz >> 4
+
+    for ch in range(0, 4, 2):
+        tnz = (ctx_mb[0] >> (4 + ch)) & 0xFF
+        lnz = (ctx_left[0] >> (4 + ch)) & 0xFF
+        for y in range(2):
+            l = lnz & 1
+            for x in range(2):
+                ctx = l + (tnz & 1)
+                idx = 2 * ch + 2 * y + x
+                nz = _record_coeffs(rec, 2, mb.uv_levels[idx], ctx, 0)
+                l = int(nz > 0)
+                any_nz = any_nz or l
+                tnz = (tnz >> 1) | (l << 3)
+            tnz >>= 2
+            lnz = (lnz >> 1) | (l << 5)
+        out_t_nz |= (tnz << 4) << ch
+        out_l_nz |= (lnz & 0xF0) << ch
+    ctx_mb[0] = out_t_nz
+    ctx_left[0] = out_l_nz
+    return not any_nz
+
+
+# ---------------------------------------------------------------------------
+# Probability finalization
+# ---------------------------------------------------------------------------
+
+
+def _bit_cost(n0: int, n1: int, prob: int) -> float:
+    """Approximate cost in bits of coding n0 zeros/n1 ones at `prob`."""
+    import math
+
+    p = prob / 256.0
+    cost = 0.0
+    if n0:
+        cost -= n0 * math.log2(max(p, 1e-9))
+    if n1:
+        cost -= n1 * math.log2(max(1.0 - p, 1e-9))
+    return cost
+
+
+def finalize_probas(stats: np.ndarray):
+    """Choose updated probabilities where the saving beats the header cost."""
+    probs = COEFF_PROBAS.copy()
+    updates = np.zeros(probs.shape, bool)
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    n0 = int(stats[t, b, c, p, 0])
+                    n1 = int(stats[t, b, c, p, 1])
+                    if n0 + n1 == 0:
+                        continue
+                    old = int(COEFF_PROBAS[t, b, c, p])
+                    new = max(1, min(255, (n0 * 255) // (n0 + n1)))
+                    if new == old:
+                        continue
+                    old_cost = _bit_cost(n0, n1, old)
+                    new_cost = _bit_cost(n0, n1, new) + 8.0
+                    # The update flag itself costs ~ -log2 of its proba;
+                    # require a clear win.
+                    if old_cost - new_cost > 8.0:
+                        probs[t, b, c, p] = new
+                        updates[t, b, c, p] = True
+    return probs, updates
+
+
+# ---------------------------------------------------------------------------
+# Header + mode syntax
+# ---------------------------------------------------------------------------
+
+
+def _write_mode(enc: BoolEncoder, mb: MBEnc, use_skip: bool, skip_p: int) -> None:
+    if use_skip:
+        enc.put_bit(1 if mb.skip else 0, skip_p)
+    enc.put_bit(1, 145)  # is_i4x4 = False → bit 1
+    # 16x16 mode tree.
+    m = mb.ymode
+    if m == B_DC:
+        enc.put_bit(0, 156)
+        enc.put_bit(0, 163)
+    elif m == B_VE:
+        enc.put_bit(0, 156)
+        enc.put_bit(1, 163)
+    elif m == B_HE:
+        enc.put_bit(1, 156)
+        enc.put_bit(0, 128)
+    else:  # TM
+        enc.put_bit(1, 156)
+        enc.put_bit(1, 128)
+    # UV tree.
+    m = mb.uvmode
+    if m == B_DC:
+        enc.put_bit(0, 142)
+    elif m == B_VE:
+        enc.put_bit(1, 142)
+        enc.put_bit(0, 114)
+    elif m == B_TM:
+        enc.put_bit(1, 142)
+        enc.put_bit(1, 114)
+        enc.put_bit(1, 183)
+    else:  # HE
+        enc.put_bit(1, 142)
+        enc.put_bit(1, 114)
+        enc.put_bit(0, 183)
+
+
+def filter_level_from_q(base_q: int, filter_strength: int, sharpness: int) -> int:
+    """Loop-filter level heuristic (libwebp-style strength mapping)."""
+    if filter_strength == 0:
+        return 0
+    level = base_q * filter_strength // 100
+    return max(0, min(63, level >> 1))
+
+
+def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig) -> bytes:
+    """Y/U/V planes (already MB-padded) → VP8 frame payload."""
+    base_q = quality_to_q(config.quality)
+    base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
+    q = make_quants(base_q)
+    mb_w = y.shape[1] // 16
+    mb_h = y.shape[0] // 16
+
+    # Reconstruction planes (context for prediction).
+    Y = np.zeros_like(y)
+    U = np.zeros_like(u)
+    V = np.zeros_like(v)
+    mbs = [[MBEnc() for _ in range(mb_w)] for _ in range(mb_h)]
+
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            mb = mbs[mb_y][mb_x]
+            ybuf = np.empty((17, 21), np.int64)
+            ubuf = np.empty((9, 9), np.int64)
+            vbuf = np.empty((9, 9), np.int64)
+            have_top = mb_y > 0
+            have_left = mb_x > 0
+            _fill_borders(Y, U, V, ybuf, ubuf, vbuf, mb_x, mb_y, mb_w)
+
+            src_y = y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16]
+            _encode_mb_luma(src_y, ybuf, q, have_top, have_left, mb)
+            src_u = u[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8]
+            src_v = v[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8]
+            _encode_mb_chroma(src_u, src_v, ubuf, vbuf, q, have_top, have_left, mb)
+
+            Y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = ybuf[1:17, 1:17]
+            U[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = ubuf[1:9, 1:9]
+            V[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = vbuf[1:9, 1:9]
+
+    # Pass 1: tokenize with exact decoder contexts, collecting stats.
+    rec = TokenRecorder()
+    spans = []
+    ctx_above = [[0, 0] for _ in range(mb_w)]
+    for mb_y in range(mb_h):
+        ctx_left = [0, 0]
+        for mb_x in range(mb_w):
+            mb = mbs[mb_y][mb_x]
+            start = len(rec.tokens)
+            empty = _record_mb_tokens(rec, mb, ctx_above[mb_x], ctx_left)
+            mb.skip = empty
+            spans.append((mb_y, mb_x, start, len(rec.tokens)))
+
+    probs, updates = finalize_probas(rec.stats)
+    n_skip = sum(1 for row in mbs for mb in row if mb.skip)
+    total = mb_w * mb_h
+    use_skip = n_skip > 0
+    skip_p = max(1, min(255, ((total - n_skip) * 255) // total)) if use_skip else 0
+
+    # Partition 0: headers + modes.
+    p0 = BoolEncoder()
+    p0.put_flag(0)  # color space
+    p0.put_flag(0)  # clamp type
+    p0.put_flag(0)  # no segmentation
+    filter_level = filter_level_from_q(
+        base_q, config.filter_strength, config.filter_sharpness
+    )
+    p0.put_flag(0 if config.filter_type else 1)  # simple filter?
+    p0.put_literal(filter_level, 6)
+    p0.put_literal(config.filter_sharpness, 3)
+    p0.put_flag(0)  # no lf deltas
+    p0.put_literal(0, 2)  # log2(partitions) = 0 → 1 partition
+    p0.put_literal(base_q, 7)
+    for _ in range(5):  # y1dc/y2dc/y2ac/uvdc/uvac deltas = 0
+        p0.put_flag(0)
+    p0.put_flag(1)  # refresh entropy probs (ignored for keyframes)
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    if updates[t, b, c, p]:
+                        p0.put_bit(1, int(COEFF_UPDATE_PROBAS[t, b, c, p]))
+                        p0.put_literal(int(probs[t, b, c, p]), 8)
+                    else:
+                        p0.put_bit(0, int(COEFF_UPDATE_PROBAS[t, b, c, p]))
+    p0.put_flag(1 if use_skip else 0)
+    if use_skip:
+        p0.put_literal(skip_p, 8)
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p)
+    part0 = p0.finish()
+
+    # Partition 1: tokens (skipped MBs emit nothing).
+    p1 = BoolEncoder()
+    token_probs = probs
+    for (mb_y, mb_x, start, end) in spans:
+        mb = mbs[mb_y][mb_x]
+        if use_skip and mb.skip:
+            continue
+        for tok in rec.tokens[start:end]:
+            if tok[0] == -1:
+                p1.put_bit(tok[2], tok[1])
+            else:
+                t, b, c, p, bit = tok
+                p1.put_bit(bit, int(token_probs[t, b, c, p]))
+    part1 = p1.finish()
+
+    # Frame tag.
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+    header = bytes(
+        (
+            tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF,
+            0x9D, 0x01, 0x2A,
+            width & 0xFF, (width >> 8) & 0x3F,
+            height & 0xFF, (height >> 8) & 0x3F,
+        )
+    )
+    return header + part0 + part1
+
+
+def _fill_borders(Y, U, V, ybuf, ubuf, vbuf, mb_x, mb_y, mb_w):
+    have_top = mb_y > 0
+    have_left = mb_x > 0
+    if have_top:
+        ybuf[0, 1:17] = Y[mb_y * 16 - 1, mb_x * 16 : mb_x * 16 + 16]
+        if mb_x < mb_w - 1:
+            ybuf[0, 17:21] = Y[mb_y * 16 - 1, mb_x * 16 + 16 : mb_x * 16 + 20]
+        else:
+            ybuf[0, 17:21] = Y[mb_y * 16 - 1, mb_x * 16 + 15]
+        ubuf[0, 1:9] = U[mb_y * 8 - 1, mb_x * 8 : mb_x * 8 + 8]
+        vbuf[0, 1:9] = V[mb_y * 8 - 1, mb_x * 8 : mb_x * 8 + 8]
+        if have_left:
+            ybuf[0, 0] = Y[mb_y * 16 - 1, mb_x * 16 - 1]
+            ubuf[0, 0] = U[mb_y * 8 - 1, mb_x * 8 - 1]
+            vbuf[0, 0] = V[mb_y * 8 - 1, mb_x * 8 - 1]
+        else:
+            ybuf[0, 0] = 129
+            ubuf[0, 0] = 129
+            vbuf[0, 0] = 129
+    else:
+        ybuf[0, :] = 127
+        ubuf[0, :] = 127
+        vbuf[0, :] = 127
+    if have_left:
+        ybuf[1:17, 0] = Y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 - 1]
+        ubuf[1:9, 0] = U[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 - 1]
+        vbuf[1:9, 0] = V[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 - 1]
+    else:
+        ybuf[1:17, 0] = 129
+        ubuf[1:9, 0] = 129
+        vbuf[1:9, 0] = 129
+
+
+def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig) -> bytes:
+    """(H, W, 3|4) uint8 → complete .webp bytes (lossy, + ALPH if needed)."""
+    rgba = np.asarray(rgba)
+    if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
+        raise EncodeError("expected (H, W, 3|4) array")
+    h, w = rgba.shape[:2]
+    has_alpha = rgba.shape[2] == 4 and bool((rgba[..., 3] != 255).any())
+
+    y, u, v = rgb_to_yuv420(rgba)
+    y = _pad_to_mb(y, 16)
+    u = _pad_to_mb(u, 8)
+    v = _pad_to_mb(v, 8)
+    payload = encode_vp8_frame(y, u, v, w, h, config)
+
+    if not has_alpha:
+        return assemble_simple(Chunk(CHUNK_VP8, payload))
+    from .alpha import encode_alpha
+
+    alpha_payload = encode_alpha(rgba[..., 3], method=config.alpha_compression,
+                                 filter_m=0)
+    return assemble(
+        [
+            build_vp8x(w, h, has_alpha=True),
+            Chunk(CHUNK_ALPHA, alpha_payload),
+            Chunk(CHUNK_VP8, payload),
+        ]
+    )
+
+
+__all__ = ["encode_vp8_webp", "encode_vp8_frame", "rgb_to_yuv420", "quality_to_q"]
