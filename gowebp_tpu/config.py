@@ -60,6 +60,10 @@ class EncoderConfig:
     use_sharp_yuv: bool = False
     qmin: int = 0
     qmax: int = 100
+    # Dense-phase backend: "numpy" = closed-loop reference (sequential
+    # reconstruction feedback), "jax" = open-loop TPU plane engine
+    # (fully parallel; slight quality drift, much faster at scale).
+    plane_backend: str = "numpy"
 
     def validate(self) -> None:
         checks = [

@@ -556,6 +556,12 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig) -> bytes:
             U[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = ubuf[1:9, 1:9]
             V[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = vbuf[1:9, 1:9]
 
+    return emit_frame(mbs, mb_w, mb_h, width, height, base_q, config)
+
+
+def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
+               base_q: int, config: EncoderConfig) -> bytes:
+    """Headers + two-pass token emission from per-MB levels/modes."""
     # Pass 1: tokenize with exact decoder contexts, collecting stats.
     rec = TokenRecorder()
     spans = []
@@ -670,6 +676,39 @@ def _fill_borders(Y, U, V, ybuf, ubuf, vbuf, mb_x, mb_y, mb_w):
         vbuf[1:9, 0] = 129
 
 
+def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes:
+    """Dense phase on TPU (open-loop batched plane engine), emission on host."""
+    from ...ops.encode_plane_jax import encode_plane_step
+
+    base_q = quality_to_q(config.quality)
+    base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
+    q = make_quants(base_q)
+    out = encode_plane_step(
+        np.asarray(y, np.int32)[None],
+        np.asarray(u, np.int32)[None],
+        np.asarray(v, np.int32)[None],
+        y1_dc=q.y1_dc.q, y1_ac=q.y1_ac.q,
+        y2_dc=q.y2_dc.q, y2_ac=q.y2_ac.q,
+        uv_dc=q.uv_dc.q, uv_ac=q.uv_ac.q,
+    )
+    ymode = np.asarray(out["ymode"])[0]
+    uvmode = np.asarray(out["uvmode"])[0]
+    y_levels = np.asarray(out["y_levels"])[0]
+    y2_levels = np.asarray(out["y2_levels"])[0]
+    uv_levels = np.asarray(out["uv_levels"])[0]
+    mb_h, mb_w = ymode.shape
+    mbs = [[MBEnc() for _ in range(mb_w)] for _ in range(mb_h)]
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb = mbs[my][mx]
+            mb.ymode = int(ymode[my, mx])
+            mb.uvmode = int(uvmode[my, mx])
+            mb.y_levels = y_levels[my, mx]
+            mb.y2_levels = y2_levels[my, mx].reshape(16)
+            mb.uv_levels = uv_levels[my, mx]
+    return emit_frame(mbs, mb_w, mb_h, width, height, base_q, config)
+
+
 def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig) -> bytes:
     """(H, W, 3|4) uint8 → complete .webp bytes (lossy, + ALPH if needed)."""
     rgba = np.asarray(rgba)
@@ -682,7 +721,10 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig) -> bytes:
     y = _pad_to_mb(y, 16)
     u = _pad_to_mb(u, 8)
     v = _pad_to_mb(v, 8)
-    payload = encode_vp8_frame(y, u, v, w, h, config)
+    if config.plane_backend == "jax":
+        payload = encode_vp8_frame_tpu(y, u, v, w, h, config)
+    else:
+        payload = encode_vp8_frame(y, u, v, w, h, config)
 
     if not has_alpha:
         return assemble_simple(Chunk(CHUNK_VP8, payload))

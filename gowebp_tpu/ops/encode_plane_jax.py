@@ -1,0 +1,182 @@
+"""TPU encode plane engine: the flagship jittable step.
+
+Performs the entire dense phase of VP8 lossy encoding for a batch of
+images in one jit region — mode search, FDCT/FWHT, quantization — in
+"parallel-intra" (open-loop) form: prediction context comes from the
+*source* planes instead of the reconstruction, which removes the
+macroblock wavefront dependency entirely.  Every MB of every image is
+processed simultaneously; this is what makes the encoder scale on a TPU
+mesh (batch → data parallel, width tiles → model parallel with 1-column
+halos; see gowebp_tpu/parallel/).
+
+The sequential feedback-loop (closed-loop) encoder lives in
+models/vp8/encoder.py; the host entropy coder consumes either's levels.
+
+Feature parity target: the per-MB search/transform pipeline of
+/root/reference/pkg/libwebp/enc/quant_enc.c.go:840-1076, re-designed as
+a batched tensor program rather than an iterator loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import dct_jax
+
+# Mode enum matches models/vp8/tables.py: DC=0, TM=1, VE=2, HE=3.
+
+
+def _mb_context(plane: jnp.ndarray, mb: int, left_halo=None, leftmost=None):
+    """Split (B, H, W) into MBs and build source-context tensors.
+
+    Returns (blocks (B,mh,mw,mb,mb), top (B,mh,mw,mb), left (B,mh,mw,mb),
+    topleft (B,mh,mw)) with the decoder's 127/129 edge fill values.
+
+    For width-sharded execution, ``left_halo`` is the (B, H) source column
+    just left of this shard and ``leftmost`` a traced bool — when False,
+    MB-column 0 uses the halo instead of the 129 edge fill.
+    """
+    B, H, W = plane.shape
+    mh, mw = H // mb, W // mb
+    blocks = plane.reshape(B, mh, mb, mw, mb).transpose(0, 1, 3, 2, 4)
+
+    top_rows = jnp.full((B, mh, W), 127, plane.dtype)
+    top_rows = top_rows.at[:, 1:, :].set(plane[:, mb - 1 :: mb, :][:, :-1, :])
+    top = top_rows.reshape(B, mh, mw, mb)
+
+    left_cols = jnp.full((B, H, mw), 129, plane.dtype)
+    left_cols = left_cols.at[:, :, 1:].set(plane[:, :, mb - 1 :: mb][:, :, :-1])
+    if left_halo is not None:
+        edge = jnp.where(leftmost, jnp.full_like(left_halo, 129), left_halo)
+        left_cols = left_cols.at[:, :, 0].set(edge)
+    left = left_cols.reshape(B, mh, mb, mw).transpose(0, 1, 3, 2)
+
+    tl = jnp.full((B, mh, mw), 129, plane.dtype)
+    tl = tl.at[:, 1:, 1:].set(plane[:, mb - 1 :: mb, mb - 1 :: mb][:, :-1, :-1])
+    if left_halo is not None:
+        halo_bottoms = left_halo[:, mb - 1 :: mb][:, :-1]  # (B, mh-1)
+        tl_col0 = jnp.where(leftmost, jnp.full_like(halo_bottoms, 129),
+                            halo_bottoms)
+        tl = tl.at[:, 1:, 0].set(tl_col0)
+    tl = jnp.where(jnp.arange(mh)[None, :, None] == 0, 127, tl)
+    return blocks, top, left, tl
+
+
+def _predict4(blocks, top, left, tl, mb: int, leftmost=None):
+    """All four 16x16/8x8 predictions → (4, B, mh, mw, mb, mb)."""
+    B, mh, mw = blocks.shape[:3]
+    have_top = (jnp.arange(mh) > 0)[None, :, None]
+    have_left = (jnp.arange(mw) > 0)[None, None, :]
+    if leftmost is not None:
+        have_left = have_left | ~leftmost
+    shift = 5 if mb == 16 else 4
+
+    sum_top = top.sum(axis=-1)
+    sum_left = left.sum(axis=-1)
+    dc_both = (sum_top + sum_left + mb) >> shift
+    dc_left = (sum_left + mb // 2) >> (shift - 1)
+    dc_top = (sum_top + mb // 2) >> (shift - 1)
+    dc = jnp.where(
+        have_top & have_left, dc_both,
+        jnp.where(have_left, dc_left, jnp.where(have_top, dc_top, 0x80)),
+    )
+    pred_dc = jnp.broadcast_to(dc[..., None, None], blocks.shape)
+
+    tm = left[..., :, None] + top[..., None, :] - tl[..., None, None]
+    pred_tm = jnp.clip(tm, 0, 255)
+    pred_ve = jnp.broadcast_to(top[..., None, :], blocks.shape)
+    pred_he = jnp.broadcast_to(left[..., :, None], blocks.shape)
+    return jnp.stack([pred_dc, pred_tm, pred_ve, pred_he])
+
+
+def _search(blocks, preds):
+    """SSE argmin over the 4 candidate modes → (modes, best_pred)."""
+    diff = blocks[None].astype(jnp.int32) - preds.astype(jnp.int32)
+    sse = (diff * diff).sum(axis=(-1, -2))       # (4, B, mh, mw)
+    modes = jnp.argmin(sse, axis=0)              # (B, mh, mw)
+    best = jnp.take_along_axis(
+        preds, modes[None, ..., None, None], axis=0
+    )[0]
+    return modes.astype(jnp.int32), best
+
+
+def encode_plane_core(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac,
+                      y_halo=None, u_halo=None, v_halo=None, leftmost=None):
+    """Batched dense encode phase (optionally width-sharded with halos).
+
+    y: (B, H16, W16) int32 luma (MB-padded); u, v: (B, H16//2, W16//2).
+    *_halo: (B, H) source column left of this shard; leftmost: traced bool.
+
+    Returns dict of per-MB tensors: ymode/uvmode (B,mh,mw),
+    y_levels (B,mh,mw,16,16), y2_levels (B,mh,mw,16),
+    uv_levels (B,mh,mw,8,16) — zigzag-ordered quantized levels ready for
+    the host entropy coder.
+    """
+    def qp(q):
+        return (1 << 17) // q
+
+    yb, yt, yl, ytl = _mb_context(y, 16, y_halo, leftmost)
+    ymode, ypred = _search(yb, _predict4(yb, yt, yl, ytl, 16, leftmost))
+    yres = yb.astype(jnp.int32) - ypred.astype(jnp.int32)
+    B, mh, mw = yres.shape[:3]
+    # Split MB into 16 4x4 blocks: (B,mh,mw,4by,4bx,4,4).
+    yblk = yres.reshape(B, mh, mw, 4, 4, 4, 4).transpose(0, 1, 2, 3, 5, 4, 6)
+    coeffs = dct_jax.fdct4x4(yblk)               # (B,mh,mw,4,4,4,4)
+    dcs = coeffs[..., 0, 0]                       # (B,mh,mw,4,4)
+    y2 = dct_jax.fwht4x4(dcs)
+    y2_levels = dct_jax.quantize(y2, qp(y2_dc), 96 << 9, qp(y2_ac), 96 << 9)
+    y_levels = dct_jax.quantize(
+        coeffs.reshape(B, mh, mw, 16, 4, 4),
+        qp(y1_dc), 96 << 9, qp(y1_ac), 110 << 9, first_ac=True,
+    )
+
+    ub, ut, ul, utl = _mb_context(u, 8, u_halo, leftmost)
+    vb, vt, vl, vtl = _mb_context(v, 8, v_halo, leftmost)
+    upds = _predict4(ub, ut, ul, utl, 8, leftmost)
+    vpds = _predict4(vb, vt, vl, vtl, 8, leftmost)
+    diff = (
+        (ub[None].astype(jnp.int32) - upds.astype(jnp.int32)) ** 2
+    ).sum(axis=(-1, -2)) + (
+        (vb[None].astype(jnp.int32) - vpds.astype(jnp.int32)) ** 2
+    ).sum(axis=(-1, -2))
+    uvmode = jnp.argmin(diff, axis=0).astype(jnp.int32)
+    upred = jnp.take_along_axis(upds, uvmode[None, ..., None, None], axis=0)[0]
+    vpred = jnp.take_along_axis(vpds, uvmode[None, ..., None, None], axis=0)[0]
+
+    uv_levels = []
+    for blocks, pred in ((ub, upred), (vb, vpred)):
+        res = blocks.astype(jnp.int32) - pred.astype(jnp.int32)
+        blk = res.reshape(B, mh, mw, 2, 4, 2, 4).transpose(0, 1, 2, 3, 5, 4, 6)
+        cf = dct_jax.fdct4x4(blk)
+        uv_levels.append(
+            dct_jax.quantize(
+                cf.reshape(B, mh, mw, 4, 4, 4),
+                qp(uv_dc), 110 << 9, qp(uv_ac), 110 << 9,
+            )
+        )
+    uv_levels = jnp.concatenate(uv_levels, axis=3)  # (B,mh,mw,8,16)
+
+    return {
+        "ymode": ymode,
+        "uvmode": uvmode,
+        "y_levels": y_levels,
+        "y2_levels": y2_levels,
+        "uv_levels": uv_levels,
+    }
+
+
+@partial(jax.jit, static_argnames=("y1_dc", "y1_ac", "y2_dc", "y2_ac",
+                                   "uv_dc", "uv_ac"))
+def encode_plane_step(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
+    """Single-device jitted entry (see encode_plane_core)."""
+    return encode_plane_core(
+        y, u, v,
+        y1_dc=y1_dc, y1_ac=y1_ac, y2_dc=y2_dc, y2_ac=y2_ac,
+        uv_dc=uv_dc, uv_ac=uv_ac,
+    )
+
+
+__all__ = ["encode_plane_step", "encode_plane_core"]

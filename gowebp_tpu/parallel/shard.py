@@ -1,0 +1,73 @@
+"""Sharded codec steps: shard_map + halo exchange over the device mesh.
+
+The encode plane engine shards as:
+  batch  → "data" axis (independent images, no communication)
+  width  → "tile" axis (each shard encodes a vertical stripe of MBs;
+           the only cross-shard dependency is the 1-pixel-wide source
+           column of the left neighbor, exchanged with lax.ppermute
+           over ICI before the dense phase runs)
+
+This is the TPU-native re-expression of the reference's format-level
+parallel hooks (VP8 token partitions / MB-row round-robin — SURVEY.md
+§2.10 item 2): entropy coding stays per-stripe-local on the host while
+the plane math scales over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.encode_plane_jax import encode_plane_core
+
+
+def _shift_right(col: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Send each shard's column to its right neighbor (ring ppermute)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.lax.ppermute(col, axis_name, perm)
+
+
+def sharded_encode_plane_step(mesh: Mesh, y, u, v, *, quants):
+    """Run the dense encode phase sharded over (data, tile).
+
+    y: (B, H16, W16) int32; u/v: (B, H16//2, W16//2) int32.
+    quants: dict with y1_dc..uv_ac integer steps.
+    Returns the same per-MB tensor dict as encode_plane_step, with MB-grid
+    outputs sharded (B over data, mb-columns over tile).
+    """
+
+    def step(y, u, v):
+        # Halo: last source column of this shard → right neighbor.
+        y_halo = _shift_right(y[:, :, -1], "tile")
+        u_halo = _shift_right(u[:, :, -1], "tile")
+        v_halo = _shift_right(v[:, :, -1], "tile")
+        leftmost = jax.lax.axis_index("tile") == 0
+        return encode_plane_core(
+            y, u, v,
+            y_halo=y_halo, u_halo=u_halo, v_halo=v_halo, leftmost=leftmost,
+            **quants,
+        )
+
+    specs_in = (
+        P("data", None, "tile"),
+        P("data", None, "tile"),
+        P("data", None, "tile"),
+    )
+    specs_out = {
+        "ymode": P("data", None, "tile"),
+        "uvmode": P("data", None, "tile"),
+        "y_levels": P("data", None, "tile", None, None),
+        "y2_levels": P("data", None, "tile", None),
+        "uv_levels": P("data", None, "tile", None, None),
+    }
+    fn = shard_map(step, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+                   check_rep=False)
+    return jax.jit(fn)(y, u, v)
+
+
+__all__ = ["sharded_encode_plane_step"]
