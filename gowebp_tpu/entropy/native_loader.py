@@ -1,0 +1,100 @@
+"""Build + load the native C++ entropy layer (ctypes).
+
+Compiles gowebp_tpu/entropy/native/*.cpp into one shared library on
+first use (cached by source hash).  Every native function has a pure
+Python/NumPy fallback; `available()` gates usage.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_BUILD_DIR = _NATIVE_DIR / "_build"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _sources() -> list[Path]:
+    return sorted(_NATIVE_DIR.glob("*.cpp"))
+
+
+def _build() -> Path | None:
+    srcs = _sources()
+    if not srcs:
+        return None
+    h = hashlib.sha256()
+    for s in srcs:
+        h.update(s.read_bytes())
+    tag = h.hexdigest()[:16]
+    _BUILD_DIR.mkdir(exist_ok=True)
+    so_path = _BUILD_DIR / f"libwtpu_{tag}.so"
+    if so_path.exists():
+        return so_path
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        "-fno-exceptions", "-o", str(so_path),
+    ] + [str(s) for s in srcs]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return None
+    return so_path
+
+
+def get_lib():
+    """The loaded CDLL, or None if the native layer is unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        _configure(lib)
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _configure(lib) -> None:
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    i32p = c.POINTER(c.c_int32)
+    u32p = c.POINTER(c.c_uint32)
+    u64p = c.POINTER(c.c_uint64)
+
+    lib.wtpu_vp8l_decode_pixels.restype = c.c_int
+    lib.wtpu_vp8l_decode_pixels.argtypes = [
+        u8p, c.c_uint64, c.c_uint64,          # data, size, bit_pos
+        c.c_int, c.c_int, c.c_int,            # width, height, num_groups
+        i32p, i32p, i32p,                     # alphabet_sizes, lengths, offsets
+        i32p, c.c_int, c.c_int,               # huffman_image, bits, meta_w
+        c.c_int,                              # cache_bits
+        u32p, u64p,                           # out, bit_pos_out
+    ]
+
+    lib.wtpu_vp8l_predictor_inverse.restype = None
+    lib.wtpu_vp8l_predictor_inverse.argtypes = [
+        u32p, c.c_int, c.c_int, u32p, c.c_int, c.c_int,
+    ]
+
+
+__all__ = ["get_lib", "available"]

@@ -66,8 +66,11 @@ def plane_code_to_distance(xsize: int, code: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _read_single_code(br: BitReader, alphabet_size: int) -> HuffmanDecodeTable:
-    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+def _read_code_lengths(br: BitReader, alphabet_size: int) -> np.ndarray:
+    """One prefix code: simple (1-2 symbols) or code-length-coded.
+
+    Returns the per-symbol code-length array (table built by caller).
+    """
     if br.read_bit():  # simple code
         num_symbols = br.read_bit() + 1
         if br.read_bit():  # first symbol is 8 bits
@@ -83,7 +86,7 @@ def _read_single_code(br: BitReader, alphabet_size: int) -> HuffmanDecodeTable:
             if sym1 >= alphabet_size:
                 raise BitstreamError("simple-code symbol out of range")
             lengths[sym1] = 1
-        return HuffmanDecodeTable(lengths)
+        return lengths
 
     # Code-length-coded.
     num_codes = br.read_bits(4) + 4
@@ -126,7 +129,7 @@ def _read_single_code(br: BitReader, alphabet_size: int) -> HuffmanDecodeTable:
             sym += repeat
         if br.eos:
             raise BitstreamError("truncated huffman code lengths")
-    return HuffmanDecodeTable(lengths)
+    return lengths
 
 
 @dataclass
@@ -136,22 +139,29 @@ class PrefixGroup:
     blue: HuffmanDecodeTable
     alpha: HuffmanDecodeTable
     dist: HuffmanDecodeTable
+    lengths: list | None = None  # raw code lengths (for the native decoder)
 
 
 def _read_prefix_groups(
     br: BitReader, num_groups: int, cache_bits: int
 ) -> list[PrefixGroup]:
     cache_size = (1 << cache_bits) if cache_bits > 0 else 0
+    alphabets = [
+        NUM_LITERAL_CODES + NUM_LENGTH_CODES + cache_size,
+        NUM_LITERAL_CODES,
+        NUM_LITERAL_CODES,
+        NUM_LITERAL_CODES,
+        NUM_DISTANCE_CODES,
+    ]
     groups = []
     for _ in range(num_groups):
-        green = _read_single_code(
-            br, NUM_LITERAL_CODES + NUM_LENGTH_CODES + cache_size
-        )
-        red = _read_single_code(br, NUM_LITERAL_CODES)
-        blue = _read_single_code(br, NUM_LITERAL_CODES)
-        alpha = _read_single_code(br, NUM_LITERAL_CODES)
-        dist = _read_single_code(br, NUM_DISTANCE_CODES)
-        groups.append(PrefixGroup(green, red, blue, alpha, dist))
+        tables = []
+        lengths = []
+        for a in alphabets:
+            ln = _read_code_lengths(br, a)
+            tables.append(HuffmanDecodeTable(ln))
+            lengths.append(ln)
+        groups.append(PrefixGroup(*tables, lengths=lengths))
     return groups
 
 
@@ -169,6 +179,65 @@ def _read_prefix_coded_value(br: BitReader, code: int) -> int:
     return offset + br.read_bits(extra) + 1
 
 
+def _decode_pixels_native(
+    br: BitReader,
+    width: int,
+    height: int,
+    groups: list[PrefixGroup],
+    huffman_image: np.ndarray | None,
+    huffman_bits: int,
+    cache_bits: int,
+) -> np.ndarray | None:
+    """C++ fast path for the pixel loop; returns None if unavailable."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    cache_size = (1 << cache_bits) if cache_bits > 0 else 0
+    alphabets = np.array(
+        [256 + 24 + cache_size, 256, 256, 256, 40], np.int32
+    )
+    all_lengths = []
+    offsets = np.zeros(len(groups) * 5, np.int32)
+    off = 0
+    for g_i, g in enumerate(groups):
+        for c_i, ln in enumerate(g.lengths):
+            offsets[g_i * 5 + c_i] = off
+            all_lengths.append(np.ascontiguousarray(ln, np.int32))
+            off += len(ln)
+    lengths_cat = np.concatenate(all_lengths)
+
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    out = np.zeros(width * height, np.uint32)
+    bit_out = ctypes.c_uint64(0)
+    if huffman_image is not None:
+        himg = np.ascontiguousarray(huffman_image.reshape(-1), np.int32)
+        himg_p = himg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        meta_w = huffman_image.shape[1]
+    else:
+        himg_p = None
+        meta_w = 0
+    rc = lib.wtpu_vp8l_decode_pixels(
+        (ctypes.c_uint8 * len(data)).from_buffer_copy(data),
+        len(data), br.bit_pos,
+        width, height, len(groups),
+        alphabets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lengths_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        himg_p, huffman_bits, meta_w,
+        cache_bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(bit_out),
+    )
+    if rc != 0:
+        raise BitstreamError(f"native vp8l decode failed (code {rc})")
+    br.bit_pos = bit_out.value
+    return out.reshape(height, width)
+
+
 def _decode_pixels(
     br: BitReader,
     width: int,
@@ -179,6 +248,11 @@ def _decode_pixels(
     cache_bits: int,
 ) -> np.ndarray:
     """The hot sequential loop: one ARGB uint32 per pixel."""
+    native = _decode_pixels_native(
+        br, width, height, groups, huffman_image, huffman_bits, cache_bits
+    )
+    if native is not None:
+        return native
     npix = width * height
     pixels = [0] * npix
     cache = [0] * (1 << cache_bits) if cache_bits > 0 else None

@@ -243,6 +243,9 @@ def predictor_inverse(
     current row's first pixel (contiguous-memory semantics the format
     relies on).
     """
+    native = _predictor_inverse_native(residuals, predictor_img, bits)
+    if native is not None:
+        return native
     h, w = residuals.shape
     out = np.zeros((h, w), dtype=np.uint32)
     res = residuals.tolist()
@@ -265,6 +268,28 @@ def predictor_inverse(
             row[x] = _add_pixels(res[y][x], pred)
         rows[y] = row
     return np.array(rows, dtype=np.uint32)
+
+
+def _predictor_inverse_native(
+    residuals: np.ndarray, predictor_img: np.ndarray, bits: int
+) -> np.ndarray | None:
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = residuals.shape
+    buf = np.ascontiguousarray(residuals, np.uint32).copy()
+    modes = np.ascontiguousarray(predictor_img.reshape(-1), np.uint32)
+    lib.wtpu_vp8l_predictor_inverse(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        w, h,
+        modes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        bits, predictor_img.shape[1],
+    )
+    return buf
 
 
 def predictor_forward(
