@@ -1,0 +1,739 @@
+// VP8 lossy decode — native host layer (symbols + reconstruction + filter).
+//
+// Python parses the frame headers (cold path) and hands over the
+// boolean-decoder state plus finalized probability/quant tables; this
+// file runs the per-MB hot loops: intra-mode parsing, coefficient token
+// decode, intra prediction + iDCT reconstruction, and the in-loop
+// deblocking filter — producing the padded Y/U/V planes.
+//
+// Written from RFC 6386; the Python reference (models/vp8/decoder.py,
+// bit-exact vs libwebp) is the correctness oracle.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "vp8_tables.h"
+
+namespace {
+
+// ----------------------------------------------------------------------
+// Boolean decoder (RFC 6386 convention, 8-bit window).
+// ----------------------------------------------------------------------
+struct BoolDec {
+  const uint8_t* data;
+  uint64_t size;
+  uint64_t pos;
+  uint32_t value;
+  uint32_t range;
+  int bit_count;
+
+  void init(const uint8_t* d, uint64_t n) {
+    data = d; size = n; pos = 0; value = 0; range = 255; bit_count = 0;
+    value = (uint32_t)next_byte() << 8;
+    value |= next_byte();
+  }
+  inline uint32_t next_byte() {
+    uint32_t b = pos < size ? data[pos] : 0;
+    pos++;
+    return b;
+  }
+  inline int get(int prob) {
+    uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
+    uint32_t big = split << 8;
+    int ret;
+    if (value >= big) {
+      ret = 1;
+      range -= split;
+      value -= big;
+    } else {
+      ret = 0;
+      range = split;
+    }
+    while (range < 128) {
+      value <<= 1;
+      range <<= 1;
+      if (++bit_count == 8) {
+        bit_count = 0;
+        value |= next_byte();
+      }
+    }
+    return ret;
+  }
+  inline int flag() { return get(128); }
+  inline int signed_value(int v) { return get(128) ? -v : v; }
+  inline bool exhausted() const { return pos > size + 4; }
+};
+
+// ----------------------------------------------------------------------
+// Frame state
+// ----------------------------------------------------------------------
+struct MB {
+  uint8_t segment;
+  uint8_t skip;       // skip flag from stream; updated to "empty" result
+  uint8_t is_i4;
+  uint8_t ymode;
+  uint8_t uvmode;
+  uint8_t imodes[16];
+  uint8_t has_nz[24];         // per 4x4 block: any dequantized coeff != 0
+  int16_t coeffs[25][16];     // dequantized, raster order within block
+};
+
+struct Ctx {
+  uint32_t nz = 0;
+  uint32_t nz_dc = 0;
+};
+
+inline int clip255i(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+// ----------------------------------------------------------------------
+// Coefficient decode
+// ----------------------------------------------------------------------
+static int get_large_value(BoolDec& bd, const uint8_t* p) {
+  int v;
+  if (!bd.get(p[3])) {
+    if (!bd.get(p[4])) v = 2;
+    else v = 3 + bd.get(p[5]);
+  } else if (!bd.get(p[6])) {
+    if (!bd.get(p[7])) v = 5 + bd.get(159);
+    else { v = 7 + 2 * bd.get(165); v += bd.get(145); }
+  } else {
+    int bit1 = bd.get(p[8]);
+    int bit0 = bd.get(p[9 + bit1]);
+    int cat = 2 * bit1 + bit0;
+    v = 0;
+    const uint8_t* tab = kCatProbas[cat];
+    for (int i = 0; i < kCatBits[cat]; i++) v += v + bd.get(tab[i]);
+    v += 3 + (8 << cat);
+  }
+  return v;
+}
+
+// probs_t: [8][3][11] for this block type; dq = {dc, ac}.
+static int get_coeffs(BoolDec& bd, const uint8_t* probs_t, int ctx,
+                      int dq_dc, int dq_ac, int first, int16_t* out) {
+  const uint8_t* p = probs_t + (kBands[first] * 3 + ctx) * 11;
+  int n = first;
+  while (n < 16) {
+    if (!bd.get(p[0])) return n;
+    while (!bd.get(p[1])) {
+      n++;
+      if (n == 16) return 16;
+      p = probs_t + (kBands[n] * 3 + 0) * 11;
+    }
+    int v, next_ctx;
+    if (!bd.get(p[2])) { v = 1; next_ctx = 1; }
+    else { v = get_large_value(bd, p); next_ctx = 2; }
+    out[kZigzag[n]] = (int16_t)(bd.signed_value(v) * (n > 0 ? dq_ac : dq_dc));
+    p = probs_t + (kBands[n + 1] * 3 + next_ctx) * 11;
+    n++;
+  }
+  return 16;
+}
+
+static void iwht4x4(const int16_t* in, int32_t* out) {
+  int32_t tmp[16];
+  for (int i = 0; i < 4; i++) {
+    int32_t a0 = in[0 + i] + in[12 + i];
+    int32_t a1 = in[4 + i] + in[8 + i];
+    int32_t a2 = in[4 + i] - in[8 + i];
+    int32_t a3 = in[0 + i] - in[12 + i];
+    tmp[0 + i] = a0 + a1;
+    tmp[4 + i] = a3 + a2;
+    tmp[8 + i] = a0 - a1;
+    tmp[12 + i] = a3 - a2;
+  }
+  for (int i = 0; i < 4; i++) {
+    int32_t dc = tmp[0 + i * 4] + 3;
+    int32_t a0 = dc + tmp[3 + i * 4];
+    int32_t a1 = tmp[1 + i * 4] + tmp[2 + i * 4];
+    int32_t a2 = tmp[1 + i * 4] - tmp[2 + i * 4];
+    int32_t a3 = dc - tmp[3 + i * 4];
+    out[i * 4 + 0] = (a0 + a1) >> 3;
+    out[i * 4 + 1] = (a3 + a2) >> 3;
+    out[i * 4 + 2] = (a0 - a1) >> 3;
+    out[i * 4 + 3] = (a3 - a2) >> 3;
+  }
+}
+
+// ----------------------------------------------------------------------
+// iDCT (adds into dst with stride)
+// ----------------------------------------------------------------------
+static inline int mul1(int a) { return a + ((a * 20091) >> 16); }
+static inline int mul2(int a) { return (a * 35468) >> 16; }
+
+static void idct_add(const int16_t* in, uint8_t* dst, int stride) {
+  int32_t C[16];
+  for (int i = 0; i < 4; i++) {
+    int32_t a = in[i] + in[8 + i];
+    int32_t b = in[i] - in[8 + i];
+    int32_t c = mul2(in[4 + i]) - mul1(in[12 + i]);
+    int32_t d = mul1(in[4 + i]) + mul2(in[12 + i]);
+    C[0 * 4 + i] = a + d;
+    C[1 * 4 + i] = b + c;
+    C[2 * 4 + i] = b - c;
+    C[3 * 4 + i] = a - d;
+  }
+  for (int r = 0; r < 4; r++) {
+    int32_t dc = C[r * 4 + 0] + 4;
+    int32_t a = dc + C[r * 4 + 2];
+    int32_t b = dc - C[r * 4 + 2];
+    int32_t c = mul2(C[r * 4 + 1]) - mul1(C[r * 4 + 3]);
+    int32_t d = mul1(C[r * 4 + 1]) + mul2(C[r * 4 + 3]);
+    uint8_t* o = dst + r * stride;
+    o[0] = (uint8_t)clip255i(o[0] + ((a + d) >> 3));
+    o[1] = (uint8_t)clip255i(o[1] + ((b + c) >> 3));
+    o[2] = (uint8_t)clip255i(o[2] + ((b - c) >> 3));
+    o[3] = (uint8_t)clip255i(o[3] + ((a - d) >> 3));
+  }
+}
+
+// ----------------------------------------------------------------------
+// Intra predictors on a bordered working buffer.
+// buf stride BUFS; (0,0) = top-left corner; data block at (1,1).
+// ----------------------------------------------------------------------
+constexpr int BUFS = 24;
+
+static inline uint8_t* at(uint8_t* buf, int r, int c) { return buf + r * BUFS + c; }
+
+static void pred_dc(uint8_t* buf, int x, int y, int size, bool ht, bool hl) {
+  int v;
+  if (ht && hl) {
+    int s = 0;
+    for (int i = 0; i < size; i++) s += buf[y * BUFS + x + 1 + i] + buf[(y + 1 + i) * BUFS + x];
+    v = (s + size) >> (size == 16 ? 5 : 4);
+  } else if (hl) {
+    int s = 0;
+    for (int i = 0; i < size; i++) s += buf[(y + 1 + i) * BUFS + x];
+    v = (s + size / 2) >> (size == 16 ? 4 : 3);
+  } else if (ht) {
+    int s = 0;
+    for (int i = 0; i < size; i++) s += buf[y * BUFS + x + 1 + i];
+    v = (s + size / 2) >> (size == 16 ? 4 : 3);
+  } else {
+    v = 0x80;
+  }
+  for (int r = 0; r < size; r++)
+    std::memset(buf + (y + 1 + r) * BUFS + x + 1, v, size);
+}
+
+static void pred_tm(uint8_t* buf, int x, int y, int size) {
+  int tl = buf[y * BUFS + x];
+  for (int r = 0; r < size; r++) {
+    int l = buf[(y + 1 + r) * BUFS + x];
+    uint8_t* o = buf + (y + 1 + r) * BUFS + x + 1;
+    const uint8_t* t = buf + y * BUFS + x + 1;
+    for (int c = 0; c < size; c++) o[c] = (uint8_t)clip255i(l + t[c] - tl);
+  }
+}
+
+static void pred_ve(uint8_t* buf, int x, int y, int size) {
+  for (int r = 0; r < size; r++)
+    std::memcpy(buf + (y + 1 + r) * BUFS + x + 1, buf + y * BUFS + x + 1, size);
+}
+
+static void pred_he(uint8_t* buf, int x, int y, int size) {
+  for (int r = 0; r < size; r++)
+    std::memset(buf + (y + 1 + r) * BUFS + x + 1,
+                buf[(y + 1 + r) * BUFS + x], size);
+}
+
+static void predict_block(uint8_t* buf, int x, int y, int size, int mode,
+                          bool ht, bool hl) {
+  switch (mode) {
+    case 0: pred_dc(buf, x, y, size, ht, hl); break;
+    case 1: pred_tm(buf, x, y, size); break;
+    case 2: pred_ve(buf, x, y, size); break;
+    case 3: pred_he(buf, x, y, size); break;
+  }
+}
+
+#define AVG3(a, b, c) (((a) + 2 * (b) + (c) + 2) >> 2)
+#define AVG2(a, b) (((a) + (b) + 1) >> 1)
+
+static void predict_luma4(uint8_t* buf, int x, int y, int mode) {
+  // Context: top at row y, cols x+1..x+8 (incl. TR), left col x, TL at (y,x).
+  const int A = buf[y * BUFS + x + 1], B = buf[y * BUFS + x + 2],
+            C = buf[y * BUFS + x + 3], D = buf[y * BUFS + x + 4];
+  const int E = buf[y * BUFS + x + 5], F = buf[y * BUFS + x + 6],
+            G = buf[y * BUFS + x + 7], H = buf[y * BUFS + x + 8];
+  const int I = buf[(y + 1) * BUFS + x], J = buf[(y + 2) * BUFS + x],
+            K = buf[(y + 3) * BUFS + x], L = buf[(y + 4) * BUFS + x];
+  const int X = buf[y * BUFS + x];
+  uint8_t o[4][4];
+  switch (mode) {
+    case 0: {  // DC4
+      int v = (A + B + C + D + I + J + K + L + 4) >> 3;
+      std::memset(o, v, 16);
+      break;
+    }
+    case 1: {  // TM4
+      for (int r = 0; r < 4; r++) {
+        int l = buf[(y + 1 + r) * BUFS + x];
+        for (int c = 0; c < 4; c++)
+          o[r][c] = (uint8_t)clip255i(l + buf[y * BUFS + x + 1 + c] - X);
+      }
+      break;
+    }
+    case 2: {  // VE4
+      uint8_t v[4] = {(uint8_t)AVG3(X, A, B), (uint8_t)AVG3(A, B, C),
+                      (uint8_t)AVG3(B, C, D), (uint8_t)AVG3(C, D, E)};
+      for (int r = 0; r < 4; r++) std::memcpy(o[r], v, 4);
+      break;
+    }
+    case 3: {  // HE4
+      uint8_t v[4] = {(uint8_t)AVG3(X, I, J), (uint8_t)AVG3(I, J, K),
+                      (uint8_t)AVG3(J, K, L), (uint8_t)AVG3(K, L, L)};
+      for (int r = 0; r < 4; r++) std::memset(o[r], v[r], 4);
+      break;
+    }
+    case 4: {  // RD4
+      o[3][0] = (uint8_t)AVG3(J, K, L);
+      o[2][0] = o[3][1] = (uint8_t)AVG3(I, J, K);
+      o[1][0] = o[2][1] = o[3][2] = (uint8_t)AVG3(X, I, J);
+      o[0][0] = o[1][1] = o[2][2] = o[3][3] = (uint8_t)AVG3(A, X, I);
+      o[0][1] = o[1][2] = o[2][3] = (uint8_t)AVG3(B, A, X);
+      o[0][2] = o[1][3] = (uint8_t)AVG3(C, B, A);
+      o[0][3] = (uint8_t)AVG3(D, C, B);
+      break;
+    }
+    case 5: {  // VR4
+      o[0][0] = o[2][1] = (uint8_t)AVG2(X, A);
+      o[0][1] = o[2][2] = (uint8_t)AVG2(A, B);
+      o[0][2] = o[2][3] = (uint8_t)AVG2(B, C);
+      o[0][3] = (uint8_t)AVG2(C, D);
+      o[3][0] = (uint8_t)AVG3(K, J, I);
+      o[2][0] = (uint8_t)AVG3(J, I, X);
+      o[1][0] = o[3][1] = (uint8_t)AVG3(I, X, A);
+      o[1][1] = o[3][2] = (uint8_t)AVG3(X, A, B);
+      o[1][2] = o[3][3] = (uint8_t)AVG3(A, B, C);
+      o[1][3] = (uint8_t)AVG3(B, C, D);
+      break;
+    }
+    case 6: {  // LD4
+      o[0][0] = (uint8_t)AVG3(A, B, C);
+      o[0][1] = o[1][0] = (uint8_t)AVG3(B, C, D);
+      o[0][2] = o[1][1] = o[2][0] = (uint8_t)AVG3(C, D, E);
+      o[0][3] = o[1][2] = o[2][1] = o[3][0] = (uint8_t)AVG3(D, E, F);
+      o[1][3] = o[2][2] = o[3][1] = (uint8_t)AVG3(E, F, G);
+      o[2][3] = o[3][2] = (uint8_t)AVG3(F, G, H);
+      o[3][3] = (uint8_t)AVG3(G, H, H);
+      break;
+    }
+    case 7: {  // VL4
+      o[0][0] = (uint8_t)AVG2(A, B);
+      o[0][1] = o[2][0] = (uint8_t)AVG2(B, C);
+      o[0][2] = o[2][1] = (uint8_t)AVG2(C, D);
+      o[0][3] = o[2][2] = (uint8_t)AVG2(D, E);
+      o[1][0] = (uint8_t)AVG3(A, B, C);
+      o[1][1] = o[3][0] = (uint8_t)AVG3(B, C, D);
+      o[1][2] = o[3][1] = (uint8_t)AVG3(C, D, E);
+      o[1][3] = o[3][2] = (uint8_t)AVG3(D, E, F);
+      o[2][3] = (uint8_t)AVG3(E, F, G);
+      o[3][3] = (uint8_t)AVG3(F, G, H);
+      break;
+    }
+    case 8: {  // HD4
+      o[0][0] = o[1][2] = (uint8_t)AVG2(I, X);
+      o[1][0] = o[2][2] = (uint8_t)AVG2(J, I);
+      o[2][0] = o[3][2] = (uint8_t)AVG2(K, J);
+      o[3][0] = (uint8_t)AVG2(L, K);
+      o[0][3] = (uint8_t)AVG3(A, B, C);
+      o[0][2] = (uint8_t)AVG3(X, A, B);
+      o[0][1] = o[1][3] = (uint8_t)AVG3(I, X, A);
+      o[1][1] = o[2][3] = (uint8_t)AVG3(X, I, J);
+      o[2][1] = o[3][3] = (uint8_t)AVG3(I, J, K);
+      o[3][1] = (uint8_t)AVG3(J, K, L);
+      break;
+    }
+    case 9: {  // HU4
+      o[0][0] = (uint8_t)AVG2(I, J);
+      o[0][2] = o[1][0] = (uint8_t)AVG2(J, K);
+      o[1][2] = o[2][0] = (uint8_t)AVG2(K, L);
+      o[0][1] = (uint8_t)AVG3(I, J, K);
+      o[0][3] = o[1][1] = (uint8_t)AVG3(J, K, L);
+      o[1][3] = o[2][1] = (uint8_t)AVG3(K, L, L);
+      o[2][2] = o[2][3] = o[3][0] = o[3][1] = o[3][2] = o[3][3] = (uint8_t)L;
+      break;
+    }
+  }
+  for (int r = 0; r < 4; r++)
+    std::memcpy(buf + (y + 1 + r) * BUFS + x + 1, o[r], 4);
+}
+
+// ----------------------------------------------------------------------
+// Loop filter
+// ----------------------------------------------------------------------
+static inline int sclip1(int v) { return v < -128 ? -128 : (v > 127 ? 127 : v); }
+static inline int sclip2(int v) { return v < -16 ? -16 : (v > 15 ? 15 : v); }
+static inline int iabs(int v) { return v < 0 ? -v : v; }
+
+static inline bool needs_filter(const uint8_t* p, int step, int thresh2) {
+  int p1 = p[-2 * step], p0 = p[-step], q0 = p[0], q1 = p[step];
+  return 4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2;
+}
+static inline bool needs_filter2(const uint8_t* p, int step, int t, int it) {
+  int p3 = p[-4 * step], p2 = p[-3 * step], p1 = p[-2 * step], p0 = p[-step];
+  int q0 = p[0], q1 = p[step], q2 = p[2 * step], q3 = p[3 * step];
+  if (4 * iabs(p0 - q0) + iabs(p1 - q1) > t) return false;
+  return iabs(p3 - p2) <= it && iabs(p2 - p1) <= it && iabs(p1 - p0) <= it &&
+         iabs(q3 - q2) <= it && iabs(q2 - q1) <= it && iabs(q1 - q0) <= it;
+}
+static inline bool hev(const uint8_t* p, int step, int thresh) {
+  return iabs(p[-2 * step] - p[-step]) > thresh || iabs(p[step] - p[0]) > thresh;
+}
+static inline void do_filter2(uint8_t* p, int step) {
+  int p1 = p[-2 * step], p0 = p[-step], q0 = p[0], q1 = p[step];
+  int a = 3 * (q0 - p0) + sclip1(p1 - q1);
+  int a1 = sclip2((a + 4) >> 3);
+  int a2 = sclip2((a + 3) >> 3);
+  p[-step] = (uint8_t)clip255i(p0 + a2);
+  p[0] = (uint8_t)clip255i(q0 - a1);
+}
+static inline void do_filter4(uint8_t* p, int step) {
+  int p1 = p[-2 * step], p0 = p[-step], q0 = p[0], q1 = p[step];
+  int a = 3 * (q0 - p0);
+  int a1 = sclip2((a + 4) >> 3);
+  int a2 = sclip2((a + 3) >> 3);
+  int a3 = (a1 + 1) >> 1;
+  p[-2 * step] = (uint8_t)clip255i(p1 + a3);
+  p[-step] = (uint8_t)clip255i(p0 + a2);
+  p[0] = (uint8_t)clip255i(q0 - a1);
+  p[step] = (uint8_t)clip255i(q1 - a3);
+}
+static inline void do_filter6(uint8_t* p, int step) {
+  int p2 = p[-3 * step], p1 = p[-2 * step], p0 = p[-step];
+  int q0 = p[0], q1 = p[step], q2 = p[2 * step];
+  int a = sclip1(3 * (q0 - p0) + sclip1(p1 - q1));
+  int a1 = (27 * a + 63) >> 7;
+  int a2 = (18 * a + 63) >> 7;
+  int a3 = (9 * a + 63) >> 7;
+  p[-3 * step] = (uint8_t)clip255i(p2 + a3);
+  p[-2 * step] = (uint8_t)clip255i(p1 + a2);
+  p[-step] = (uint8_t)clip255i(p0 + a1);
+  p[0] = (uint8_t)clip255i(q0 - a1);
+  p[step] = (uint8_t)clip255i(q1 - a2);
+  p[2 * step] = (uint8_t)clip255i(q2 - a3);
+}
+
+// Complex filter along an edge: hstride = step across the edge,
+// vstride = step along it.
+static void filter_loop26(uint8_t* p, int hstride, int vstride, int n,
+                          int thresh, int it, int hev_t) {
+  int thresh2 = 2 * thresh + 1;
+  for (int i = 0; i < n; i++) {
+    if (needs_filter2(p, hstride, thresh2, it)) {
+      if (hev(p, hstride, hev_t)) do_filter2(p, hstride);
+      else do_filter6(p, hstride);
+    }
+    p += vstride;
+  }
+}
+static void filter_loop24(uint8_t* p, int hstride, int vstride, int n,
+                          int thresh, int it, int hev_t) {
+  int thresh2 = 2 * thresh + 1;
+  for (int i = 0; i < n; i++) {
+    if (needs_filter2(p, hstride, thresh2, it)) {
+      if (hev(p, hstride, hev_t)) do_filter2(p, hstride);
+      else do_filter4(p, hstride);
+    }
+    p += vstride;
+  }
+}
+static void filter_simple(uint8_t* p, int hstride, int vstride, int n,
+                          int thresh) {
+  int thresh2 = 2 * thresh + 1;
+  for (int i = 0; i < n; i++) {
+    if (needs_filter(p, hstride, thresh2)) do_filter2(p, hstride);
+    p += vstride;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int wtpu_vp8_decode_frame(
+    const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
+    uint32_t p0_range, uint32_t p0_bitcount,
+    const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
+    int mb_w, int mb_h,
+    int update_map, const uint8_t* segment_probs,
+    int use_skip, int skip_p,
+    const uint8_t* coeff_probs,          // [4][8][3][11]
+    const int32_t* quants,               // [4][6]
+    int filter_type,
+    const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
+  BoolDec bd;
+  bd.data = p0; bd.size = p0_size; bd.pos = p0_pos;
+  bd.value = p0_value; bd.range = p0_range; bd.bit_count = (int)p0_bitcount;
+
+  std::vector<BoolDec> tparts(num_parts);
+  for (int i = 0; i < num_parts; i++)
+    tparts[i].init(parts + part_offsets[i],
+                   part_offsets[i + 1] - part_offsets[i]);
+
+  const int ys = mb_w * 16;          // luma stride
+  const int cs = mb_w * 8;           // chroma stride
+  std::vector<MB> mbs((size_t)mb_w * mb_h);
+  std::vector<uint8_t> intra_t((size_t)4 * mb_w, 0);
+  std::vector<Ctx> ctx_above(mb_w);
+
+  for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+    uint8_t intra_l[4] = {0, 0, 0, 0};
+    Ctx ctx_left;
+    BoolDec& tb = tparts[mb_y & (num_parts - 1)];
+    // --- mode parsing for the row (partition 0) ---
+    for (int mb_x = 0; mb_x < mb_w; mb_x++) {
+      MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
+      std::memset(mb.coeffs, 0, sizeof(mb.coeffs));
+      std::memset(mb.has_nz, 0, sizeof(mb.has_nz));
+      mb.segment = 0;
+      if (update_map) {
+        if (!bd.get(segment_probs[0])) mb.segment = (uint8_t)bd.get(segment_probs[1]);
+        else mb.segment = (uint8_t)(2 + bd.get(segment_probs[2]));
+      }
+      mb.skip = use_skip ? (uint8_t)bd.get(skip_p) : 0;
+      mb.is_i4 = (uint8_t)(!bd.get(145));
+      uint8_t* top4 = intra_t.data() + 4 * mb_x;
+      if (!mb.is_i4) {
+        int ymode;
+        if (bd.get(156)) ymode = bd.get(128) ? 1 : 3;   // TM : HE
+        else ymode = bd.get(163) ? 2 : 0;               // VE : DC
+        mb.ymode = (uint8_t)ymode;
+        for (int i = 0; i < 16; i++) mb.imodes[i] = (uint8_t)ymode;
+        std::memset(top4, ymode, 4);
+        std::memset(intra_l, ymode, 4);
+      } else {
+        for (int yy = 0; yy < 4; yy++) {
+          int ymode = intra_l[yy];
+          for (int xx = 0; xx < 4; xx++) {
+            const uint8_t* prob = kBModeProbas + (top4[xx] * 10 + ymode) * 9;
+            int i = kBModeTree[bd.get(prob[0])];
+            while (i > 0) i = kBModeTree[2 * i + bd.get(prob[i])];
+            ymode = -i;
+            top4[xx] = (uint8_t)ymode;
+            mb.imodes[4 * yy + xx] = (uint8_t)ymode;
+          }
+          intra_l[yy] = (uint8_t)ymode;
+        }
+      }
+      if (!bd.get(142)) mb.uvmode = 0;
+      else if (!bd.get(114)) mb.uvmode = 2;
+      else mb.uvmode = bd.get(183) ? 1 : 3;
+    }
+    // --- residuals (token partition) ---
+    for (int mb_x = 0; mb_x < mb_w; mb_x++) {
+      MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
+      Ctx& above = ctx_above[mb_x];
+      const int32_t* q = quants + mb.segment * 6;
+      int skip = use_skip ? mb.skip : 0;
+      if (skip) {
+        above.nz = 0;
+        ctx_left.nz = 0;
+        if (!mb.is_i4) { above.nz_dc = 0; ctx_left.nz_dc = 0; }
+        mb.skip = 1;
+      } else {
+        const uint8_t* probs0 = coeff_probs + 0 * 8 * 3 * 11;
+        const uint8_t* probs1 = coeff_probs + 1 * 8 * 3 * 11;
+        const uint8_t* probs2 = coeff_probs + 2 * 8 * 3 * 11;
+        const uint8_t* probs3 = coeff_probs + 3 * 8 * 3 * 11;
+        int first;
+        const uint8_t* ac_probs;
+        uint32_t any_nz = 0;
+        if (!mb.is_i4) {
+          int16_t dc[16] = {0};
+          int ctx = (int)(above.nz_dc + ctx_left.nz_dc);
+          int nz = get_coeffs(tb, probs1, ctx, q[2], q[3], 0, dc);
+          above.nz_dc = ctx_left.nz_dc = (nz > 0);
+          any_nz |= (nz > 0);
+          int32_t dcs[16];
+          if (nz > 1) {
+            iwht4x4(dc, dcs);
+          } else {
+            int32_t dc0 = (dc[0] + 3) >> 3;
+            for (int i = 0; i < 16; i++) dcs[i] = dc0;
+          }
+          for (int i = 0; i < 16; i++) mb.coeffs[i][0] = (int16_t)dcs[i];
+          first = 1;
+          ac_probs = probs0;
+        } else {
+          first = 0;
+          ac_probs = probs3;
+        }
+        uint32_t tnz = above.nz & 0x0f, lnz = ctx_left.nz & 0x0f;
+        for (int yy = 0; yy < 4; yy++) {
+          uint32_t l = lnz & 1;
+          for (int xx = 0; xx < 4; xx++) {
+            int ctx = (int)(l + (tnz & 1));
+            int bi = 4 * yy + xx;
+            int nz = get_coeffs(tb, ac_probs, ctx, q[0], q[1], first,
+                                mb.coeffs[bi]);
+            l = nz > first;
+            tnz = (tnz >> 1) | (l << 7);
+            // has_nz: any dequantized coefficient present (incl. WHT dc).
+            bool has = nz > first || mb.coeffs[bi][0] != 0;
+            mb.has_nz[bi] = has;
+            any_nz |= (uint32_t)has;
+          }
+          tnz >>= 4;
+          lnz = (lnz >> 1) | (l << 7);
+        }
+        uint32_t out_t = tnz, out_l = lnz >> 4;
+        for (int ch = 0; ch < 4; ch += 2) {
+          tnz = (above.nz >> (4 + ch)) & 0xff;
+          lnz = (ctx_left.nz >> (4 + ch)) & 0xff;
+          uint32_t l = 0;
+          for (int yy = 0; yy < 2; yy++) {
+            l = lnz & 1;
+            for (int xx = 0; xx < 2; xx++) {
+              int ctx = (int)(l + (tnz & 1));
+              int bi = 16 + 2 * ch + 2 * yy + xx;
+              int nz = get_coeffs(tb, probs2, ctx, q[4], q[5], 0,
+                                  mb.coeffs[bi]);
+              l = nz > 0;
+              tnz = (tnz >> 1) | (l << 3);
+              mb.has_nz[bi] = nz > 0;
+              any_nz |= (uint32_t)(nz > 0);
+            }
+            tnz >>= 2;
+            lnz = (lnz >> 1) | (l << 5);
+          }
+          out_t |= (tnz << 4) << ch;
+          out_l |= (lnz & 0xf0) << ch;
+        }
+        above.nz = out_t;
+        ctx_left.nz = out_l;
+        mb.skip = !any_nz;
+        if (tb.exhausted()) return 1;
+      }
+    }
+    if (bd.exhausted()) return 2;
+  }
+
+  // --- reconstruction (raster order) ---
+  std::vector<uint8_t> ybuf(17 * BUFS), ubuf(9 * BUFS), vbuf(9 * BUFS);
+  for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+    for (int mb_x = 0; mb_x < mb_w; mb_x++) {
+      MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
+      bool ht = mb_y > 0, hl = mb_x > 0;
+      // Fill borders.
+      if (ht) {
+        const uint8_t* yt = y_out + (size_t)(mb_y * 16 - 1) * ys + mb_x * 16;
+        std::memcpy(&ybuf[1], yt, 16);
+        if (mb_x < mb_w - 1) std::memcpy(&ybuf[17], yt + 16, 4);
+        else std::memset(&ybuf[17], yt[15], 4);
+        const uint8_t* ut = u_out + (size_t)(mb_y * 8 - 1) * cs + mb_x * 8;
+        const uint8_t* vt = v_out + (size_t)(mb_y * 8 - 1) * cs + mb_x * 8;
+        std::memcpy(&ubuf[1], ut, 8);
+        std::memcpy(&vbuf[1], vt, 8);
+        ybuf[0] = hl ? yt[-1] : 129;
+        ubuf[0] = hl ? ut[-1] : 129;
+        vbuf[0] = hl ? vt[-1] : 129;
+      } else {
+        std::memset(&ybuf[0], 127, 21);
+        std::memset(&ubuf[0], 127, 9);
+        std::memset(&vbuf[0], 127, 9);
+      }
+      for (int r = 0; r < 16; r++)
+        ybuf[(1 + r) * BUFS] = hl
+            ? y_out[(size_t)(mb_y * 16 + r) * ys + mb_x * 16 - 1] : 129;
+      for (int r = 0; r < 8; r++) {
+        ubuf[(1 + r) * BUFS] = hl
+            ? u_out[(size_t)(mb_y * 8 + r) * cs + mb_x * 8 - 1] : 129;
+        vbuf[(1 + r) * BUFS] = hl
+            ? v_out[(size_t)(mb_y * 8 + r) * cs + mb_x * 8 - 1] : 129;
+      }
+      if (mb.is_i4) {
+        // Replicate TR below row 0 for right-column blocks.
+        for (int rr = 4; rr <= 12; rr += 4)
+          std::memcpy(&ybuf[rr * BUFS + 17], &ybuf[17], 4);
+        for (int n = 0; n < 16; n++) {
+          int r = 4 * (n >> 2), c = 4 * (n & 3);
+          predict_luma4(ybuf.data(), c, r, mb.imodes[n]);
+          if (mb.has_nz[n])
+            idct_add(mb.coeffs[n], &ybuf[(r + 1) * BUFS + c + 1], BUFS);
+        }
+      } else {
+        predict_block(ybuf.data(), 0, 0, 16, mb.ymode, ht, hl);
+        for (int n = 0; n < 16; n++) {
+          int r = 4 * (n >> 2), c = 4 * (n & 3);
+          if (mb.has_nz[n])
+            idct_add(mb.coeffs[n], &ybuf[(r + 1) * BUFS + c + 1], BUFS);
+        }
+      }
+      predict_block(ubuf.data(), 0, 0, 8, mb.uvmode, ht, hl);
+      predict_block(vbuf.data(), 0, 0, 8, mb.uvmode, ht, hl);
+      for (int n = 0; n < 4; n++) {
+        int r = 4 * (n >> 1), c = 4 * (n & 1);
+        if (mb.has_nz[16 + n])
+          idct_add(mb.coeffs[16 + n], &ubuf[(r + 1) * BUFS + c + 1], BUFS);
+        if (mb.has_nz[20 + n])
+          idct_add(mb.coeffs[20 + n], &vbuf[(r + 1) * BUFS + c + 1], BUFS);
+      }
+      // Store.
+      for (int r = 0; r < 16; r++)
+        std::memcpy(y_out + (size_t)(mb_y * 16 + r) * ys + mb_x * 16,
+                    &ybuf[(1 + r) * BUFS + 1], 16);
+      for (int r = 0; r < 8; r++) {
+        std::memcpy(u_out + (size_t)(mb_y * 8 + r) * cs + mb_x * 8,
+                    &ubuf[(1 + r) * BUFS + 1], 8);
+        std::memcpy(v_out + (size_t)(mb_y * 8 + r) * cs + mb_x * 8,
+                    &vbuf[(1 + r) * BUFS + 1], 8);
+      }
+    }
+  }
+
+  // --- loop filter ---
+  if (filter_type > 0) {
+    for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+      for (int mb_x = 0; mb_x < mb_w; mb_x++) {
+        MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
+        const int32_t* fi = finfo + (mb.segment * 2 + (mb.is_i4 ? 1 : 0)) * 3;
+        int limit = fi[0], il = fi[1], hv = fi[2];
+        if (limit < 0) continue;
+        bool inner = mb.is_i4 || !mb.skip;
+        uint8_t* yp = y_out + (size_t)mb_y * 16 * ys + mb_x * 16;
+        if (filter_type == 1) {
+          if (mb_x > 0) filter_simple(yp, 1, ys, 16, limit + 4);
+          if (inner)
+            for (int dx = 4; dx <= 12; dx += 4)
+              filter_simple(yp + dx, 1, ys, 16, limit);
+          if (mb_y > 0) filter_simple(yp, ys, 1, 16, limit + 4);
+          if (inner)
+            for (int dy = 4; dy <= 12; dy += 4)
+              filter_simple(yp + (size_t)dy * ys, ys, 1, 16, limit);
+        } else {
+          uint8_t* up = u_out + (size_t)mb_y * 8 * cs + mb_x * 8;
+          uint8_t* vp = v_out + (size_t)mb_y * 8 * cs + mb_x * 8;
+          if (mb_x > 0) {
+            filter_loop26(yp, 1, ys, 16, limit + 4, il, hv);
+            filter_loop26(up, 1, cs, 8, limit + 4, il, hv);
+            filter_loop26(vp, 1, cs, 8, limit + 4, il, hv);
+          }
+          if (inner) {
+            for (int dx = 4; dx <= 12; dx += 4)
+              filter_loop24(yp + dx, 1, ys, 16, limit, il, hv);
+            filter_loop24(up + 4, 1, cs, 8, limit, il, hv);
+            filter_loop24(vp + 4, 1, cs, 8, limit, il, hv);
+          }
+          if (mb_y > 0) {
+            filter_loop26(yp, ys, 1, 16, limit + 4, il, hv);
+            filter_loop26(up, cs, 1, 8, limit + 4, il, hv);
+            filter_loop26(vp, cs, 1, 8, limit + 4, il, hv);
+          }
+          if (inner) {
+            for (int dy = 4; dy <= 12; dy += 4)
+              filter_loop24(yp + (size_t)dy * ys, ys, 1, 16, limit, il, hv);
+            filter_loop24(up + (size_t)4 * cs, cs, 1, 8, limit, il, hv);
+            filter_loop24(vp + (size_t)4 * cs, cs, 1, 8, limit, il, hv);
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -96,5 +96,17 @@ def _configure(lib) -> None:
         u32p, c.c_int, c.c_int, u32p, c.c_int, c.c_int,
     ]
 
+    lib.wtpu_vp8_decode_frame.restype = c.c_int
+    lib.wtpu_vp8_decode_frame.argtypes = [
+        u8p, c.c_uint64, c.c_uint64, c.c_uint32, c.c_uint32, c.c_uint32,
+        u8p, u64p, c.c_int,                   # parts, offsets, num_parts
+        c.c_int, c.c_int,                     # mb_w, mb_h
+        c.c_int, u8p,                         # update_map, segment_probs
+        c.c_int, c.c_int,                     # use_skip, skip_p
+        u8p, i32p,                            # coeff_probs, quants
+        c.c_int, i32p,                        # filter_type, finfo
+        u8p, u8p, u8p,                        # y, u, v out
+    ]
+
 
 __all__ = ["get_lib", "available"]

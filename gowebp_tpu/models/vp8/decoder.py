@@ -89,6 +89,7 @@ class FrameState:
     use_skip_proba: bool = False
     skip_p: int = 0
     partitions: list = field(default_factory=list)  # BoolDecoder per partition
+    partition_bytes: list = field(default_factory=list)
 
 
 def _clip(v, mx):
@@ -166,8 +167,10 @@ def parse_frame_header(payload: bytes) -> tuple[FrameState, BoolDecoder]:
     for p in range(num_parts - 1):
         psz = rest[3 * p] | (rest[3 * p + 1] << 8) | (rest[3 * p + 2] << 16)
         psz = min(psz, len(rest) - pos)
+        st.partition_bytes.append(rest[pos : pos + psz])
         st.partitions.append(BoolDecoder(rest[pos : pos + psz]))
         pos += psz
+    st.partition_bytes.append(rest[pos:])
     st.partitions.append(BoolDecoder(rest[pos:]))
 
     # Quantizers (RFC 9.6).
@@ -658,9 +661,79 @@ def _loop_filter(st: FrameState, mbs, Y, U, V):
 # ---------------------------------------------------------------------------
 
 
+def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder):
+    """C++ full-frame decode (symbols + recon + filter); None if unavailable."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_decode_frame"):
+        return None
+    mb_w, mb_h = st.mb_w, st.mb_h
+    parts = b"".join(st.partition_bytes)
+    offsets = np.zeros(len(st.partition_bytes) + 1, np.uint64)
+    acc = 0
+    for i, pb in enumerate(st.partition_bytes):
+        offsets[i] = acc
+        acc += len(pb)
+    offsets[-1] = acc
+
+    seg_probs = np.array(st.segment_probs, np.uint8)
+    probs = np.ascontiguousarray(st.coeff_probs, np.uint8)
+    quants = np.zeros((4, 6), np.int32)
+    for s, m in enumerate(st.dqm):
+        quants[s] = [m.y1_dc, m.y1_ac, m.y2_dc, m.y2_ac, m.uv_dc, m.uv_ac]
+    finfo_py = _precompute_filter_info(st)
+    finfo = np.full((4, 2, 3), -1, np.int32)
+    for s in range(4):
+        for i4 in range(2):
+            fi = finfo_py[s][i4]
+            if fi is not None:
+                finfo[s, i4] = fi
+    Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+    U = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+    V = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+
+    def u8p(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    p0 = bd.data if isinstance(bd.data, bytes) else bytes(bd.data)
+    p0_buf = (ctypes.c_uint8 * len(p0)).from_buffer_copy(p0) if p0 else None
+    parts_buf = (ctypes.c_uint8 * max(1, len(parts))).from_buffer_copy(
+        parts if parts else b"\x00"
+    )
+    rc = lib.wtpu_vp8_decode_frame(
+        p0_buf, len(p0), bd.pos, bd.value, bd.range, bd.bit_count,
+        parts_buf,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(st.partition_bytes),
+        mb_w, mb_h,
+        int(st.segment_hdr.update_map),
+        seg_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(st.use_skip_proba), st.skip_p,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        quants.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        st.filter_type,
+        finfo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        u8p(Y), u8p(U), u8p(V),
+    )
+    if rc != 0:
+        raise BitstreamError(f"native vp8 decode failed (code {rc})")
+    W, H = st.width, st.height
+    return (
+        Y[:H, :W],
+        U[: (H + 1) // 2, : (W + 1) // 2],
+        V[: (H + 1) // 2, : (W + 1) // 2],
+    )
+
+
 def decode_vp8_yuv(payload: bytes):
     """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped)."""
     st, bd = parse_frame_header(payload)
+    native = _decode_vp8_yuv_native(st, bd)
+    if native is not None:
+        return native
     mb_w, mb_h = st.mb_w, st.mb_h
 
     # Mode/nz context arrays.

@@ -26,14 +26,15 @@ def _clip8(v):
 
 def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Full-resolution Y/U/V planes (int arrays) → (H, W, 3) uint8 RGB."""
-    y = y.astype(np.int64)
-    u = u.astype(np.int64)
-    v = v.astype(np.int64)
+    y = y.astype(np.int32)
+    u = u.astype(np.int32)
+    v = v.astype(np.int32)
     yy = _mult_hi(y, 19077)
-    r = _clip8(yy + _mult_hi(v, 26149) - 14234)
-    g = _clip8(yy - _mult_hi(u, 6419) - _mult_hi(v, 13320) + 8708)
-    b = _clip8(yy + _mult_hi(u, 33050) - 17685)
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    out = np.empty(y.shape + (3,), np.uint8)
+    out[..., 0] = _clip8(yy + _mult_hi(v, 26149) - 14234)
+    out[..., 1] = _clip8(yy - _mult_hi(u, 6419) - _mult_hi(v, 13320) + 8708)
+    out[..., 2] = _clip8(yy + _mult_hi(u, 33050) - 17685)
+    return out
 
 
 def rgb_to_y(r, g, b, rounding: int = YUV_HALF):
@@ -97,17 +98,45 @@ def _upsample_pair(T: np.ndarray, B: np.ndarray, width: int) -> tuple[np.ndarray
 
 
 def fancy_upsample(chroma: np.ndarray, height: int, width: int) -> np.ndarray:
-    """(H2, W2) chroma plane → (height, width) full-res plane (uint8)."""
-    h2 = chroma.shape[0]
-    out = np.empty((height, width), np.int64)
+    """(H2, W2) chroma plane → (height, width) full-res plane (uint8).
+
+    Fully vectorized: all row pairs are computed at once.
+    """
+    h2, w2 = chroma.shape
+    out = np.empty((height, width), np.int32)
+    ch = chroma.astype(np.int32)
     # Row 0: self-pair of chroma row 0 (pure horizontal interpolation).
     out[0], _ = _upsample_pair(chroma[0], chroma[0], width)
-    for k in range(h2 - 1):
-        top, bot = _upsample_pair(chroma[k], chroma[k + 1], width)
-        if 2 * k + 1 < height:
-            out[2 * k + 1] = top
-        if 2 * k + 2 < height:
-            out[2 * k + 2] = bot
+    if h2 > 1:
+        T = ch[:-1]   # (h2-1, w2)
+        B = ch[1:]
+        top_rows = out[1 : 2 * h2 - 2 : 2]   # rows 2k+1, k=0..h2-2
+        # Column 0.
+        top_rows[:, 0] = (3 * T[:, 0] + B[:, 0] + 2) >> 2
+        # Interior.
+        if w2 > 1:
+            tl = T[:, :-1]
+            t = T[:, 1:]
+            l = B[:, :-1]
+            c = B[:, 1:]
+            avg = tl + t + l + c + 8
+            diag_12 = (avg + 2 * (t + l)) >> 3
+            diag_03 = (avg + 2 * (tl + c)) >> 3
+            n = w2 - 1
+            top_rows[:, 1 : 2 * n : 2] = (diag_12 + tl) >> 1
+            top_rows[:, 2 : 2 * n + 2 : 2] = (diag_03 + t) >> 1
+        if width % 2 == 0 and width > 1:
+            top_rows[:, width - 1] = (3 * T[:, w2 - 1] + B[:, w2 - 1] + 2) >> 2
+        # Bottom rows of each pair (2k+2): may exclude the final row when
+        # height is odd... 2k+2 <= 2*h2-2 <= height ✓ always in range for
+        # height in {2*h2-1, 2*h2}.
+        bot = out[2 : 2 * h2 - 1 : 2]
+        bot[:, 0] = (3 * B[:, 0] + T[:, 0] + 2) >> 2
+        if w2 > 1:
+            bot[:, 1 : 2 * n : 2] = (diag_03 + l) >> 1
+            bot[:, 2 : 2 * n + 2 : 2] = (diag_12 + c) >> 1
+        if width % 2 == 0 and width > 1:
+            bot[:, width - 1] = (3 * B[:, w2 - 1] + T[:, w2 - 1] + 2) >> 2
     if height % 2 == 0 and height > 1:
         last, _ = _upsample_pair(chroma[h2 - 1], chroma[h2 - 1], width)
         out[height - 1] = last
