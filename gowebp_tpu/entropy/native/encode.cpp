@@ -1,0 +1,373 @@
+// Native encode emission: VP8 boolean-coded token streams and VP8L
+// LSB-first Huffman emission, driven from per-MB/per-op tensors produced
+// by the (NumPy or TPU) dense phase.
+//
+// Mirrors the decode semantics in vp8_dec.cpp exactly (same contexts,
+// same token tree); the Python emitter (models/vp8/encoder.py) is the
+// correctness oracle.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+#include "vp8_tables.h"
+
+namespace {
+
+// ----------------------------------------------------------------------
+// Boolean encoder (RFC 6386, carry-propagating).
+// ----------------------------------------------------------------------
+struct BoolEnc {
+  std::vector<uint8_t> buf;
+  uint64_t bottom = 0;
+  uint32_t range = 255;
+  int bit_count = 24;
+
+  inline void carry() {
+    int i = (int)buf.size() - 1;
+    while (i >= 0 && buf[i] == 0xff) buf[i--] = 0;
+    if (i >= 0) buf[i]++;
+  }
+  inline void put(int bit, int prob) {
+    uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
+    if (bit) {
+      bottom += split;
+      if (bottom >> 32) { carry(); bottom &= 0xffffffffull; }
+      range -= split;
+    } else {
+      range = split;
+    }
+    while (range < 128) {
+      range <<= 1;
+      if (bottom & 0x80000000ull) carry();
+      bottom = (bottom << 1) & 0xffffffffull;
+      if (--bit_count == 0) {
+        buf.push_back((uint8_t)(bottom >> 24));
+        bottom &= 0xffffff;
+        bit_count = 8;
+      }
+    }
+  }
+  void finish() {
+    for (int i = 0; i < 32; i++) {
+      if (bottom & 0x80000000ull) carry();
+      bottom = (bottom << 1) & 0xffffffffull;
+      if (--bit_count == 0) {
+        buf.push_back((uint8_t)(bottom >> 24));
+        bottom &= 0xffffff;
+        bit_count = 8;
+      }
+    }
+  }
+};
+
+// ----------------------------------------------------------------------
+// Token walk over one 4x4 block of levels (zigzag order).
+// Sink: either count stats or emit bits.
+// ----------------------------------------------------------------------
+struct StatsSink {
+  int64_t* stats;  // [4][8][3][11][2]
+  inline void bit(int t, int b, int c, int p, int v) {
+    stats[(((t * 8 + b) * 3 + c) * 11 + p) * 2 + v]++;
+  }
+  inline void fixed(int, int) {}
+};
+
+struct EmitSink {
+  BoolEnc* enc;
+  const uint8_t* probs;  // [4][8][3][11]
+  inline void bit(int t, int b, int c, int p, int v) {
+    enc->put(v, probs[((t * 8 + b) * 3 + c) * 11 + p]);
+  }
+  inline void fixed(int prob, int v) { enc->put(v, prob); }
+};
+
+template <typename Sink>
+static void record_large(Sink& s, int t, int b, int c, int v) {
+  if (v <= 4) {
+    s.bit(t, b, c, 3, 0);
+    if (v == 2) s.bit(t, b, c, 4, 0);
+    else { s.bit(t, b, c, 4, 1); s.bit(t, b, c, 5, v - 3); }
+    return;
+  }
+  s.bit(t, b, c, 3, 1);
+  if (v <= 10) {
+    s.bit(t, b, c, 6, 0);
+    if (v <= 6) { s.bit(t, b, c, 7, 0); s.fixed(159, v - 5); }
+    else {
+      s.bit(t, b, c, 7, 1);
+      s.fixed(165, (v - 7) >> 1);
+      s.fixed(145, (v - 7) & 1);
+    }
+    return;
+  }
+  s.bit(t, b, c, 6, 1);
+  for (int cat = 0; cat < 4; cat++) {
+    int base = 3 + (8 << cat);
+    int span = 1 << kCatBits[cat];
+    if (v < base + span || cat == 3) {
+      int bit1 = cat >> 1, bit0 = cat & 1;
+      s.bit(t, b, c, 8, bit1);
+      s.bit(t, b, c, 9 + bit1, bit0);
+      int residue = v - base;
+      if (residue >= span) residue = span - 1;
+      for (int k = kCatBits[cat] - 1; k >= 0; k--)
+        s.fixed(kCatProbas[cat][kCatBits[cat] - 1 - k], (residue >> k) & 1);
+      return;
+    }
+  }
+}
+
+// Returns nz (last nonzero position + 1, or `first` when empty).
+template <typename Sink>
+static int record_coeffs(Sink& s, int t, const int16_t* levels, int ctx,
+                         int first) {
+  int last = -1;
+  for (int n = 15; n >= first; n--)
+    if (levels[n]) { last = n; break; }
+  if (last < 0) {
+    s.bit(t, kBands[first], ctx, 0, 0);
+    return first;
+  }
+  int n = first;
+  int b = kBands[n], c = ctx;
+  while (n <= last) {
+    s.bit(t, b, c, 0, 1);
+    while (levels[n] == 0) {
+      s.bit(t, b, c, 1, 0);
+      n++;
+      b = kBands[n];
+      c = 0;
+    }
+    s.bit(t, b, c, 1, 1);
+    int v = levels[n];
+    int sign = v < 0;
+    int av = sign ? -v : v;
+    int next_c;
+    if (av == 1) { s.bit(t, b, c, 2, 0); next_c = 1; }
+    else { s.bit(t, b, c, 2, 1); record_large(s, t, b, c, av); next_c = 2; }
+    s.fixed(128, sign);
+    n++;
+    if (n == 16) return 16;
+    b = kBands[n];
+    c = next_c;
+  }
+  s.bit(t, b, c, 0, 0);
+  return last + 1;
+}
+
+struct Ctx2 { uint32_t nz = 0, nz_dc = 0; };
+
+// Walk one MB; returns true if the MB is entirely empty.
+template <typename Sink>
+static bool walk_mb(Sink& s, const int16_t* y2, const int16_t* yl,
+                    const int16_t* uvl, int is_i4, Ctx2& above, Ctx2& left,
+                    bool emit_tokens) {
+  // Compute emptiness up-front (decides skip).
+  bool empty = true;
+  if (!is_i4) {
+    for (int i = 0; i < 16 && empty; i++) if (y2[i]) empty = false;
+  }
+  int first = is_i4 ? 0 : 1;
+  for (int bi = 0; bi < 16 && empty; bi++)
+    for (int n = first; n < 16; n++)
+      if (yl[bi * 16 + n]) { empty = false; break; }
+  for (int bi = 0; bi < 8 && empty; bi++)
+    for (int n = 0; n < 16; n++)
+      if (uvl[bi * 16 + n]) { empty = false; break; }
+
+  if (!emit_tokens || empty) {
+    // Context update mirrors the decoder's skip path.
+    above.nz = 0;
+    left.nz = 0;
+    if (!is_i4) { above.nz_dc = 0; left.nz_dc = 0; }
+    return empty;
+  }
+
+  int t_ac;
+  if (!is_i4) {
+    int ctx = (int)(above.nz_dc + left.nz_dc);
+    int nz = record_coeffs(s, 1, y2, ctx, 0);
+    above.nz_dc = left.nz_dc = (nz > 0);
+    t_ac = 0;
+  } else {
+    t_ac = 3;
+  }
+  uint32_t tnz = above.nz & 0x0f, lnz = left.nz & 0x0f;
+  for (int yy = 0; yy < 4; yy++) {
+    uint32_t l = lnz & 1;
+    for (int xx = 0; xx < 4; xx++) {
+      int ctx = (int)(l + (tnz & 1));
+      int nz = record_coeffs(s, t_ac, yl + (4 * yy + xx) * 16, ctx, first);
+      l = nz > first;
+      tnz = (tnz >> 1) | (l << 7);
+    }
+    tnz >>= 4;
+    lnz = (lnz >> 1) | (l << 7);
+  }
+  uint32_t out_t = tnz, out_l = lnz >> 4;
+  for (int ch = 0; ch < 4; ch += 2) {
+    tnz = (above.nz >> (4 + ch)) & 0xff;
+    lnz = (left.nz >> (4 + ch)) & 0xff;
+    uint32_t l = 0;
+    for (int yy = 0; yy < 2; yy++) {
+      l = lnz & 1;
+      for (int xx = 0; xx < 2; xx++) {
+        int ctx = (int)(l + (tnz & 1));
+        int nz = record_coeffs(s, 2, uvl + (2 * ch + 2 * yy + xx) * 16, ctx, 0);
+        l = nz > 0;
+        tnz = (tnz >> 1) | (l << 3);
+      }
+      tnz >>= 2;
+      lnz = (lnz >> 1) | (l << 5);
+    }
+    out_t |= (tnz << 4) << ch;
+    out_l |= (lnz & 0xf0) << ch;
+  }
+  above.nz = out_t;
+  left.nz = out_l;
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: statistics + skip flags.  Layouts (per MB, raster):
+//   y2:  mbs*16 int16   yl: mbs*16*16   uvl: mbs*8*16
+int wtpu_vp8_token_stats(const int16_t* y2, const int16_t* yl,
+                         const int16_t* uvl, const uint8_t* is_i4,
+                         int mb_w, int mb_h,
+                         int64_t* stats, uint8_t* skip_out) {
+  StatsSink sink{stats};
+  std::vector<Ctx2> above(mb_w);
+  for (int my = 0; my < mb_h; my++) {
+    Ctx2 left;
+    for (int mx = 0; mx < mb_w; mx++) {
+      size_t m = (size_t)my * mb_w + mx;
+      bool empty = walk_mb(sink, y2 + m * 16, yl + m * 256, uvl + m * 128,
+                           is_i4[m], above[mx], left, true);
+      skip_out[m] = empty;
+    }
+  }
+  return 0;
+}
+
+// Pass 2: emit the token partition with finalized probabilities.
+// skip_flags: from pass 1; use_skip: whether skipped MBs are elided.
+int wtpu_vp8_token_emit(const int16_t* y2, const int16_t* yl,
+                        const int16_t* uvl, const uint8_t* is_i4,
+                        int mb_w, int mb_h, const uint8_t* probs,
+                        int use_skip, const uint8_t* skip_flags,
+                        uint8_t** out_data, uint64_t* out_size) {
+  BoolEnc enc;
+  EmitSink sink{&enc, probs};
+  std::vector<Ctx2> above(mb_w);
+  for (int my = 0; my < mb_h; my++) {
+    Ctx2 left;
+    for (int mx = 0; mx < mb_w; mx++) {
+      size_t m = (size_t)my * mb_w + mx;
+      bool emit = !(use_skip && skip_flags[m]);
+      walk_mb(sink, y2 + m * 16, yl + m * 256, uvl + m * 128, is_i4[m],
+              above[mx], left, emit);
+    }
+  }
+  enc.finish();
+  uint8_t* out = (uint8_t*)std::malloc(enc.buf.size());
+  std::memcpy(out, enc.buf.data(), enc.buf.size());
+  *out_data = out;
+  *out_size = enc.buf.size();
+  return 0;
+}
+
+void wtpu_free(void* p) { std::free(p); }
+
+// ----------------------------------------------------------------------
+// VP8L emission: write the op stream with prebuilt canonical codes.
+// ----------------------------------------------------------------------
+
+struct LBitWriter {
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int used = 0;
+  inline void put(uint32_t v, int n) {
+    acc |= (uint64_t)(v & ((1u << n) - 1)) << used;
+    used += n;
+    while (used >= 8) {
+      buf.push_back((uint8_t)(acc & 0xff));
+      acc >>= 8;
+      used -= 8;
+    }
+  }
+};
+
+static void prefix_encode_c(int value, int* code, int* nbits, int* bits) {
+  int u = value - 1;
+  if (u < 4) { *code = u; *nbits = 0; *bits = 0; return; }
+  int e = 0;
+  { int x = u; while (x >= 4) { x >>= 1; e++; } e--; }
+  if (u < (3 << e)) { *code = 2 * e + 2; *nbits = e; *bits = u - (2 << e); }
+  else { *code = 2 * e + 3; *nbits = e; *bits = u - (3 << e); }
+}
+
+// Continue an existing partial-byte bitstream: pass in trailing bits.
+int wtpu_vp8l_emit(
+    const uint8_t* ops, const uint32_t* argbs, const int32_t* lengths,
+    const int32_t* dists, int64_t n_ops, int width,
+    const uint16_t* code_bits,   // 5 concatenated code tables (bits)
+    const uint8_t* code_lens,    // same layout (lengths)
+    const int32_t* code_offsets, // [5] offsets into the tables
+    const int32_t* dist_lut, int dist_lut_size,   // dist -> plane code (or 0)
+    uint32_t acc_in, int used_in,
+    uint8_t** out_data, uint64_t* out_size, uint32_t* acc_out, int* used_out) {
+  LBitWriter bw;
+  bw.acc = acc_in;
+  bw.used = used_in;
+  const uint16_t* gb = code_bits + code_offsets[0];
+  const uint8_t* gl = code_lens + code_offsets[0];
+  const uint16_t* rb = code_bits + code_offsets[1];
+  const uint8_t* rl = code_lens + code_offsets[1];
+  const uint16_t* bb = code_bits + code_offsets[2];
+  const uint8_t* bl = code_lens + code_offsets[2];
+  const uint16_t* ab = code_bits + code_offsets[3];
+  const uint8_t* al = code_lens + code_offsets[3];
+  const uint16_t* db = code_bits + code_offsets[4];
+  const uint8_t* dl = code_lens + code_offsets[4];
+
+  for (int64_t i = 0; i < n_ops; i++) {
+    if (ops[i] == 0) {
+      uint32_t a = argbs[i];
+      uint32_t g = (a >> 8) & 0xff;
+      bw.put(gb[g], gl[g]);
+      uint32_t r = (a >> 16) & 0xff;
+      bw.put(rb[r], rl[r]);
+      uint32_t b = a & 0xff;
+      bw.put(bb[b], bl[b]);
+      uint32_t al_ = (a >> 24) & 0xff;
+      bw.put(ab[al_], al[al_]);
+    } else if (ops[i] == 1) {
+      int code, nbits, bits;
+      prefix_encode_c(lengths[i], &code, &nbits, &bits);
+      bw.put(gb[256 + code], gl[256 + code]);
+      if (nbits) bw.put((uint32_t)bits, nbits);
+      int d = dists[i];
+      int plane = (d < dist_lut_size && dist_lut[d]) ? dist_lut[d] : d + 120;
+      prefix_encode_c(plane, &code, &nbits, &bits);
+      bw.put(db[code], dl[code]);
+      if (nbits) bw.put((uint32_t)bits, nbits);
+    } else {  // cache index
+      uint32_t idx = (uint32_t)lengths[i];
+      bw.put(gb[280 + idx], gl[280 + idx]);
+    }
+  }
+  uint8_t* out = (uint8_t*)std::malloc(bw.buf.size() ? bw.buf.size() : 1);
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  *out_data = out;
+  *out_size = bw.buf.size();
+  *acc_out = (uint32_t)bw.acc;
+  *used_out = bw.used;
+  return 0;
+}
+
+}  // extern "C"

@@ -737,3 +737,273 @@ int wtpu_vp8_decode_frame(
 }
 
 }  // extern "C"
+
+// ----------------------------------------------------------------------
+// Closed-loop i16 encoder dense phase (mode search + FDCT/FWHT + quant +
+// exact decoder-mirror reconstruction).  Host production path; the TPU
+// plane engine (ops/encode_plane_jax.py) is the batched open-loop twin.
+// ----------------------------------------------------------------------
+
+namespace {
+
+static void fdct4x4(const int16_t* src, const uint8_t* pred, int src_stride,
+                    int pred_stride, int16_t* out) {
+  int32_t tmp[16];
+  for (int i = 0; i < 4; i++) {
+    int d0 = src[i * src_stride + 0] - pred[i * pred_stride + 0];
+    int d1 = src[i * src_stride + 1] - pred[i * pred_stride + 1];
+    int d2 = src[i * src_stride + 2] - pred[i * pred_stride + 2];
+    int d3 = src[i * src_stride + 3] - pred[i * pred_stride + 3];
+    int a0 = d0 + d3, a1 = d1 + d2, a2 = d1 - d2, a3 = d0 - d3;
+    tmp[i * 4 + 0] = (a0 + a1) * 8;
+    tmp[i * 4 + 1] = (a2 * 2217 + a3 * 5352 + 1812) >> 9;
+    tmp[i * 4 + 2] = (a0 - a1) * 8;
+    tmp[i * 4 + 3] = (a3 * 2217 - a2 * 5352 + 937) >> 9;
+  }
+  for (int i = 0; i < 4; i++) {
+    int32_t a0 = tmp[0 + i] + tmp[12 + i];
+    int32_t a1 = tmp[4 + i] + tmp[8 + i];
+    int32_t a2 = tmp[4 + i] - tmp[8 + i];
+    int32_t a3 = tmp[0 + i] - tmp[12 + i];
+    out[0 + i] = (int16_t)((a0 + a1 + 7) >> 4);
+    out[4 + i] = (int16_t)(((a2 * 2217 + a3 * 5352 + 12000) >> 16) +
+                           (a3 != 0));
+    out[8 + i] = (int16_t)((a0 - a1 + 7) >> 4);
+    out[12 + i] = (int16_t)((a3 * 2217 - a2 * 5352 + 51000) >> 16);
+  }
+}
+
+static void fwht4x4(const int16_t* dcs, int16_t* out) {
+  int32_t tmp[16];
+  for (int i = 0; i < 4; i++) {
+    int32_t a0 = dcs[i * 4 + 0] + dcs[i * 4 + 3];
+    int32_t a1 = dcs[i * 4 + 1] + dcs[i * 4 + 2];
+    int32_t a2 = dcs[i * 4 + 1] - dcs[i * 4 + 2];
+    int32_t a3 = dcs[i * 4 + 0] - dcs[i * 4 + 3];
+    tmp[i * 4 + 0] = a0 + a1;
+    tmp[i * 4 + 1] = a3 + a2;
+    tmp[i * 4 + 2] = a0 - a1;
+    tmp[i * 4 + 3] = a3 - a2;
+  }
+  for (int i = 0; i < 4; i++) {
+    int32_t a0 = tmp[0 + i] + tmp[12 + i];
+    int32_t a1 = tmp[4 + i] + tmp[8 + i];
+    int32_t a2 = tmp[4 + i] - tmp[8 + i];
+    int32_t a3 = tmp[0 + i] - tmp[12 + i];
+    out[0 + i] = (int16_t)((a0 + a1) >> 1);
+    out[4 + i] = (int16_t)((a3 + a2) >> 1);
+    out[8 + i] = (int16_t)((a0 - a1) >> 1);
+    out[12 + i] = (int16_t)((a3 - a2) >> 1);
+  }
+}
+
+struct QP {
+  int q, iq, bias;
+  void set(int q_, int b8) { q = q_; iq = (1 << 17) / q_; bias = b8 << 9; }
+  inline int quantize(int v) const {
+    int sign = v < 0;
+    int av = sign ? -v : v;
+    int lvl = (int)(((int64_t)av * iq + bias) >> 17);
+    if (lvl > 2047) lvl = 2047;
+    return sign ? -lvl : lvl;
+  }
+};
+
+// Quantize raster coeffs to zigzag levels; returns nonzero count.
+static int quant_block(const int16_t* coeffs, const QP& dc, const QP& ac,
+                       int first, int16_t* levels) {
+  int nz = 0;
+  for (int n = first; n < 16; n++) {
+    int j = kZigzag[n];
+    const QP& qp = n == 0 ? dc : ac;
+    int lvl = qp.quantize(coeffs[j]);
+    levels[n] = (int16_t)lvl;
+    nz |= lvl;
+  }
+  return nz != 0;
+}
+
+static void dequant_block(const int16_t* levels, int dc_q, int ac_q,
+                          int16_t* out) {
+  for (int n = 0; n < 16; n++)
+    out[kZigzag[n]] = (int16_t)(levels[n] * (n == 0 ? dc_q : ac_q));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Closed-loop dense encode: source planes → levels/modes (i16 only).
+// Layouts match wtpu_vp8_token_stats.  rec planes are scratch outputs.
+int wtpu_vp8_encode_frame(
+    const uint8_t* y_src, const uint8_t* u_src, const uint8_t* v_src,
+    int mb_w, int mb_h, const int32_t* qsteps,  // 6: y1dc..uvac
+    int16_t* y2_out, int16_t* yl_out, int16_t* uvl_out,
+    uint8_t* ymode_out, uint8_t* uvmode_out,
+    uint8_t* y_rec, uint8_t* u_rec, uint8_t* v_rec) {
+  const int ys = mb_w * 16, cs = mb_w * 8;
+  QP y1dc, y1ac, y2dc, y2ac, uvdc, uvac;
+  y1dc.set(qsteps[0], 96);
+  y1ac.set(qsteps[1], 110);
+  y2dc.set(qsteps[2], 96);
+  y2ac.set(qsteps[3], 96);
+  uvdc.set(qsteps[4], 110);
+  uvac.set(qsteps[5], 110);
+
+  std::vector<uint8_t> ybuf(17 * BUFS), ubuf(9 * BUFS), vbuf(9 * BUFS);
+  std::vector<uint8_t> trial(17 * BUFS);
+  int16_t src16[16 * 16];
+
+  for (int my = 0; my < mb_h; my++) {
+    for (int mx = 0; mx < mb_w; mx++) {
+      size_t m = (size_t)my * mb_w + mx;
+      bool ht = my > 0, hl = mx > 0;
+      // Borders from the reconstruction planes.
+      if (ht) {
+        const uint8_t* yt = y_rec + (size_t)(my * 16 - 1) * ys + mx * 16;
+        std::memcpy(&ybuf[1], yt, 16);
+        if (mx < mb_w - 1) std::memcpy(&ybuf[17], yt + 16, 4);
+        else std::memset(&ybuf[17], yt[15], 4);
+        const uint8_t* ut = u_rec + (size_t)(my * 8 - 1) * cs + mx * 8;
+        const uint8_t* vt = v_rec + (size_t)(my * 8 - 1) * cs + mx * 8;
+        std::memcpy(&ubuf[1], ut, 8);
+        std::memcpy(&vbuf[1], vt, 8);
+        ybuf[0] = hl ? yt[-1] : 129;
+        ubuf[0] = hl ? ut[-1] : 129;
+        vbuf[0] = hl ? vt[-1] : 129;
+      } else {
+        std::memset(&ybuf[0], 127, 21);
+        std::memset(&ubuf[0], 127, 9);
+        std::memset(&vbuf[0], 127, 9);
+      }
+      for (int r = 0; r < 16; r++)
+        ybuf[(1 + r) * BUFS] = hl ? y_rec[(size_t)(my * 16 + r) * ys + mx * 16 - 1] : 129;
+      for (int r = 0; r < 8; r++) {
+        ubuf[(1 + r) * BUFS] = hl ? u_rec[(size_t)(my * 8 + r) * cs + mx * 8 - 1] : 129;
+        vbuf[(1 + r) * BUFS] = hl ? v_rec[(size_t)(my * 8 + r) * cs + mx * 8 - 1] : 129;
+      }
+
+      const uint8_t* src = y_src + (size_t)my * 16 * ys + mx * 16;
+      // Luma mode search (SSE over DC/TM/VE/HE).
+      int best_mode = 0;
+      int64_t best_cost = -1;
+      for (int mode = 0; mode < 4; mode++) {
+        std::memcpy(trial.data(), ybuf.data(), trial.size());
+        predict_block(trial.data(), 0, 0, 16, mode, ht, hl);
+        int64_t cost = 0;
+        for (int r = 0; r < 16; r++)
+          for (int ccol = 0; ccol < 16; ccol++) {
+            int d = (int)src[r * ys + ccol] - trial[(1 + r) * BUFS + 1 + ccol];
+            cost += d * d;
+          }
+        if (best_cost < 0 || cost < best_cost) { best_cost = cost; best_mode = mode; }
+      }
+      ymode_out[m] = (uint8_t)best_mode;
+      predict_block(ybuf.data(), 0, 0, 16, best_mode, ht, hl);
+
+      for (int r = 0; r < 16; r++)
+        for (int cc = 0; cc < 16; cc++) src16[r * 16 + cc] = src[r * ys + cc];
+
+      int16_t coeffs[16][16];
+      int16_t dcs[16];
+      int16_t* yl = yl_out + m * 256;
+      for (int n = 0; n < 16; n++) {
+        int r = 4 * (n >> 2), cc = 4 * (n & 3);
+        fdct4x4(src16 + r * 16 + cc, &ybuf[(1 + r) * BUFS + 1 + cc], 16, BUFS,
+                coeffs[n]);
+        dcs[n] = coeffs[n][0];
+        for (int k = 0; k < 16; k++) yl[n * 16 + k] = 0;
+        quant_block(coeffs[n], y1dc, y1ac, 1, yl + n * 16);
+      }
+      int16_t y2c[16];
+      fwht4x4(dcs, y2c);
+      int16_t* y2l = y2_out + m * 16;
+      for (int k = 0; k < 16; k++) y2l[k] = 0;
+      quant_block(y2c, y2dc, y2ac, 0, y2l);
+
+      // Reconstruction.
+      int16_t y2_deq[16];
+      dequant_block(y2l, y2dc.q, y2ac.q, y2_deq);
+      int y2_nz = 0;
+      for (int k = 1; k < 16; k++) y2_nz |= y2l[k];
+      int32_t rdcs[16];
+      if (y2_nz) {
+        iwht4x4(y2_deq, rdcs);
+      } else {
+        int32_t dc0 = (y2_deq[0] + 3) >> 3;
+        for (int k = 0; k < 16; k++) rdcs[k] = dc0;
+      }
+      for (int n = 0; n < 16; n++) {
+        int r = 4 * (n >> 2), cc = 4 * (n & 3);
+        int16_t deq[16];
+        dequant_block(yl + n * 16, y1dc.q, y1ac.q, deq);
+        deq[0] = (int16_t)rdcs[n];
+        bool any = false;
+        for (int k = 0; k < 16; k++) if (deq[k]) { any = true; break; }
+        if (any) idct_add(deq, &ybuf[(1 + r) * BUFS + 1 + cc], BUFS);
+      }
+
+      // Chroma.
+      const uint8_t* us = u_src + (size_t)my * 8 * cs + mx * 8;
+      const uint8_t* vs = v_src + (size_t)my * 8 * cs + mx * 8;
+      best_mode = 0;
+      best_cost = -1;
+      for (int mode = 0; mode < 4; mode++) {
+        std::memcpy(trial.data(), ubuf.data(), 9 * BUFS);
+        predict_block(trial.data(), 0, 0, 8, mode, ht, hl);
+        int64_t cost = 0;
+        for (int r = 0; r < 8; r++)
+          for (int cc = 0; cc < 8; cc++) {
+            int d = (int)us[r * cs + cc] - trial[(1 + r) * BUFS + 1 + cc];
+            cost += d * d;
+          }
+        std::memcpy(trial.data(), vbuf.data(), 9 * BUFS);
+        predict_block(trial.data(), 0, 0, 8, mode, ht, hl);
+        for (int r = 0; r < 8; r++)
+          for (int cc = 0; cc < 8; cc++) {
+            int d = (int)vs[r * cs + cc] - trial[(1 + r) * BUFS + 1 + cc];
+            cost += d * d;
+          }
+        if (best_cost < 0 || cost < best_cost) { best_cost = cost; best_mode = mode; }
+      }
+      uvmode_out[m] = (uint8_t)best_mode;
+      predict_block(ubuf.data(), 0, 0, 8, best_mode, ht, hl);
+      predict_block(vbuf.data(), 0, 0, 8, best_mode, ht, hl);
+      int16_t* uvl = uvl_out + m * 128;
+      for (int half = 0; half < 2; half++) {
+        const uint8_t* cp = half == 0 ? us : vs;
+        uint8_t* cb = half == 0 ? ubuf.data() : vbuf.data();
+        int16_t csrc[64];
+        for (int r = 0; r < 8; r++)
+          for (int cc = 0; cc < 8; cc++) csrc[r * 8 + cc] = cp[r * cs + cc];
+        for (int n = 0; n < 4; n++) {
+          int r = 4 * (n >> 1), cc = 4 * (n & 1);
+          int16_t cf[16];
+          fdct4x4(csrc + r * 8 + cc, &cb[(1 + r) * BUFS + 1 + cc], 8, BUFS, cf);
+          int16_t* lv = uvl + (half * 4 + n) * 16;
+          for (int k = 0; k < 16; k++) lv[k] = 0;
+          quant_block(cf, uvdc, uvac, 0, lv);
+          int16_t deq[16];
+          dequant_block(lv, uvdc.q, uvac.q, deq);
+          bool any = false;
+          for (int k = 0; k < 16; k++) if (deq[k]) { any = true; break; }
+          if (any) idct_add(deq, &cb[(1 + r) * BUFS + 1 + cc], BUFS);
+        }
+      }
+
+      // Store reconstruction.
+      for (int r = 0; r < 16; r++)
+        std::memcpy(y_rec + (size_t)(my * 16 + r) * ys + mx * 16,
+                    &ybuf[(1 + r) * BUFS + 1], 16);
+      for (int r = 0; r < 8; r++) {
+        std::memcpy(u_rec + (size_t)(my * 8 + r) * cs + mx * 8,
+                    &ubuf[(1 + r) * BUFS + 1], 8);
+        std::memcpy(v_rec + (size_t)(my * 8 + r) * cs + mx * 8,
+                    &vbuf[(1 + r) * BUFS + 1], 8);
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

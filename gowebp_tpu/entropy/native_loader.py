@@ -96,6 +96,37 @@ def _configure(lib) -> None:
         u32p, c.c_int, c.c_int, u32p, c.c_int, c.c_int,
     ]
 
+    lib.wtpu_vp8_token_stats.restype = c.c_int
+    lib.wtpu_vp8_token_stats.argtypes = [
+        c.POINTER(c.c_int16), c.POINTER(c.c_int16), c.POINTER(c.c_int16),
+        u8p, c.c_int, c.c_int, c.POINTER(c.c_int64), u8p,
+    ]
+    lib.wtpu_vp8_token_emit.restype = c.c_int
+    lib.wtpu_vp8_token_emit.argtypes = [
+        c.POINTER(c.c_int16), c.POINTER(c.c_int16), c.POINTER(c.c_int16),
+        u8p, c.c_int, c.c_int, u8p, c.c_int, u8p,
+        c.POINTER(c.POINTER(c.c_uint8)), u64p,
+    ]
+    lib.wtpu_free.restype = None
+    lib.wtpu_free.argtypes = [c.c_void_p]
+    lib.wtpu_vp8l_emit.restype = c.c_int
+    lib.wtpu_vp8l_emit.argtypes = [
+        u8p, u32p, i32p, i32p, c.c_int64, c.c_int,
+        c.POINTER(c.c_uint16), u8p, i32p,
+        i32p, c.c_int,
+        c.c_uint32, c.c_int,
+        c.POINTER(c.POINTER(c.c_uint8)), u64p,
+        u32p, i32p,
+    ]
+
+    i16p = c.POINTER(c.c_int16)
+    lib.wtpu_vp8_encode_frame.restype = c.c_int
+    lib.wtpu_vp8_encode_frame.argtypes = [
+        u8p, u8p, u8p, c.c_int, c.c_int, i32p,
+        i16p, i16p, i16p, u8p, u8p,
+        u8p, u8p, u8p,
+    ]
+
     lib.wtpu_vp8_decode_frame.restype = c.c_int
     lib.wtpu_vp8_decode_frame.argtypes = [
         u8p, c.c_uint64, c.c_uint64, c.c_uint32, c.c_uint32, c.c_uint32,

@@ -530,6 +530,16 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig) -> bytes:
     mb_w = y.shape[1] // 16
     mb_h = y.shape[0] // 16
 
+    native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q)
+    if native is not None:
+        out = emit_frame_arrays(
+            native["y2"], native["yl"], native["uvl"], native["is_i4"],
+            native["ymode"], native["uvmode"],
+            mb_w, mb_h, width, height, base_q, config,
+        )
+        if out is not None:
+            return out
+
     # Reconstruction planes (context for prediction).
     Y = np.zeros_like(y)
     U = np.zeros_like(u)
@@ -562,22 +572,31 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig) -> bytes:
 def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
                base_q: int, config: EncoderConfig) -> bytes:
     """Headers + two-pass token emission from per-MB levels/modes."""
-    # Pass 1: tokenize with exact decoder contexts, collecting stats.
-    rec = TokenRecorder()
-    spans = []
-    ctx_above = [[0, 0] for _ in range(mb_w)]
-    for mb_y in range(mb_h):
-        ctx_left = [0, 0]
-        for mb_x in range(mb_w):
-            mb = mbs[mb_y][mb_x]
-            start = len(rec.tokens)
-            empty = _record_mb_tokens(rec, mb, ctx_above[mb_x], ctx_left)
-            mb.skip = empty
-            spans.append((mb_y, mb_x, start, len(rec.tokens)))
-
-    probs, updates = finalize_probas(rec.stats)
-    n_skip = sum(1 for row in mbs for mb in row if mb.skip)
     total = mb_w * mb_h
+    native = _native_tokenizer(mbs, mb_w, mb_h)
+
+    if native is not None:
+        stats, skip_flags = native["stats"], native["skip"]
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                mbs[my][mx].skip = bool(skip_flags[my * mb_w + mx])
+    else:
+        # Pass 1 in Python: tokenize with exact decoder contexts.
+        rec = TokenRecorder()
+        spans = []
+        ctx_above = [[0, 0] for _ in range(mb_w)]
+        for mb_y in range(mb_h):
+            ctx_left = [0, 0]
+            for mb_x in range(mb_w):
+                mb = mbs[mb_y][mb_x]
+                start = len(rec.tokens)
+                empty = _record_mb_tokens(rec, mb, ctx_above[mb_x], ctx_left)
+                mb.skip = empty
+                spans.append((mb_y, mb_x, start, len(rec.tokens)))
+        stats = rec.stats
+
+    probs, updates = finalize_probas(stats)
+    n_skip = sum(1 for row in mbs for mb in row if mb.skip)
     use_skip = n_skip > 0
     skip_p = max(1, min(255, ((total - n_skip) * 255) // total)) if use_skip else 0
 
@@ -593,7 +612,7 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     p0.put_literal(filter_level, 6)
     p0.put_literal(config.filter_sharpness, 3)
     p0.put_flag(0)  # no lf deltas
-    p0.put_literal(0, 2)  # log2(partitions) = 0 → 1 partition
+    p0.put_literal(0, 2)  # log2(partitions) = 0 -> 1 partition
     p0.put_literal(base_q, 7)
     for _ in range(5):  # y1dc/y2dc/y2ac/uvdc/uvac deltas = 0
         p0.put_flag(0)
@@ -616,19 +635,21 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     part0 = p0.finish()
 
     # Partition 1: tokens (skipped MBs emit nothing).
-    p1 = BoolEncoder()
-    token_probs = probs
-    for (mb_y, mb_x, start, end) in spans:
-        mb = mbs[mb_y][mb_x]
-        if use_skip and mb.skip:
-            continue
-        for tok in rec.tokens[start:end]:
-            if tok[0] == -1:
-                p1.put_bit(tok[2], tok[1])
-            else:
-                t, b, c, p, bit = tok
-                p1.put_bit(bit, int(token_probs[t, b, c, p]))
-    part1 = p1.finish()
+    if native is not None:
+        part1 = native["emit"](probs, use_skip)
+    else:
+        p1 = BoolEncoder()
+        for (mb_y, mb_x, start, end) in spans:
+            mb = mbs[mb_y][mb_x]
+            if use_skip and mb.skip:
+                continue
+            for tok in rec.tokens[start:end]:
+                if tok[0] == -1:
+                    p1.put_bit(tok[2], tok[1])
+                else:
+                    t, b, c, p, bit = tok
+                    p1.put_bit(bit, int(probs[t, b, c, p]))
+        part1 = p1.finish()
 
     # Frame tag.
     tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
@@ -641,6 +662,202 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
         )
     )
     return header + part0 + part1
+
+
+def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant):
+    """C++ closed-loop dense phase; returns level/mode arrays or None."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_encode_frame"):
+        return None
+    total = mb_w * mb_h
+    ys = np.ascontiguousarray(np.asarray(y), np.uint8)
+    us = np.ascontiguousarray(np.asarray(u), np.uint8)
+    vs = np.ascontiguousarray(np.asarray(v), np.uint8)
+    qsteps = np.array(
+        [q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q, q.uv_dc.q, q.uv_ac.q],
+        np.int32,
+    )
+    y2 = np.zeros((total, 16), np.int16)
+    yl = np.zeros((total, 16, 16), np.int16)
+    uvl = np.zeros((total, 8, 16), np.int16)
+    ymode = np.zeros(total, np.uint8)
+    uvmode = np.zeros(total, np.uint8)
+    yr = np.zeros_like(ys)
+    ur = np.zeros_like(us)
+    vr = np.zeros_like(vs)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.wtpu_vp8_encode_frame(
+        p(ys, ctypes.c_uint8), p(us, ctypes.c_uint8), p(vs, ctypes.c_uint8),
+        mb_w, mb_h, p(qsteps, ctypes.c_int32),
+        p(y2, ctypes.c_int16), p(yl, ctypes.c_int16), p(uvl, ctypes.c_int16),
+        p(ymode, ctypes.c_uint8), p(uvmode, ctypes.c_uint8),
+        p(yr, ctypes.c_uint8), p(ur, ctypes.c_uint8), p(vr, ctypes.c_uint8),
+    )
+    return {
+        "y2": y2, "yl": yl, "uvl": uvl,
+        "is_i4": np.zeros(total, np.uint8),
+        "ymode": ymode, "uvmode": uvmode,
+    }
+
+
+def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
+                      mb_w: int, mb_h: int, width: int, height: int,
+                      base_q: int, config: EncoderConfig) -> bytes | None:
+    """Array-driven emission via the native tokenizer (None w/o lib)."""
+    from types import SimpleNamespace
+
+    native = _native_tokenizer_arrays(y2, yl, uvl, is_i4, mb_w, mb_h)
+    if native is None:
+        return None
+    skip_flags = native["skip"]
+    ymodes_f = np.asarray(ymodes).reshape(-1)
+    uvmodes_f = np.asarray(uvmodes).reshape(-1)
+    mbs = [
+        [
+            SimpleNamespace(
+                skip=bool(skip_flags[my * mb_w + mx]),
+                ymode=int(ymodes_f[my * mb_w + mx]),
+                uvmode=int(uvmodes_f[my * mb_w + mx]),
+            )
+            for mx in range(mb_w)
+        ]
+        for my in range(mb_h)
+    ]
+    return _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config)
+
+
+def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config):
+    """Shared tail: probability finalization, headers, partitions."""
+    total = mb_w * mb_h
+    probs, updates = finalize_probas(native["stats"])
+    n_skip = sum(1 for row in mbs for mb in row if mb.skip)
+    use_skip = n_skip > 0
+    skip_p = max(1, min(255, ((total - n_skip) * 255) // total)) if use_skip else 0
+
+    p0 = BoolEncoder()
+    _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p)
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p)
+    part0 = p0.finish()
+    part1 = native["emit"](probs, use_skip)
+    return _frame_bytes(part0, part1, width, height)
+
+
+def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p):
+    p0.put_flag(0)  # color space
+    p0.put_flag(0)  # clamp type
+    p0.put_flag(0)  # no segmentation
+    filter_level = filter_level_from_q(
+        base_q, config.filter_strength, config.filter_sharpness
+    )
+    p0.put_flag(0 if config.filter_type else 1)
+    p0.put_literal(filter_level, 6)
+    p0.put_literal(config.filter_sharpness, 3)
+    p0.put_flag(0)  # no lf deltas
+    p0.put_literal(0, 2)  # 1 token partition
+    p0.put_literal(base_q, 7)
+    for _ in range(5):
+        p0.put_flag(0)
+    p0.put_flag(1)  # refresh entropy probs
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    if updates[t, b, c, p]:
+                        p0.put_bit(1, int(COEFF_UPDATE_PROBAS[t, b, c, p]))
+                        p0.put_literal(int(probs[t, b, c, p]), 8)
+                    else:
+                        p0.put_bit(0, int(COEFF_UPDATE_PROBAS[t, b, c, p]))
+    p0.put_flag(1 if use_skip else 0)
+    if use_skip:
+        p0.put_literal(skip_p, 8)
+
+
+def _frame_bytes(part0, part1, width, height):
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+    return bytes(
+        (
+            tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF,
+            0x9D, 0x01, 0x2A,
+            width & 0xFF, (width >> 8) & 0x3F,
+            height & 0xFF, (height >> 8) & 0x3F,
+        )
+    ) + part0 + part1
+
+
+def _native_tokenizer(mbs, mb_w: int, mb_h: int):
+    """Flatten MB levels and run the C++ stats pass; returns None w/o lib."""
+    from ...entropy.native_loader import get_lib
+
+    if get_lib() is None:
+        return None
+    total = mb_w * mb_h
+    y2 = np.zeros((total, 16), np.int16)
+    yl = np.zeros((total, 16, 16), np.int16)
+    uvl = np.zeros((total, 8, 16), np.int16)
+    is_i4 = np.zeros(total, np.uint8)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            m = my * mb_w + mx
+            mb = mbs[my][mx]
+            if mb.y2_levels is not None:
+                y2[m] = mb.y2_levels
+            yl[m] = mb.y_levels
+            uvl[m] = mb.uv_levels
+            is_i4[m] = 0
+    return _native_tokenizer_arrays(y2, yl, uvl, is_i4, mb_w, mb_h)
+
+
+def _native_tokenizer_arrays(y2, yl, uvl, is_i4, mb_w: int, mb_h: int):
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_token_stats"):
+        return None
+    total = mb_w * mb_h
+    y2 = np.ascontiguousarray(np.asarray(y2).reshape(total, 16), np.int16)
+    yl = np.ascontiguousarray(np.asarray(yl).reshape(total, 16, 16), np.int16)
+    uvl = np.ascontiguousarray(np.asarray(uvl).reshape(total, 8, 16), np.int16)
+    is_i4 = np.ascontiguousarray(np.asarray(is_i4).reshape(total), np.uint8)
+
+    stats = np.zeros((4, 8, 3, 11, 2), np.int64)
+    skip = np.zeros(total, np.uint8)
+
+    def i16p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+    def u8p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    lib.wtpu_vp8_token_stats(
+        i16p(y2), i16p(yl), i16p(uvl), u8p(is_i4), mb_w, mb_h,
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), u8p(skip),
+    )
+
+    def emit(probs, use_skip):
+        probs_c = np.ascontiguousarray(probs, np.uint8)
+        out_p = ctypes.POINTER(ctypes.c_uint8)()
+        out_n = ctypes.c_uint64(0)
+        lib.wtpu_vp8_token_emit(
+            i16p(y2), i16p(yl), i16p(uvl), u8p(is_i4), mb_w, mb_h,
+            u8p(probs_c), int(use_skip), u8p(skip),
+            ctypes.byref(out_p), ctypes.byref(out_n),
+        )
+        data = ctypes.string_at(out_p, out_n.value)
+        lib.wtpu_free(out_p)
+        return data
+
+    return {"stats": stats, "skip": skip, "emit": emit}
 
 
 def _fill_borders(Y, U, V, ybuf, ubuf, vbuf, mb_x, mb_y, mb_w):
@@ -697,6 +914,13 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
     y2_levels = np.asarray(out["y2_levels"])[0]
     uv_levels = np.asarray(out["uv_levels"])[0]
     mb_h, mb_w = ymode.shape
+    fast = emit_frame_arrays(
+        y2_levels, y_levels, uv_levels,
+        np.zeros(mb_h * mb_w, np.uint8), ymode, uvmode,
+        mb_w, mb_h, width, height, base_q, config,
+    )
+    if fast is not None:
+        return fast
     mbs = [[MBEnc() for _ in range(mb_w)] for _ in range(mb_h)]
     for my in range(mb_h):
         for mx in range(mb_w):
