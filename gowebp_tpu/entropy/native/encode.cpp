@@ -283,6 +283,44 @@ int wtpu_vp8_token_emit(const int16_t* y2, const int16_t* yl,
 
 void wtpu_free(void* p) { std::free(p); }
 
+// Greedy run-based LZ77 (dist 1 / dist width) over the flat ARGB image.
+// Returns op count; arrays must be sized n (worst case all literals).
+int64_t wtpu_vp8l_greedy_refs(const uint32_t* flat, int64_t n, int width,
+                              int min_len, int max_len,
+                              uint8_t* ops, uint32_t* argbs,
+                              int32_t* lengths, int32_t* dists) {
+  // run1[i]/runw[i] = run of equality starting at i vs i-1 / i-width.
+  std::vector<int32_t> run1(n + 1, 0), runw(n + 1, 0);
+  for (int64_t i = n - 1; i >= 1; i--)
+    run1[i] = flat[i] == flat[i - 1] ? run1[i + 1] + 1 : 0;
+  if (width < n)
+    for (int64_t i = n - 1; i >= width; i--)
+      runw[i] = flat[i] == flat[i - width] ? runw[i + 1] + 1 : 0;
+  int64_t n_ops = 0;
+  int64_t pos = 0;
+  while (pos < n) {
+    int32_t l1 = run1[pos], lw = runw[pos];
+    int32_t best = l1 > lw ? l1 : lw;
+    if (best >= min_len) {
+      int dist = l1 >= lw ? 1 : width;
+      int len = best < max_len ? best : max_len;
+      ops[n_ops] = 1;
+      argbs[n_ops] = 0;
+      lengths[n_ops] = len;
+      dists[n_ops] = dist;
+      pos += len;
+    } else {
+      ops[n_ops] = 0;
+      argbs[n_ops] = flat[pos];
+      lengths[n_ops] = 1;
+      dists[n_ops] = 0;
+      pos++;
+    }
+    n_ops++;
+  }
+  return n_ops;
+}
+
 // ----------------------------------------------------------------------
 // VP8L emission: write the op stream with prebuilt canonical codes.
 // ----------------------------------------------------------------------
@@ -306,7 +344,7 @@ static void prefix_encode_c(int value, int* code, int* nbits, int* bits) {
   int u = value - 1;
   if (u < 4) { *code = u; *nbits = 0; *bits = 0; return; }
   int e = 0;
-  { int x = u; while (x >= 4) { x >>= 1; e++; } e--; }
+  { int x = u; while (x >= 4) { x >>= 1; e++; } }
   if (u < (3 << e)) { *code = 2 * e + 2; *nbits = e; *bits = u - (2 << e); }
   else { *code = 2 * e + 3; *nbits = e; *bits = u - (3 << e); }
 }

@@ -119,6 +119,12 @@ def _configure(lib) -> None:
         u32p, i32p,
     ]
 
+    lib.wtpu_vp8l_greedy_refs.restype = c.c_int64
+    lib.wtpu_vp8l_greedy_refs.argtypes = [
+        u32p, c.c_int64, c.c_int, c.c_int, c.c_int,
+        u8p, u32p, i32p, i32p,
+    ]
+
     i16p = c.POINTER(c.c_int16)
     lib.wtpu_vp8_encode_frame.restype = c.c_int
     lib.wtpu_vp8_encode_frame.argtypes = [

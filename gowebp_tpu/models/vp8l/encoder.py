@@ -211,9 +211,12 @@ def build_backward_refs(argb: np.ndarray, width: int) -> RefStream:
     """Greedy run-based LZ77 over the flattened image.
 
     Finds maximal runs matching at distance 1 (left) and `width` (above) —
-    the two dominant distances in natural/graphic images — entirely with
-    NumPy.  A full hash-chain matcher is the native-layer upgrade path.
+    the two dominant distances in natural/graphic images.  Native C++
+    walk when available, NumPy otherwise.
     """
+    native = _build_backward_refs_native(argb, width)
+    if native is not None:
+        return native
     flat = argb.reshape(-1)
     n = len(flat)
     eq1 = np.zeros(n, bool)
@@ -251,6 +254,31 @@ def build_backward_refs(argb: np.ndarray, width: int) -> RefStream:
         np.array(lens, np.int32),
         np.array(dists, np.int32),
     )
+
+
+def _build_backward_refs_native(argb: np.ndarray, width: int) -> RefStream | None:
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_greedy_refs"):
+        return None
+    flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+    n = len(flat)
+    ops = np.zeros(n, np.uint8)
+    argbs = np.zeros(n, np.uint32)
+    lens = np.zeros(n, np.int32)
+    dists = np.zeros(n, np.int32)
+    n_ops = lib.wtpu_vp8l_greedy_refs(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, width, MIN_COPY_LEN, MAX_COPY_LEN,
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        argbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return RefStream(ops[:n_ops], argbs[:n_ops], lens[:n_ops], dists[:n_ops])
 
 
 def _forward_run_lengths(eq: np.ndarray) -> np.ndarray:
@@ -308,6 +336,36 @@ def dist_to_plane_code(width: int, dist: int, lut: dict[int, int]) -> int:
 # ---------------------------------------------------------------------------
 
 
+def prefix_encode_vec(values: np.ndarray):
+    """Vectorized prefix_encode → (codes, extra_bit_counts, extra_values)."""
+    u = values.astype(np.int64) - 1
+    small = u < 4
+    # bit_length via frexp (exact for the 1..2^20 range used here).
+    _, e = np.frexp(np.maximum(u, 1).astype(np.float64))
+    bl = e.astype(np.int64)
+    eb = np.maximum(bl - 2, 0)
+    hi = u >= (3 << eb)
+    code = np.where(small, u, 2 * eb + 2 + hi)
+    nbits = np.where(small, 0, eb)
+    base = np.where(hi, (3 << eb), (2 << eb))
+    extra = np.where(small, 0, u - base)
+    return code.astype(np.int64), nbits.astype(np.int64), extra.astype(np.int64)
+
+
+def _build_dist_lut_array(width: int) -> np.ndarray:
+    """dist → plane code (0 where the far-code d+120 applies)."""
+    from .decoder import DIST_MAP
+
+    size = 7 * width + 9
+    lut = np.zeros(size, np.int32)
+    for code in range(120, 0, -1):
+        dx, dy = DIST_MAP[code - 1]
+        d = dy * width + dx
+        if 1 <= d < size:
+            lut[d] = code
+    return lut
+
+
 def _build_histograms(refs: RefStream, width: int, lut) -> list[np.ndarray]:
     green = np.zeros(NUM_LITERAL_CODES + NUM_LENGTH_CODES, np.int64)
     red = np.zeros(256, np.int64)
@@ -322,15 +380,79 @@ def _build_histograms(refs: RefStream, width: int, lut) -> list[np.ndarray]:
         red += np.bincount((lits >> 16) & 0xFF, minlength=256).astype(np.int64)[:256]
         blue += np.bincount(lits & 0xFF, minlength=256).astype(np.int64)[:256]
         alpha += np.bincount((lits >> 24) & 0xFF, minlength=256).astype(np.int64)[:256]
-    for i in np.flatnonzero(refs.ops == 1):
-        lcode, _, _ = prefix_encode(int(refs.lengths[i]))
-        green[NUM_LITERAL_CODES + lcode] += 1
-        dcode, _, _ = prefix_encode(dist_to_plane_code(width, int(refs.dists[i]), lut))
-        dist[dcode] += 1
+    copies = refs.ops == 1
+    if copies.any():
+        lcodes, _, _ = prefix_encode_vec(refs.lengths[copies])
+        green[NUM_LITERAL_CODES:] += np.bincount(
+            lcodes, minlength=NUM_LENGTH_CODES
+        )[:NUM_LENGTH_CODES]
+        ds = refs.dists[copies].astype(np.int64)
+        lut_arr = _build_dist_lut_array(width)
+        planes = np.where(
+            (ds < len(lut_arr)) & (lut_arr[np.minimum(ds, len(lut_arr) - 1)] > 0),
+            lut_arr[np.minimum(ds, len(lut_arr) - 1)],
+            ds + 120,
+        )
+        dcodes, _, _ = prefix_encode_vec(planes)
+        dist += np.bincount(dcodes, minlength=NUM_DISTANCE_CODES)[:NUM_DISTANCE_CODES]
     return [green, red, blue, alpha, dist]
 
 
+def _emit_refs_native(bw: BitWriter, refs: RefStream, codes, width: int) -> bool:
+    """C++ emission of the op stream; False if the lib is unavailable."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_emit"):
+        return False
+    bits_cat = []
+    lens_cat = []
+    offsets = np.zeros(5, np.int32)
+    off = 0
+    for i, code in enumerate(codes):
+        offsets[i] = off
+        bits_cat.append(code.bits.astype(np.uint16))
+        lens_cat.append(code.lengths.astype(np.uint8))
+        off += len(code.bits)
+    bits_all = np.ascontiguousarray(np.concatenate(bits_cat))
+    lens_all = np.ascontiguousarray(np.concatenate(lens_cat))
+    lut_arr = _build_dist_lut_array(width)
+
+    out_p = ctypes.POINTER(ctypes.c_uint8)()
+    out_n = ctypes.c_uint64(0)
+    acc_out = ctypes.c_uint32(0)
+    used_out = ctypes.c_int(0)
+    ops = np.ascontiguousarray(refs.ops, np.uint8)
+    argbs = np.ascontiguousarray(refs.argb, np.uint32)
+    lens = np.ascontiguousarray(refs.lengths, np.int32)
+    dists = np.ascontiguousarray(refs.dists, np.int32)
+    lib.wtpu_vp8l_emit(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        argbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ops), width,
+        bits_all.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        lens_all.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lut_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lut_arr),
+        bw._acc & 0xFFFFFFFF, bw._used,
+        ctypes.byref(out_p), ctypes.byref(out_n),
+        ctypes.byref(acc_out), ctypes.byref(used_out),
+    )
+    data = ctypes.string_at(out_p, out_n.value)
+    lib.wtpu_free(out_p)
+    bw._buf.extend(data)
+    bw._acc = int(acc_out.value)
+    bw._used = int(used_out.value)
+    return True
+
+
 def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
+    if _emit_refs_native(bw, refs, codes, width):
+        return
     green, red, blue, alpha, dist = codes
     g_bits, g_lens = green.bits, green.lengths
     r_bits, r_lens = red.bits, red.lengths
@@ -600,10 +722,12 @@ def _pack_palette_indices(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 
 
 def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
-                       use_predictor: bool | None = None) -> BitWriter:
+                       use_predictor: bool | None = None,
+                       bw: BitWriter | None = None) -> BitWriter:
     """Encode the image-stream portion (after the 5-byte header)."""
     h, w = argb.shape
-    bw = BitWriter()
+    if bw is None:
+        bw = BitWriter()
 
     palette = _palette_of(argb)
     if palette is not None and len(palette) <= 256:
@@ -665,20 +789,14 @@ def encode_vp8l(rgba: np.ndarray, *, quality: int = 75) -> bytes:
     argb = rgba_to_argb(rgba)
     has_alpha = bool((rgba[..., 3] != 255).any())
 
-    hdr = BitWriter()
-    hdr.put_bits(VP8L_SIGNATURE, 8)
-    hdr.put_bits(w - 1, 14)
-    hdr.put_bits(h - 1, 14)
-    hdr.put_bits(1 if has_alpha else 0, 1)
-    hdr.put_bits(0, 3)  # version
-    body = encode_vp8l_stream(argb, quality=quality)
-    # Concatenate at the bit level.
-    out = hdr
-    buf = body.getvalue()
-    nbits = body.bit_count
-    for i, byte in enumerate(buf):
-        out.put_bits(byte, min(8, nbits - 8 * i))
-    return out.getvalue()
+    bw = BitWriter()
+    bw.put_bits(VP8L_SIGNATURE, 8)
+    bw.put_bits(w - 1, 14)
+    bw.put_bits(h - 1, 14)
+    bw.put_bits(1 if has_alpha else 0, 1)
+    bw.put_bits(0, 3)  # version
+    encode_vp8l_stream(argb, quality=quality, bw=bw)
+    return bw.getvalue()
 
 
 def encode_vp8l_alpha(plane: np.ndarray) -> bytes:
