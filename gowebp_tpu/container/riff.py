@@ -93,8 +93,12 @@ def _pack_u24le(v: int) -> bytes:
     return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
 
 
-def parse_riff(data: bytes) -> ParsedWebP:
-    """Split a .webp byte string into its chunks (strict size checking)."""
+def parse_riff(data: bytes, tolerant: bool = False) -> ParsedWebP:
+    """Split a .webp byte string into its chunks.
+
+    With ``tolerant=True`` a truncated final chunk is kept with its
+    partial payload (incremental decoding); otherwise it raises.
+    """
     if len(data) < RIFF_HEADER_SIZE:
         raise NotEnoughData("file shorter than RIFF header")
     if data[0:4] != RIFF_MAGIC or data[8:12] != WEBP_MAGIC:
@@ -113,7 +117,10 @@ def parse_riff(data: bytes) -> ParsedWebP:
         size = struct.unpack_from("<I", data, pos + 4)[0]
         payload_start = pos + CHUNK_HEADER_SIZE
         if payload_start + size > end:
-            raise NotEnoughData(f"chunk {tag!r} truncated")
+            if not tolerant:
+                raise NotEnoughData(f"chunk {tag!r} truncated")
+            parsed.chunks.append(Chunk(tag, data[payload_start:end]))
+            break
         payload = data[payload_start : payload_start + size]
         parsed.chunks.append(Chunk(tag, payload))
         pos = payload_start + size + (size & 1)
@@ -160,9 +167,9 @@ def _vp8l_dimensions(payload: bytes) -> tuple[int, int, bool]:
     return w, h, alpha
 
 
-def get_features(data: bytes) -> WebPFeatures:
+def get_features(data: bytes, tolerant: bool = False) -> WebPFeatures:
     """WebPGetInfo/WebPGetFeatures equivalent: probe without decoding."""
-    parsed = parse_riff(data)
+    parsed = parse_riff(data, tolerant=tolerant)
     vp8 = parsed.find(CHUNK_VP8)
     vp8l = parsed.find(CHUNK_VP8L)
     anmf = parsed.find(CHUNK_ANMF)

@@ -1,7 +1,8 @@
 """Top-level decode API.
 
-Equivalent surface: /root/reference/decode.go (which panics — the feature
-target is libwebp's WebPDecode, catalogued in SURVEY.md §2.4/§3.3).
+Equivalent surface: libwebp's WebPDecode/WebPDecodeRGBA family with
+WebPDecoderOptions (catalogued from the reference in SURVEY.md §2.4/§3.3;
+/root/reference/decode.go itself panics).
 """
 
 from __future__ import annotations
@@ -10,37 +11,80 @@ import numpy as np
 
 from .constants import CHUNK_ALPHA, CHUNK_VP8, CHUNK_VP8L
 from .container.riff import WebPFeatures, get_features, parse_riff
+from .decode_options import DecoderConfig, apply_output_options
 from .errors import BitstreamError
-from .models.vp8l.decoder import decode_vp8l
+
+_MODE_PERMUTE = {
+    "RGBA": (0, 1, 2, 3),
+    "BGRA": (2, 1, 0, 3),
+    "ARGB": (3, 0, 1, 2),
+    "RGB": (0, 1, 2),
+    "BGR": (2, 1, 0),
+}
 
 
-def decode_rgba(data: bytes) -> np.ndarray:
-    """Decode a .webp file (still image) to an (H, W, 4) uint8 RGBA array."""
+def decode(data: bytes, config: DecoderConfig | None = None,
+           mode: str = "RGBA") -> np.ndarray:
+    """Decode a .webp file with options → (H, W, C) uint8 array."""
+    if mode not in _MODE_PERMUTE:
+        raise ValueError(f"bad mode {mode!r} (use {sorted(_MODE_PERMUTE)})")
+    config = config or DecoderConfig()
     parsed = parse_riff(data)
     vp8l = parsed.find(CHUNK_VP8L)
     if vp8l is not None:
-        return decode_vp8l(vp8l.payload)
-    vp8 = parsed.find(CHUNK_VP8)
-    if vp8 is not None:
+        from .models.vp8l.decoder import decode_vp8l
+
+        rgba = decode_vp8l(vp8l.payload)
+    else:
+        vp8 = parsed.find(CHUNK_VP8)
+        if vp8 is None:
+            raise BitstreamError("no decodable image chunk found")
         try:
             from .models.vp8.decoder import decode_vp8_rgba
-        except ImportError as exc:
+        except ImportError as exc:  # pragma: no cover
             from .errors import UnsupportedFeature
 
-            raise UnsupportedFeature("VP8 lossy decode not built yet") from exc
-
+            raise UnsupportedFeature("VP8 lossy decode not built") from exc
         alpha_chunk = parsed.find(CHUNK_ALPHA)
-        alpha = alpha_chunk.payload if alpha_chunk is not None else None
-        return decode_vp8_rgba(vp8.payload, alpha_payload=alpha)
-    raise BitstreamError("no decodable image chunk found")
+        rgba = decode_vp8_rgba(
+            vp8.payload,
+            alpha_payload=alpha_chunk.payload if alpha_chunk else None,
+            fancy_upsampling=not config.no_fancy_upsampling,
+            bypass_filtering=config.bypass_filtering,
+        )
+    rgba = apply_output_options(rgba, config)
+    return np.ascontiguousarray(rgba[..., _MODE_PERMUTE[mode]])
 
 
-def decode_rgb(data: bytes) -> np.ndarray:
-    return decode_rgba(data)[..., :3]
+def decode_rgba(data: bytes, config: DecoderConfig | None = None) -> np.ndarray:
+    """Decode a .webp file (still image) to an (H, W, 4) uint8 RGBA array."""
+    return decode(data, config, "RGBA")
+
+
+def decode_rgb(data: bytes, config: DecoderConfig | None = None) -> np.ndarray:
+    return decode(data, config, "RGB")
+
+
+def decode_yuv(data: bytes):
+    """Decode to raw Y/U/V planes (lossy files only)."""
+    parsed = parse_riff(data)
+    vp8 = parsed.find(CHUNK_VP8)
+    if vp8 is None:
+        raise BitstreamError("YUV output requires a lossy (VP8) file")
+    from .models.vp8.decoder import decode_vp8_yuv
+
+    return decode_vp8_yuv(vp8.payload)
 
 
 def features(data: bytes) -> WebPFeatures:
     return get_features(data)
 
 
-__all__ = ["decode_rgba", "decode_rgb", "features"]
+__all__ = [
+    "decode",
+    "decode_rgba",
+    "decode_rgb",
+    "decode_yuv",
+    "features",
+    "DecoderConfig",
+]

@@ -728,9 +728,11 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder):
     )
 
 
-def decode_vp8_yuv(payload: bytes):
+def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False):
     """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped)."""
     st, bd = parse_frame_header(payload)
+    if bypass_filtering:
+        st.filter_type = 0
     native = _decode_vp8_yuv_native(st, bd)
     if native is not None:
         return native
@@ -779,9 +781,10 @@ def decode_vp8_yuv(payload: bytes):
 
 
 def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
-                    fancy_upsampling: bool = True) -> np.ndarray:
+                    fancy_upsampling: bool = True,
+                    bypass_filtering: bool = False) -> np.ndarray:
     """Decode VP8 (+optional ALPH) → (H, W, 4) uint8 RGBA."""
-    y, u, v = decode_vp8_yuv(payload)
+    y, u, v = decode_vp8_yuv(payload, bypass_filtering=bypass_filtering)
     H, W = y.shape
     if fancy_upsampling:
         uf = yuv_np.fancy_upsample(u, H, W)

@@ -1,0 +1,121 @@
+"""Decoder options, output modes, incremental decoding, metrics."""
+
+import numpy as np
+import pytest
+
+from gowebp_tpu import decode_rgba
+from gowebp_tpu.decode import DecoderConfig, decode, decode_yuv
+from gowebp_tpu.errors import InvalidConfig, NotEnoughData
+from gowebp_tpu.idec import STATE_DONE, IncrementalDecoder
+from gowebp_tpu.utils.metrics import plane_psnr, psnr, ssim
+
+from util import make_test_images, pil_decode_rgba, pil_encode_lossy, pil_encode_lossless
+
+IMAGES = make_test_images()
+LOSSY = pil_encode_lossy(IMAGES["photo"][..., :3].copy(), quality=75)
+LOSSLESS = pil_encode_lossless(IMAGES["gradient"])
+
+
+class TestOptions:
+    def test_modes(self):
+        rgba = decode(LOSSY, mode="RGBA")
+        bgra = decode(LOSSY, mode="BGRA")
+        np.testing.assert_array_equal(rgba[..., 0], bgra[..., 2])
+        rgb = decode(LOSSY, mode="RGB")
+        assert rgb.shape[-1] == 3
+        argb = decode(LOSSY, mode="ARGB")
+        np.testing.assert_array_equal(argb[..., 0], rgba[..., 3])
+
+    def test_crop(self):
+        cfg = DecoderConfig(use_cropping=True, crop_left=8, crop_top=4,
+                            crop_width=32, crop_height=16)
+        out = decode_rgba(LOSSY, cfg)
+        full = decode_rgba(LOSSY)
+        np.testing.assert_array_equal(out, full[4:20, 8:40])
+
+    def test_bad_crop_rejected(self):
+        cfg = DecoderConfig(use_cropping=True, crop_left=1000, crop_top=0,
+                            crop_width=200, crop_height=10)
+        with pytest.raises(InvalidConfig):
+            decode_rgba(LOSSY, cfg)
+
+    def test_flip(self):
+        out = decode_rgba(LOSSY, DecoderConfig(flip=True))
+        np.testing.assert_array_equal(out[::-1], decode_rgba(LOSSY))
+
+    def test_scale(self):
+        cfg = DecoderConfig(use_scaling=True, scaled_width=64, scaled_height=0)
+        out = decode_rgba(LOSSY, cfg)
+        assert out.shape[:2] == (64, 64)  # aspect preserved (128x128 src)
+
+    def test_bypass_filtering_and_no_fancy(self):
+        a = decode_rgba(LOSSY, DecoderConfig(bypass_filtering=True))
+        b = decode_rgba(LOSSY, DecoderConfig(no_fancy_upsampling=True))
+        full = decode_rgba(LOSSY)
+        assert a.shape == b.shape == full.shape
+        # Options change the output (weakly — just ensure plumbing works).
+        assert not np.array_equal(a, full) or not np.array_equal(b, full)
+
+    def test_yuv_output(self):
+        y, u, v = decode_yuv(LOSSY)
+        assert y.shape == (128, 128)
+        assert u.shape == (64, 64)
+
+
+class TestIncremental:
+    def test_chunked_lossy(self):
+        dec = IncrementalDecoder()
+        step = max(1, len(LOSSY) // 17)
+        saw_partial = False
+        for i in range(0, len(LOSSY), step):
+            dec.append(LOSSY[i : i + step])
+            if dec.state != STATE_DONE and dec.rows_decoded > 0:
+                part = dec.get_partial_output()
+                assert part is not None
+                saw_partial = True
+        assert dec.state == STATE_DONE
+        np.testing.assert_array_equal(dec.get_output(), decode_rgba(LOSSY))
+        assert saw_partial
+
+    def test_partial_rows_match_final(self):
+        dec = IncrementalDecoder()
+        dec.append(LOSSY[: len(LOSSY) * 2 // 3])
+        n = dec.rows_decoded
+        if n > 0:
+            part = dec.get_partial_output()
+            full = decode_rgba(LOSSY)
+            np.testing.assert_array_equal(part, full[:n])
+        dec.append(LOSSY[len(LOSSY) * 2 // 3 :])
+        assert dec.state == STATE_DONE
+
+    def test_chunked_lossless(self):
+        dec = IncrementalDecoder()
+        for i in range(0, len(LOSSLESS), 50):
+            dec.append(LOSSLESS[i : i + 50])
+        assert dec.state == STATE_DONE
+        np.testing.assert_array_equal(dec.get_output(), decode_rgba(LOSSLESS))
+
+    def test_incomplete_raises(self):
+        dec = IncrementalDecoder()
+        dec.append(LOSSY[:100])
+        with pytest.raises(NotEnoughData):
+            dec.get_output()
+
+
+class TestMetrics:
+    def test_psnr(self):
+        a = IMAGES["photo"]
+        assert psnr(a, a) == 99.0
+        noisy = a.astype(np.int32) + 5
+        assert 30 < psnr(a, np.clip(noisy, 0, 255)) < 40
+
+    def test_plane_psnr(self):
+        d = plane_psnr(IMAGES["photo"], IMAGES["photo"])
+        assert d["all"] == 99.0
+
+    def test_ssim(self):
+        a = IMAGES["photo"]
+        assert ssim(a, a) > 0.999
+        rng = np.random.default_rng(0)
+        b = np.clip(a.astype(np.int32) + rng.integers(-30, 30, a.shape), 0, 255)
+        assert ssim(a, b) < 0.98
