@@ -283,6 +283,118 @@ int wtpu_vp8_token_emit(const int16_t* y2, const int16_t* yl,
 
 void wtpu_free(void* p) { std::free(p); }
 
+// Hash-chain LZ77 with optional color cache (the reference's
+// VP8LHashChainFill + BackwardReferencesLz77 + local-cache rewrite,
+// re-implemented fresh; SURVEY.md §2.6).
+int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
+                                 int depth, int cache_bits,
+                                 uint8_t* ops, uint32_t* argbs,
+                                 int32_t* lengths, int32_t* dists) {
+  constexpr int HASH_BITS = 18;
+  constexpr int64_t WINDOW = (1 << 20) - 126;
+  constexpr int MAX_LEN = 4095;
+  std::vector<int32_t> head((size_t)1 << HASH_BITS, -1);
+  std::vector<int32_t> prev(n, -1);
+  const int cache_size = cache_bits > 0 ? 1 << cache_bits : 0;
+  std::vector<uint32_t> cache(cache_size, 0);
+  const int cache_shift = cache_bits > 0 ? 32 - cache_bits : 0;
+
+  auto hash_at = [&](int64_t i) -> uint32_t {
+    uint64_t v = ((uint64_t)flat[i + 1] << 32) | flat[i];
+    return (uint32_t)((v * 0x1e35a7bd1e35a7bdull) >> (64 - HASH_BITS));
+  };
+  auto insert = [&](int64_t i) {
+    if (i + 1 >= n) return;
+    uint32_t h = hash_at(i);
+    prev[i] = head[h];
+    head[h] = (int32_t)i;
+  };
+  auto match_len = [&](int64_t a, int64_t b) -> int {
+    int len = 0;
+    int64_t maxl = n - b;
+    if (maxl > MAX_LEN) maxl = MAX_LEN;
+    while (len < maxl && flat[a + len] == flat[b + len]) len++;
+    return len;
+  };
+
+  int64_t n_ops = 0;
+  int64_t pos = 0;
+  while (pos < n) {
+    int best_len = 0;
+    int64_t best_dist = 0;
+    // Always consider dist 1 and dist width (cheap, common, small codes).
+    if (pos >= 1) {
+      int l = match_len(pos - 1, pos);
+      if (l > best_len) { best_len = l; best_dist = 1; }
+    }
+    if (pos >= width) {
+      int l = match_len(pos - width, pos);
+      if (l > best_len) { best_len = l; best_dist = width; }
+    }
+    if (pos + 1 < n) {
+      int32_t cand = head[hash_at(pos)];
+      int tries = depth;
+      while (cand >= 0 && tries-- > 0) {
+        int64_t d = pos - cand;
+        if (d > WINDOW) break;
+        if (best_len == 0 ||
+            (pos + best_len < n && flat[cand + best_len] == flat[pos + best_len])) {
+          int l = match_len(cand, pos);
+          if (l > best_len || (l == best_len && d < best_dist)) {
+            best_len = l;
+            best_dist = d;
+          }
+        }
+        cand = prev[cand];
+      }
+    }
+    if (best_len >= 4) {
+      ops[n_ops] = 1;
+      argbs[n_ops] = 0;
+      lengths[n_ops] = best_len;
+      dists[n_ops] = (int32_t)best_dist;
+      n_ops++;
+      // Insert hashes for covered positions (sparse for long matches).
+      int64_t end = pos + best_len;
+      int step = best_len > 64 ? 4 : 1;
+      for (int64_t i = pos; i < end; i += step) insert(i);
+      if (cache_size) {
+        for (int64_t i = pos; i < end; i++) {
+          uint32_t px = flat[i];
+          cache[(uint32_t)(0x1e35a7bdu * px) >> cache_shift] = px;
+        }
+      }
+      pos = end;
+    } else {
+      uint32_t px = flat[pos];
+      if (cache_size) {
+        uint32_t idx = (uint32_t)(0x1e35a7bdu * px) >> cache_shift;
+        if (cache[idx] == px) {
+          ops[n_ops] = 2;
+          argbs[n_ops] = px;
+          lengths[n_ops] = (int32_t)idx;
+          dists[n_ops] = 0;
+        } else {
+          cache[idx] = px;
+          ops[n_ops] = 0;
+          argbs[n_ops] = px;
+          lengths[n_ops] = 1;
+          dists[n_ops] = 0;
+        }
+      } else {
+        ops[n_ops] = 0;
+        argbs[n_ops] = px;
+        lengths[n_ops] = 1;
+        dists[n_ops] = 0;
+      }
+      n_ops++;
+      insert(pos);
+      pos++;
+    }
+  }
+  return n_ops;
+}
+
 // Greedy run-based LZ77 (dist 1 / dist width) over the flat ARGB image.
 // Returns op count; arrays must be sized n (worst case all literals).
 int64_t wtpu_vp8l_greedy_refs(const uint32_t* flat, int64_t n, int width,

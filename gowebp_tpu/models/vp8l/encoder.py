@@ -366,8 +366,10 @@ def _build_dist_lut_array(width: int) -> np.ndarray:
     return lut
 
 
-def _build_histograms(refs: RefStream, width: int, lut) -> list[np.ndarray]:
-    green = np.zeros(NUM_LITERAL_CODES + NUM_LENGTH_CODES, np.int64)
+def _build_histograms(refs: RefStream, width: int, lut,
+                      cache_bits: int = 0) -> list[np.ndarray]:
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = np.zeros(NUM_LITERAL_CODES + NUM_LENGTH_CODES + cache_size, np.int64)
     red = np.zeros(256, np.int64)
     blue = np.zeros(256, np.int64)
     alpha = np.zeros(256, np.int64)
@@ -376,16 +378,20 @@ def _build_histograms(refs: RefStream, width: int, lut) -> list[np.ndarray]:
     lit_mask = refs.ops == 0
     lits = refs.argb[lit_mask]
     if len(lits):
-        green += np.bincount((lits >> 8) & 0xFF, minlength=280).astype(np.int64)[:280]
+        green[:256] += np.bincount((lits >> 8) & 0xFF, minlength=256).astype(np.int64)[:256]
         red += np.bincount((lits >> 16) & 0xFF, minlength=256).astype(np.int64)[:256]
         blue += np.bincount(lits & 0xFF, minlength=256).astype(np.int64)[:256]
         alpha += np.bincount((lits >> 24) & 0xFF, minlength=256).astype(np.int64)[:256]
+    cache_mask = refs.ops == 2
+    if cache_mask.any():
+        idxs = refs.lengths[cache_mask]
+        green[280:] += np.bincount(idxs, minlength=cache_size).astype(np.int64)[:cache_size]
     copies = refs.ops == 1
     if copies.any():
         lcodes, _, _ = prefix_encode_vec(refs.lengths[copies])
-        green[NUM_LITERAL_CODES:] += np.bincount(
-            lcodes, minlength=NUM_LENGTH_CODES
-        )[:NUM_LENGTH_CODES]
+        green[NUM_LITERAL_CODES : NUM_LITERAL_CODES + NUM_LENGTH_CODES] += (
+            np.bincount(lcodes, minlength=NUM_LENGTH_CODES)[:NUM_LENGTH_CODES]
+        )
         ds = refs.dists[copies].astype(np.int64)
         lut_arr = _build_dist_lut_array(width)
         planes = np.where(
@@ -470,6 +476,9 @@ def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
             put(int(b_bits[b]), int(b_lens[b]))
             al = (a >> 24) & 0xFF
             put(int(a_bits[al]), int(a_lens[al]))
+        elif op == 2:
+            sym = NUM_LITERAL_CODES + NUM_LENGTH_CODES + int(length)
+            put(int(g_bits[sym]), int(g_lens[sym]))
         else:
             lcode, lext, lval = prefix_encode(int(length))
             sym = NUM_LITERAL_CODES + lcode
@@ -675,13 +684,73 @@ def _write_image_stream(bw: BitWriter, argb: np.ndarray, width: int) -> None:
     _emit_refs(bw, refs, codes, width, lut)
 
 
-def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int) -> None:
+def build_refs_lz77(argb: np.ndarray, width: int, quality: int,
+                    cache_bits: int) -> RefStream | None:
+    """Native hash-chain LZ77 (+color cache); None without the lib."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_hashchain_refs"):
+        return None
+    flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+    n = len(flat)
+    ops = np.zeros(n, np.uint8)
+    argbs = np.zeros(n, np.uint32)
+    lens = np.zeros(n, np.int32)
+    dists = np.zeros(n, np.int32)
+    depth = 8 + quality // 5         # chain-walk budget
+    n_ops = lib.wtpu_vp8l_hashchain_refs(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, width, depth, cache_bits,
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        argbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return RefStream(ops[:n_ops], argbs[:n_ops], lens[:n_ops], dists[:n_ops])
+
+
+def _entropy_bits(hists) -> float:
+    total_bits = 0.0
+    for h in hists:
+        tot = int(h.sum())
+        if tot == 0:
+            continue
+        nz = h[h > 0].astype(np.float64)
+        total_bits += float((nz * (np.log2(tot) - np.log2(nz))).sum())
+        # Rough header cost per used symbol.
+        total_bits += 6.0 * len(nz)
+    return total_bits
+
+
+def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
+                          quality: int = 75) -> None:
     """Top-level spatially-coded image body (after transform headers)."""
-    bw.put_bits(0, 1)  # no color cache
-    bw.put_bits(0, 1)  # no meta-huffman
-    refs = build_backward_refs(argb, width)
     lut = _build_dist_code_lut(width)
-    hists = _build_histograms(refs, width, lut)
+    best = None
+    if quality >= 20:
+        candidates = (0, 6, 8, 10) if quality >= 90 else (0, 8)
+        for cb in candidates:
+            refs = build_refs_lz77(argb, width, quality, cb)
+            if refs is None:
+                break
+            hists = _build_histograms(refs, width, lut, cb)
+            cost = _entropy_bits(hists)
+            if best is None or cost < best[0]:
+                best = (cost, cb, refs, hists)
+    if best is None:
+        refs = build_backward_refs(argb, width)
+        best = (0.0, 0, refs, _build_histograms(refs, width, lut, 0))
+    _, cache_bits, refs, hists = best
+
+    if cache_bits:
+        bw.put_bits(1, 1)
+        bw.put_bits(cache_bits, 4)
+    else:
+        bw.put_bits(0, 1)
+    bw.put_bits(0, 1)  # no meta-huffman
     codes = [store_huffman_code(bw, build_code_lengths(h)) for h in hists]
     _emit_refs(bw, refs, codes, width, lut)
 
@@ -744,7 +813,7 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         _write_image_stream(bw, deltas.reshape(1, -1), len(palette))
         packed = _pack_palette_indices(argb, palette)
         bw.put_bits(0, 1)  # end of transforms
-        _write_spatial_stream(bw, packed, packed.shape[1])
+        _write_spatial_stream(bw, packed, packed.shape[1], quality)
         return bw
 
     # Photographic path: subtract-green then per-tile predictor.
@@ -764,7 +833,7 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         work = _apply_predictor_transform(work, bits, mode_img)
 
     bw.put_bits(0, 1)  # end of transforms
-    _write_spatial_stream(bw, work, w)
+    _write_spatial_stream(bw, work, w, quality)
     return bw
 
 
@@ -804,7 +873,7 @@ def encode_vp8l_alpha(plane: np.ndarray) -> bytes:
     argb = (0xFF000000 | (plane.astype(np.uint32) << 8)).astype(np.uint32)
     bw = BitWriter()
     bw.put_bits(0, 1)  # no transforms
-    _write_spatial_stream(bw, argb, argb.shape[1])
+    _write_spatial_stream(bw, argb, argb.shape[1], 75)
     return bw.getvalue()
 
 
