@@ -461,6 +461,65 @@ static void prefix_encode_c(int value, int* code, int* nbits, int* bits) {
   else { *code = 2 * e + 3; *nbits = e; *bits = u - (3 << e); }
 }
 
+// Grouped (meta-huffman) emission: per-op group index selects the code
+// tables.  code tables laid out per (group, tree): offsets[g*5+t].
+int wtpu_vp8l_emit_grouped(
+    const uint8_t* ops, const uint32_t* argbs, const int32_t* lengths,
+    const int32_t* dists, const int32_t* groups, int64_t n_ops, int width,
+    const uint16_t* code_bits, const uint8_t* code_lens,
+    const int32_t* code_offsets, int num_groups,
+    const int32_t* dist_lut, int dist_lut_size,
+    uint32_t acc_in, int used_in,
+    uint8_t** out_data, uint64_t* out_size, uint32_t* acc_out, int* used_out) {
+  LBitWriter bw;
+  bw.acc = acc_in;
+  bw.used = used_in;
+  for (int64_t i = 0; i < n_ops; i++) {
+    int g = groups[i];
+    const uint16_t* gb = code_bits + code_offsets[g * 5 + 0];
+    const uint8_t* gl = code_lens + code_offsets[g * 5 + 0];
+    if (ops[i] == 0) {
+      uint32_t a = argbs[i];
+      uint32_t gr = (a >> 8) & 0xff;
+      bw.put(gb[gr], gl[gr]);
+      const uint16_t* rb = code_bits + code_offsets[g * 5 + 1];
+      const uint8_t* rl = code_lens + code_offsets[g * 5 + 1];
+      uint32_t r = (a >> 16) & 0xff;
+      bw.put(rb[r], rl[r]);
+      const uint16_t* bb = code_bits + code_offsets[g * 5 + 2];
+      const uint8_t* bl = code_lens + code_offsets[g * 5 + 2];
+      uint32_t b = a & 0xff;
+      bw.put(bb[b], bl[b]);
+      const uint16_t* ab = code_bits + code_offsets[g * 5 + 3];
+      const uint8_t* al = code_lens + code_offsets[g * 5 + 3];
+      uint32_t al_ = (a >> 24) & 0xff;
+      bw.put(ab[al_], al[al_]);
+    } else if (ops[i] == 1) {
+      int code, nbits, bits;
+      prefix_encode_c(lengths[i], &code, &nbits, &bits);
+      bw.put(gb[256 + code], gl[256 + code]);
+      if (nbits) bw.put((uint32_t)bits, nbits);
+      int d = dists[i];
+      int plane = (d < dist_lut_size && dist_lut[d]) ? dist_lut[d] : d + 120;
+      prefix_encode_c(plane, &code, &nbits, &bits);
+      const uint16_t* db = code_bits + code_offsets[g * 5 + 4];
+      const uint8_t* dl = code_lens + code_offsets[g * 5 + 4];
+      bw.put(db[code], dl[code]);
+      if (nbits) bw.put((uint32_t)bits, nbits);
+    } else {
+      uint32_t idx = (uint32_t)lengths[i];
+      bw.put(gb[280 + idx], gl[280 + idx]);
+    }
+  }
+  uint8_t* out = (uint8_t*)std::malloc(bw.buf.size() ? bw.buf.size() : 1);
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  *out_data = out;
+  *out_size = bw.buf.size();
+  *acc_out = (uint32_t)bw.acc;
+  *used_out = bw.used;
+  return 0;
+}
+
 // Continue an existing partial-byte bitstream: pass in trailing bits.
 int wtpu_vp8l_emit(
     const uint8_t* ops, const uint32_t* argbs, const int32_t* lengths,

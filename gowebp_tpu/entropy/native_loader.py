@@ -119,6 +119,20 @@ def _configure(lib) -> None:
         u32p, i32p,
     ]
 
+    lib.wtpu_vp8l_emit_grouped.restype = c.c_int
+    lib.wtpu_vp8l_emit_grouped.argtypes = [
+        u8p, u32p, i32p, i32p, i32p, c.c_int64, c.c_int,
+        c.POINTER(c.c_uint16), u8p, i32p, c.c_int,
+        i32p, c.c_int,
+        c.c_uint32, c.c_int,
+        c.POINTER(c.POINTER(c.c_uint8)), u64p,
+        u32p, i32p,
+    ]
+    lib.wtpu_vp8l_hashchain_refs.restype = c.c_int64
+    lib.wtpu_vp8l_hashchain_refs.argtypes = [
+        u32p, c.c_int64, c.c_int, c.c_int, c.c_int,
+        u8p, u32p, i32p, i32p,
+    ]
     lib.wtpu_vp8l_greedy_refs.restype = c.c_int64
     lib.wtpu_vp8l_greedy_refs.argtypes = [
         u32p, c.c_int64, c.c_int, c.c_int, c.c_int,

@@ -725,9 +725,194 @@ def _entropy_bits(hists) -> float:
     return total_bits
 
 
+def _op_start_positions(refs: RefStream) -> np.ndarray:
+    counts = np.where(refs.ops == 1, refs.lengths, 1).astype(np.int64)
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return starts
+
+
+def _green_symbols(refs: RefStream, width: int) -> np.ndarray:
+    """Vectorized green-tree symbol per op."""
+    syms = np.zeros(len(refs.ops), np.int64)
+    lit = refs.ops == 0
+    syms[lit] = (refs.argb[lit] >> 8) & 0xFF
+    cp = refs.ops == 1
+    if cp.any():
+        lut_arr = _build_dist_lut_array(width)
+        lcodes, _, _ = prefix_encode_vec(refs.lengths[cp])
+        syms[cp] = NUM_LITERAL_CODES + lcodes
+    ca = refs.ops == 2
+    syms[ca] = NUM_LITERAL_CODES + NUM_LENGTH_CODES + refs.lengths[ca]
+    return syms
+
+
+def _tile_histograms(refs: RefStream, width: int, height: int, bits: int,
+                     cache_bits: int):
+    """Per-tile 5-tree histograms as one (T, S) matrix + tree slices."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    g_n = NUM_LITERAL_CODES + NUM_LENGTH_CODES + cache_size
+    slices = [
+        (0, g_n),
+        (g_n, g_n + 256),
+        (g_n + 256, g_n + 512),
+        (g_n + 512, g_n + 768),
+        (g_n + 768, g_n + 768 + NUM_DISTANCE_CODES),
+    ]
+    S = slices[-1][1]
+    tw = tnp.subsample_size(width, bits)
+    th = tnp.subsample_size(height, bits)
+    T = tw * th
+    starts = _op_start_positions(refs)
+    tile = ((starts // width) >> bits) * tw + ((starts % width) >> bits)
+    H = np.zeros((T, S), np.int64)
+    gsym = _green_symbols(refs, width)
+    np.add.at(H, (tile, gsym), 1)
+    lit = refs.ops == 0
+    if lit.any():
+        lits = refs.argb[lit]
+        tl = tile[lit]
+        np.add.at(H, (tl, g_n + ((lits >> 16) & 0xFF)), 1)
+        np.add.at(H, (tl, g_n + 256 + (lits & 0xFF)), 1)
+        np.add.at(H, (tl, g_n + 512 + ((lits >> 24) & 0xFF)), 1)
+    cp = refs.ops == 1
+    if cp.any():
+        lut_arr = _build_dist_lut_array(width)
+        ds = refs.dists[cp].astype(np.int64)
+        planes = np.where(
+            (ds < len(lut_arr)) & (lut_arr[np.minimum(ds, len(lut_arr) - 1)] > 0),
+            lut_arr[np.minimum(ds, len(lut_arr) - 1)],
+            ds + 120,
+        )
+        dcodes, _, _ = prefix_encode_vec(planes)
+        np.add.at(H, (tile[cp], g_n + 768 + dcodes), 1)
+    return H, slices, tile, tw, th
+
+
+def _entropy_of_rows(H: np.ndarray, slices) -> np.ndarray:
+    """Shannon bits per histogram row (summed over the 5 trees)."""
+    out = np.zeros(len(H), np.float64)
+    for a, b in slices:
+        sub = H[:, a:b].astype(np.float64)
+        tot = sub.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = sub / np.maximum(tot[:, None], 1)
+            bits = -np.where(sub > 0, sub * np.log2(np.maximum(p, 1e-12)), 0.0)
+        out += bits.sum(axis=1)
+    return out
+
+
+GROUP_HEADER_BITS = 1500.0   # approx cost of one extra group's 5 codes
+
+
+def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 16,
+                        rounds: int = 60):
+    """Greedy-stochastic pairwise merging → (group_map, merged_rows)."""
+    rng = np.random.default_rng(0x5EED)
+    T = len(H)
+    rows = [H[i].copy() for i in range(T)]
+    cost = list(_entropy_of_rows(H, slices))
+    group_of = list(range(T))
+    alive = list(range(T))
+
+    def row_cost(v):
+        total = 0.0
+        for a, b in slices:
+            sub = v[a:b].astype(np.float64)
+            tot = sub.sum()
+            if tot > 0:
+                nz = sub[sub > 0]
+                total += float((nz * (np.log2(tot) - np.log2(nz))).sum())
+        return total
+
+    while len(alive) > 1:
+        best = None
+        n_samples = min(rounds, len(alive) * (len(alive) - 1) // 2)
+        for _ in range(n_samples):
+            i, j = rng.choice(len(alive), 2, replace=False)
+            a, b = alive[i], alive[j]
+            merged = rows[a] + rows[b]
+            saving = cost[a] + cost[b] - row_cost(merged)
+            if best is None or saving > best[0]:
+                best = (saving, i, j, merged)
+        if best is None:
+            break
+        saving, i, j, merged = best
+        # Each extra group costs ~5 code headers; merge while the entropy
+        # loss stays below that, not just while it is free.
+        if saving <= -GROUP_HEADER_BITS and len(alive) <= max_groups:
+            break
+        if saving <= 0 and len(alive) <= 2:
+            break
+        a, b = alive[i], alive[j]
+        rows[a] = merged
+        cost[a] = row_cost(merged)
+        for t in range(T):
+            if group_of[t] == b:
+                group_of[t] = a
+        alive.pop(j)
+    remap = {g: k for k, g in enumerate(alive)}
+    group_map = np.array([remap[g] for g in group_of], np.int32)
+    merged_rows = [rows[g] for g in alive]
+    return group_map, merged_rows
+
+
+def _emit_refs_grouped_native(bw, refs, codes_flat, groups_per_op, width,
+                              num_groups) -> bool:
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_emit_grouped"):
+        return False
+    bits_cat, lens_cat = [], []
+    offsets = np.zeros(num_groups * 5, np.int32)
+    off = 0
+    for i, code in enumerate(codes_flat):
+        offsets[i] = off
+        bits_cat.append(code.bits.astype(np.uint16))
+        lens_cat.append(code.lengths.astype(np.uint8))
+        off += len(code.bits)
+    bits_all = np.ascontiguousarray(np.concatenate(bits_cat))
+    lens_all = np.ascontiguousarray(np.concatenate(lens_cat))
+    lut_arr = _build_dist_lut_array(width)
+    out_p = ctypes.POINTER(ctypes.c_uint8)()
+    out_n = ctypes.c_uint64(0)
+    acc_out = ctypes.c_uint32(0)
+    used_out = ctypes.c_int(0)
+    ops = np.ascontiguousarray(refs.ops, np.uint8)
+    argbs = np.ascontiguousarray(refs.argb, np.uint32)
+    lens = np.ascontiguousarray(refs.lengths, np.int32)
+    dists = np.ascontiguousarray(refs.dists, np.int32)
+    gidx = np.ascontiguousarray(groups_per_op, np.int32)
+    lib.wtpu_vp8l_emit_grouped(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        argbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        gidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ops), width,
+        bits_all.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        lens_all.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_groups,
+        lut_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lut_arr),
+        bw._acc & 0xFFFFFFFF, bw._used,
+        ctypes.byref(out_p), ctypes.byref(out_n),
+        ctypes.byref(acc_out), ctypes.byref(used_out),
+    )
+    data = ctypes.string_at(out_p, out_n.value)
+    lib.wtpu_free(out_p)
+    bw._buf.extend(data)
+    bw._acc = int(acc_out.value)
+    bw._used = int(used_out.value)
+    return True
+
+
 def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
                           quality: int = 75) -> None:
     """Top-level spatially-coded image body (after transform headers)."""
+    height = argb.shape[0]
     lut = _build_dist_code_lut(width)
     best = None
     if quality >= 20:
@@ -750,9 +935,87 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
         bw.put_bits(cache_bits, 4)
     else:
         bw.put_bits(0, 1)
+
+    # Meta-huffman: tile histograms + stochastic clustering when the
+    # image is big enough for spatial adaptivity to pay.
+    use_meta = quality >= 30 and width * height >= (1 << 14)
+    if use_meta:
+        bits = 7
+        while bits < 9 and tnp.subsample_size(width, bits) * tnp.subsample_size(
+            height, bits
+        ) > 256:
+            bits += 1
+        tw = tnp.subsample_size(width, bits)
+        th = tnp.subsample_size(height, bits)
+        if tw * th <= 1:
+            use_meta = False
+    if use_meta:
+        H, slices, tile_of_op, tw, th = _tile_histograms(
+            refs, width, height, bits, cache_bits
+        )
+        group_map, merged = _cluster_histograms(H, slices)
+        num_groups = len(merged)
+        # Only take the meta path when it actually wins the header bet.
+        if num_groups > 1:
+            est_meta = (
+                float(_entropy_of_rows(np.stack(merged), slices).sum())
+                + num_groups * GROUP_HEADER_BITS
+                + tw * th * 4.0
+            )
+            est_single = _entropy_bits(hists) + GROUP_HEADER_BITS
+            if est_meta >= est_single:
+                num_groups = 1
+        if num_groups > 1:
+            bw.put_bits(1, 1)              # meta-huffman present
+            bw.put_bits(bits - 2, 3)
+            himg = (0xFF000000
+                    | (group_map.astype(np.uint32).reshape(th, tw) << 8))
+            _write_image_stream(bw, himg.astype(np.uint32), tw)
+            codes_flat = []
+            for row in merged:
+                for a, b in slices:
+                    codes_flat.append(
+                        store_huffman_code(bw, build_code_lengths(row[a:b]))
+                    )
+            groups_per_op = group_map[tile_of_op]
+            if not _emit_refs_grouped_native(
+                bw, refs, codes_flat, groups_per_op, width, num_groups
+            ):
+                _emit_refs_grouped_python(
+                    bw, refs, codes_flat, groups_per_op, width, lut
+                )
+            return
     bw.put_bits(0, 1)  # no meta-huffman
     codes = [store_huffman_code(bw, build_code_lengths(h)) for h in hists]
     _emit_refs(bw, refs, codes, width, lut)
+
+
+def _emit_refs_grouped_python(bw, refs, codes_flat, groups_per_op, width, lut):
+    for i in range(len(refs.ops)):
+        g = int(groups_per_op[i])
+        green = codes_flat[g * 5 + 0]
+        op = refs.ops[i]
+        if op == 0:
+            a = int(refs.argb[i])
+            green.write_symbol(bw, (a >> 8) & 0xFF)
+            codes_flat[g * 5 + 1].write_symbol(bw, (a >> 16) & 0xFF)
+            codes_flat[g * 5 + 2].write_symbol(bw, a & 0xFF)
+            codes_flat[g * 5 + 3].write_symbol(bw, (a >> 24) & 0xFF)
+        elif op == 1:
+            lcode, lext, lval = prefix_encode(int(refs.lengths[i]))
+            green.write_symbol(bw, NUM_LITERAL_CODES + lcode)
+            if lext:
+                bw.put_bits(lval, lext)
+            dcode, dext, dval = prefix_encode(
+                dist_to_plane_code(width, int(refs.dists[i]), lut)
+            )
+            codes_flat[g * 5 + 4].write_symbol(bw, dcode)
+            if dext:
+                bw.put_bits(dval, dext)
+        else:
+            green.write_symbol(
+                bw, NUM_LITERAL_CODES + NUM_LENGTH_CODES + int(refs.lengths[i])
+            )
 
 
 def rgba_to_argb(rgba: np.ndarray) -> np.ndarray:
