@@ -833,13 +833,18 @@ static void dequant_block(const int16_t* levels, int dc_q, int ac_q,
 
 extern "C" {
 
-// Closed-loop dense encode: source planes → levels/modes (i16 only).
+// Closed-loop dense encode: source planes → levels/modes.
+// try_i4: 0 = i16 only; >0 = evaluate 4x4 modes per MB with the given
+// mode-bits penalty (distortion units) and pick the better of i16/i4.
+// imodes_out: mbs*16 sub-block modes (i16 MBs: replicated ymode).
 // Layouts match wtpu_vp8_token_stats.  rec planes are scratch outputs.
 int wtpu_vp8_encode_frame(
     const uint8_t* y_src, const uint8_t* u_src, const uint8_t* v_src,
     int mb_w, int mb_h, const int32_t* qsteps,  // 6: y1dc..uvac
+    int try_i4, int i4_penalty,
     int16_t* y2_out, int16_t* yl_out, int16_t* uvl_out,
-    uint8_t* ymode_out, uint8_t* uvmode_out,
+    uint8_t* ymode_out, uint8_t* uvmode_out, uint8_t* is_i4_out,
+    uint8_t* imodes_out,
     uint8_t* y_rec, uint8_t* u_rec, uint8_t* v_rec) {
   const int ys = mb_w * 16, cs = mb_w * 8;
   QP y1dc, y1ac, y2dc, y2ac, uvdc, uvac;
@@ -884,7 +889,9 @@ int wtpu_vp8_encode_frame(
       }
 
       const uint8_t* src = y_src + (size_t)my * 16 * ys + mx * 16;
-      // Luma mode search (SSE over DC/TM/VE/HE).
+      std::vector<uint8_t> ybase(ybuf);   // bordered, unpredicted
+
+      // ---- i16 candidate ----
       int best_mode = 0;
       int64_t best_cost = -1;
       for (int mode = 0; mode < 4; mode++) {
@@ -921,7 +928,7 @@ int wtpu_vp8_encode_frame(
       for (int k = 0; k < 16; k++) y2l[k] = 0;
       quant_block(y2c, y2dc, y2ac, 0, y2l);
 
-      // Reconstruction.
+      // Reconstruction (i16).
       int16_t y2_deq[16];
       dequant_block(y2l, y2dc.q, y2ac.q, y2_deq);
       int y2_nz = 0;
@@ -941,6 +948,79 @@ int wtpu_vp8_encode_frame(
         bool any = false;
         for (int k = 0; k < 16; k++) if (deq[k]) { any = true; break; }
         if (any) idct_add(deq, &ybuf[(1 + r) * BUFS + 1 + cc], BUFS);
+      }
+      is_i4_out[m] = 0;
+      for (int n = 0; n < 16; n++) imodes_out[m * 16 + n] = (uint8_t)best_mode;
+
+      // ---- i4 candidate (optional) ----
+      if (try_i4) {
+        int64_t d16 = 0;
+        for (int r = 0; r < 16; r++)
+          for (int cc = 0; cc < 16; cc++) {
+            int d = (int)src[r * ys + cc] - ybuf[(1 + r) * BUFS + 1 + cc];
+            d16 += d * d;
+          }
+        std::vector<uint8_t> yb4(ybase);
+        // Top-right replication for right-column sub-blocks.
+        if (!ht) { /* row of 127s already covers 17..20 */ }
+        for (int rr = 4; rr <= 12; rr += 4)
+          std::memcpy(&yb4[rr * BUFS + 17], &yb4[17], 4);
+        int16_t yl4[16][16];
+        uint8_t modes4[16];
+        int64_t d4 = 0;
+        for (int n = 0; n < 16 && d4 < d16 + i4_penalty; n++) {
+          int r = 4 * (n >> 2), cc = 4 * (n & 3);
+          int64_t bcost = -1;
+          int bmode = 0;
+          int16_t blevels[16];
+          uint8_t brecon[16];
+          for (int mode = 0; mode < 10; mode++) {
+            predict_luma4(yb4.data(), cc, r, mode);
+            // Transform/quant/recon on a copy of the predicted block.
+            uint8_t blk[16];
+            for (int k = 0; k < 4; k++)
+              std::memcpy(blk + 4 * k, &yb4[(r + 1 + k) * BUFS + cc + 1], 4);
+            int16_t cf[16], lv[16], dq[16];
+            fdct4x4(src16 + r * 16 + cc, blk, 16, 4, cf);
+            for (int k = 0; k < 16; k++) lv[k] = 0;
+            quant_block(cf, y1dc, y1ac, 0, lv);
+            dequant_block(lv, y1dc.q, y1ac.q, dq);
+            bool any = false;
+            for (int k = 0; k < 16; k++) if (dq[k]) { any = true; break; }
+            uint8_t rec[16];
+            std::memcpy(rec, blk, 16);
+            if (any) idct_add(dq, rec, 4);
+            int64_t cost = 0;
+            for (int k = 0; k < 16; k++) {
+              int d = (int)src16[(r + (k >> 2)) * 16 + cc + (k & 3)] - rec[k];
+              cost += d * d;
+            }
+            // Small per-mode bias: non-DC modes cost a few header bits.
+            cost += (mode != 0) ? i4_penalty / 64 : 0;
+            if (bcost < 0 || cost < bcost) {
+              bcost = cost;
+              bmode = mode;
+              std::memcpy(blevels, lv, sizeof(lv));
+              std::memcpy(brecon, rec, 16);
+            }
+          }
+          // Commit best mode's reconstruction as context for the next block.
+          for (int k = 0; k < 4; k++)
+            std::memcpy(&yb4[(r + 1 + k) * BUFS + cc + 1], brecon + 4 * k, 4);
+          modes4[n] = (uint8_t)bmode;
+          std::memcpy(yl4[n], blevels, sizeof(blevels));
+          d4 += bcost;
+        }
+        if (d4 + i4_penalty < d16) {
+          // Adopt the i4 candidate.
+          is_i4_out[m] = 1;
+          for (int k = 0; k < 16; k++) y2l[k] = 0;
+          for (int n = 0; n < 16; n++) {
+            imodes_out[m * 16 + n] = modes4[n];
+            std::memcpy(yl + n * 16, yl4[n], sizeof(yl4[n]));
+          }
+          std::memcpy(ybuf.data(), yb4.data(), ybuf.size());
+        }
       }
 
       // Chroma.

@@ -479,24 +479,45 @@ def finalize_probas(stats: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def _write_mode(enc: BoolEncoder, mb: MBEnc, use_skip: bool, skip_p: int) -> None:
+def _write_mode(enc: BoolEncoder, mb, use_skip: bool, skip_p: int,
+                top4=None, left4=None) -> None:
+    from .tables import BMODE_PATHS, KF_BMODE_PROBAS
+
     if use_skip:
         enc.put_bit(1 if mb.skip else 0, skip_p)
-    enc.put_bit(1, 145)  # is_i4x4 = False → bit 1
-    # 16x16 mode tree.
-    m = mb.ymode
-    if m == B_DC:
-        enc.put_bit(0, 156)
-        enc.put_bit(0, 163)
-    elif m == B_VE:
-        enc.put_bit(0, 156)
-        enc.put_bit(1, 163)
-    elif m == B_HE:
-        enc.put_bit(1, 156)
-        enc.put_bit(0, 128)
-    else:  # TM
-        enc.put_bit(1, 156)
-        enc.put_bit(1, 128)
+    is_i4 = bool(getattr(mb, "is_i4", False))
+    if not is_i4:
+        enc.put_bit(1, 145)  # is_i4x4 = False → bit 1
+        # 16x16 mode tree.
+        m = mb.ymode
+        if m == B_DC:
+            enc.put_bit(0, 156)
+            enc.put_bit(0, 163)
+        elif m == B_VE:
+            enc.put_bit(0, 156)
+            enc.put_bit(1, 163)
+        elif m == B_HE:
+            enc.put_bit(1, 156)
+            enc.put_bit(0, 128)
+        else:  # TM
+            enc.put_bit(1, 156)
+            enc.put_bit(1, 128)
+        if top4 is not None:
+            top4[:] = m
+            left4[:] = m
+    else:
+        enc.put_bit(0, 145)  # is_i4x4
+        imodes = mb.imodes
+        for yy in range(4):
+            ymode = int(left4[yy])
+            for xx in range(4):
+                prob = KF_BMODE_PROBAS[int(top4[xx])][ymode]
+                mode = int(imodes[4 * yy + xx])
+                for prob_idx, bit in BMODE_PATHS[mode]:
+                    enc.put_bit(bit, int(prob[prob_idx]))
+                top4[xx] = mode
+                ymode = mode
+            left4[yy] = ymode
     # UV tree.
     m = mb.uvmode
     if m == B_DC:
@@ -530,12 +551,13 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig) -> bytes:
     mb_w = y.shape[1] // 16
     mb_h = y.shape[0] // 16
 
-    native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q)
+    native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q, config.method)
     if native is not None:
         out = emit_frame_arrays(
             native["y2"], native["yl"], native["uvl"], native["is_i4"],
             native["ymode"], native["uvmode"],
             mb_w, mb_h, width, height, base_q, config,
+            imodes=native["imodes"],
         )
         if out is not None:
             return out
@@ -629,9 +651,12 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     p0.put_flag(1 if use_skip else 0)
     if use_skip:
         p0.put_literal(skip_p, 8)
+    intra_t = np.zeros(4 * mb_w, np.int32)
     for mb_y in range(mb_h):
+        intra_l = np.zeros(4, np.int32)
         for mb_x in range(mb_w):
-            _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p)
+            _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p,
+                        intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
     part0 = p0.finish()
 
     # Partition 1: tokens (skipped MBs emit nothing).
@@ -664,7 +689,7 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     return header + part0 + part1
 
 
-def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant):
+def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4):
     """C++ closed-loop dense phase; returns level/mode arrays or None."""
     import ctypes
 
@@ -686,9 +711,13 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant):
     uvl = np.zeros((total, 8, 16), np.int16)
     ymode = np.zeros(total, np.uint8)
     uvmode = np.zeros(total, np.uint8)
+    is_i4 = np.zeros(total, np.uint8)
+    imodes = np.zeros((total, 16), np.uint8)
     yr = np.zeros_like(ys)
     ur = np.zeros_like(us)
     vr = np.zeros_like(vs)
+    try_i4 = 1 if method >= 4 else 0
+    i4_penalty = q.y1_ac.q * q.y1_ac.q
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
@@ -696,20 +725,23 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant):
     lib.wtpu_vp8_encode_frame(
         p(ys, ctypes.c_uint8), p(us, ctypes.c_uint8), p(vs, ctypes.c_uint8),
         mb_w, mb_h, p(qsteps, ctypes.c_int32),
+        try_i4, i4_penalty,
         p(y2, ctypes.c_int16), p(yl, ctypes.c_int16), p(uvl, ctypes.c_int16),
         p(ymode, ctypes.c_uint8), p(uvmode, ctypes.c_uint8),
+        p(is_i4, ctypes.c_uint8), p(imodes, ctypes.c_uint8),
         p(yr, ctypes.c_uint8), p(ur, ctypes.c_uint8), p(vr, ctypes.c_uint8),
     )
     return {
         "y2": y2, "yl": yl, "uvl": uvl,
-        "is_i4": np.zeros(total, np.uint8),
+        "is_i4": is_i4, "imodes": imodes,
         "ymode": ymode, "uvmode": uvmode,
     }
 
 
 def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
                       mb_w: int, mb_h: int, width: int, height: int,
-                      base_q: int, config: EncoderConfig) -> bytes | None:
+                      base_q: int, config: EncoderConfig,
+                      imodes=None) -> bytes | None:
     """Array-driven emission via the native tokenizer (None w/o lib)."""
     from types import SimpleNamespace
 
@@ -719,12 +751,18 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
     skip_flags = native["skip"]
     ymodes_f = np.asarray(ymodes).reshape(-1)
     uvmodes_f = np.asarray(uvmodes).reshape(-1)
+    is_i4_f = np.asarray(is_i4).reshape(-1)
+    imodes_f = (np.asarray(imodes).reshape(-1, 16)
+                if imodes is not None else None)
     mbs = [
         [
             SimpleNamespace(
                 skip=bool(skip_flags[my * mb_w + mx]),
                 ymode=int(ymodes_f[my * mb_w + mx]),
                 uvmode=int(uvmodes_f[my * mb_w + mx]),
+                is_i4=bool(is_i4_f[my * mb_w + mx]),
+                imodes=(imodes_f[my * mb_w + mx]
+                        if imodes_f is not None else None),
             )
             for mx in range(mb_w)
         ]
@@ -743,9 +781,12 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config):
 
     p0 = BoolEncoder()
     _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p)
+    intra_t = np.zeros(4 * mb_w, np.int32)
     for mb_y in range(mb_h):
+        intra_l = np.zeros(4, np.int32)
         for mb_x in range(mb_w):
-            _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p)
+            _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p,
+                        intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
     part0 = p0.finish()
     part1 = native["emit"](probs, use_skip)
     return _frame_bytes(part0, part1, width, height)
