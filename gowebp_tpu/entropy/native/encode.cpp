@@ -281,6 +281,45 @@ int wtpu_vp8_token_emit(const int16_t* y2, const int16_t* yl,
   return 0;
 }
 
+// Multi-partition emit: MB row r goes to partition (r & (num_parts-1)).
+// out_data receives one malloc'd buffer of all partitions concatenated;
+// out_sizes[i] = byte size of partition i.
+int wtpu_vp8_token_emit_multi(const int16_t* y2, const int16_t* yl,
+                              const int16_t* uvl, const uint8_t* is_i4,
+                              int mb_w, int mb_h, const uint8_t* probs,
+                              int use_skip, const uint8_t* skip_flags,
+                              int num_parts,
+                              uint8_t** out_data, uint64_t* out_sizes,
+                              uint64_t* total_size) {
+  std::vector<BoolEnc> encs(num_parts);
+  std::vector<Ctx2> above(mb_w);
+  for (int my = 0; my < mb_h; my++) {
+    Ctx2 left;
+    EmitSink sink{&encs[my & (num_parts - 1)], probs};
+    for (int mx = 0; mx < mb_w; mx++) {
+      size_t m = (size_t)my * mb_w + mx;
+      bool emit = !(use_skip && skip_flags[m]);
+      walk_mb(sink, y2 + m * 16, yl + m * 256, uvl + m * 128, is_i4[m],
+              above[mx], left, emit);
+    }
+  }
+  uint64_t total = 0;
+  for (int i = 0; i < num_parts; i++) {
+    encs[i].finish();
+    out_sizes[i] = encs[i].buf.size();
+    total += encs[i].buf.size();
+  }
+  uint8_t* out = (uint8_t*)std::malloc(total ? total : 1);
+  uint64_t off = 0;
+  for (int i = 0; i < num_parts; i++) {
+    std::memcpy(out + off, encs[i].buf.data(), encs[i].buf.size());
+    off += encs[i].buf.size();
+  }
+  *out_data = out;
+  *total_size = total;
+  return 0;
+}
+
 void wtpu_free(void* p) { std::free(p); }
 
 // Hash-chain LZ77 with optional color cache (the reference's

@@ -543,9 +543,11 @@ def filter_level_from_q(base_q: int, filter_strength: int, sharpness: int) -> in
     return max(0, min(63, level >> 1))
 
 
-def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig) -> bytes:
+def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
+                     base_q: int | None = None) -> bytes:
     """Y/U/V planes (already MB-padded) → VP8 frame payload."""
-    base_q = quality_to_q(config.quality)
+    if base_q is None:
+        base_q = quality_to_q(config.quality)
     base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
     q = make_quants(base_q)
     mb_w = y.shape[1] // 16
@@ -659,9 +661,9 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
                         intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
     part0 = p0.finish()
 
-    # Partition 1: tokens (skipped MBs emit nothing).
+    # Partition 1: tokens (this legacy path always writes one partition).
     if native is not None:
-        part1 = native["emit"](probs, use_skip)
+        part1 = b"".join(native["emit"](probs, use_skip, 1))
     else:
         p1 = BoolEncoder()
         for (mb_y, mb_x, start, end) in spans:
@@ -779,6 +781,7 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config):
     use_skip = n_skip > 0
     skip_p = max(1, min(255, ((total - n_skip) * 255) // total)) if use_skip else 0
 
+    num_parts = 1 << config.partitions
     p0 = BoolEncoder()
     _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p)
     intra_t = np.zeros(4 * mb_w, np.int32)
@@ -788,8 +791,8 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config):
             _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p,
                         intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
     part0 = p0.finish()
-    part1 = native["emit"](probs, use_skip)
-    return _frame_bytes(part0, part1, width, height)
+    parts = native["emit"](probs, use_skip, num_parts)
+    return _frame_bytes(part0, parts, width, height)
 
 
 def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p):
@@ -803,7 +806,7 @@ def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p):
     p0.put_literal(filter_level, 6)
     p0.put_literal(config.filter_sharpness, 3)
     p0.put_flag(0)  # no lf deltas
-    p0.put_literal(0, 2)  # 1 token partition
+    p0.put_literal(config.partitions, 2)  # log2(token partitions)
     p0.put_literal(base_q, 7)
     for _ in range(5):
         p0.put_flag(0)
@@ -822,8 +825,14 @@ def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p):
         p0.put_literal(skip_p, 8)
 
 
-def _frame_bytes(part0, part1, width, height):
+def _frame_bytes(part0, parts, width, height):
+    if isinstance(parts, (bytes, bytearray)):
+        parts = [parts]
     tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+    sizes = b"".join(
+        bytes((len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF))
+        for p in parts[:-1]
+    )
     return bytes(
         (
             tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF,
@@ -831,7 +840,7 @@ def _frame_bytes(part0, part1, width, height):
             width & 0xFF, (width >> 8) & 0x3F,
             height & 0xFF, (height >> 8) & 0x3F,
         )
-    ) + part0 + part1
+    ) + part0 + sizes + b"".join(parts)
 
 
 def _native_tokenizer(mbs, mb_w: int, mb_h: int):
@@ -885,18 +894,26 @@ def _native_tokenizer_arrays(y2, yl, uvl, is_i4, mb_w: int, mb_h: int):
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), u8p(skip),
     )
 
-    def emit(probs, use_skip):
+    def emit(probs, use_skip, num_parts=1):
         probs_c = np.ascontiguousarray(probs, np.uint8)
         out_p = ctypes.POINTER(ctypes.c_uint8)()
-        out_n = ctypes.c_uint64(0)
-        lib.wtpu_vp8_token_emit(
+        total = ctypes.c_uint64(0)
+        sizes = np.zeros(num_parts, np.uint64)
+        lib.wtpu_vp8_token_emit_multi(
             i16p(y2), i16p(yl), i16p(uvl), u8p(is_i4), mb_w, mb_h,
-            u8p(probs_c), int(use_skip), u8p(skip),
-            ctypes.byref(out_p), ctypes.byref(out_n),
+            u8p(probs_c), int(use_skip), u8p(skip), num_parts,
+            ctypes.byref(out_p),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.byref(total),
         )
-        data = ctypes.string_at(out_p, out_n.value)
+        data = ctypes.string_at(out_p, total.value)
         lib.wtpu_free(out_p)
-        return data
+        parts = []
+        off = 0
+        for s in sizes:
+            parts.append(data[off : off + int(s)])
+            off += int(s)
+        return parts
 
     return {"stats": stats, "skip": skip, "emit": emit}
 
@@ -932,6 +949,61 @@ def _fill_borders(Y, U, V, ybuf, ubuf, vbuf, mb_x, mb_y, mb_w):
         ybuf[1:17, 0] = 129
         ubuf[1:9, 0] = 129
         vbuf[1:9, 0] = 129
+
+
+def _rate_controlled_encode(y, u, v, w, h, config: EncoderConfig) -> bytes:
+    """Multi-pass quantizer search toward target_size / target_psnr.
+
+    The reference's StatLoop/ComputeNextQ secant search (SURVEY.md §2.5
+    "Multi-pass rate control"), re-done as bisection over the quantizer
+    index with the fast native dense phase per trial.
+    """
+    lo = config.qmin * 127 // 100
+    hi = max(lo + 1, config.qmax * 127 // 100)
+    passes = max(4, config.passes)
+    best_under = None          # (size, payload): largest size <= target
+    best_any = None            # (score, payload): closest overall
+
+    for _ in range(passes):
+        q = (lo + hi) // 2
+        payload = encode_vp8_frame(y, u, v, w, h, config, base_q=q)
+        if config.target_size > 0:
+            size = len(payload)
+            if size <= config.target_size:
+                if best_under is None or size > best_under[0]:
+                    best_under = (size, payload)
+                hi = q          # try finer quantization (bigger file)
+            else:
+                lo = q + 1      # too big: quantize harder
+            if best_any is None or abs(size - config.target_size) < best_any[0]:
+                best_any = (abs(size - config.target_size), payload)
+        else:
+            from .decoder import decode_vp8_yuv
+
+            dy, du, dv = decode_vp8_yuv(payload)
+            se = 0.0
+            n = 0
+            for dec, srcp in ((dy, y), (du, u), (dv, v)):
+                ref = np.asarray(srcp[: dec.shape[0], : dec.shape[1]], np.float64)
+                se += ((dec - ref) ** 2).sum()
+                n += dec.size
+            mse = max(se / n, 1e-9)
+            m = 10.0 * np.log10(255.0**2 / mse)
+            if m >= config.target_psnr:
+                if best_under is None or len(payload) < best_under[0]:
+                    best_under = (len(payload), payload)
+                lo = q + 1      # quality met: try harder quantization
+            else:
+                hi = q
+            if best_any is None or abs(m - config.target_psnr) < best_any[0]:
+                best_any = (abs(m - config.target_psnr), payload)
+        if lo >= hi:
+            break
+    if best_under is not None:
+        return best_under[1]
+    if best_any is not None:
+        return best_any[1]
+    return encode_vp8_frame(y, u, v, w, h, config)
 
 
 def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes:
@@ -988,6 +1060,8 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig) -> bytes:
     v = _pad_to_mb(v, 8)
     if config.plane_backend == "jax":
         payload = encode_vp8_frame_tpu(y, u, v, w, h, config)
+    elif config.target_size > 0 or config.target_psnr > 0:
+        payload = _rate_controlled_encode(y, u, v, w, h, config)
     else:
         payload = encode_vp8_frame(y, u, v, w, h, config)
 
