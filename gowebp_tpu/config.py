@@ -64,6 +64,10 @@ class EncoderConfig:
     # reconstruction feedback), "jax" = open-loop TPU plane engine
     # (fully parallel; slight quality drift, much faster at scale).
     plane_backend: str = "numpy"
+    # Optional progress callback: hook(percent:int)->bool; returning False
+    # aborts the encode (reference: Picture.progress_hook + USER_ABORT,
+    # picture.go:253-265).
+    progress_hook: object = None
 
     def validate(self) -> None:
         checks = [

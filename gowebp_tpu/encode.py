@@ -21,8 +21,13 @@ def encode_rgba(
     quality: float = 75.0,
     method: int = 4,
     config: EncoderConfig | None = None,
+    stats=None,
 ) -> bytes:
-    """Encode an (H, W, 3|4) uint8 array into a .webp byte string."""
+    """Encode an (H, W, 3|4) uint8 array into a .webp byte string.
+
+    Pass an EncodeStats instance as ``stats`` to collect WebPAuxStats-style
+    diagnostics for the encode.
+    """
     if config is None:
         config = EncoderConfig(lossless=lossless, quality=quality, method=method)
     config.validate()
@@ -30,15 +35,31 @@ def encode_rgba(
     if rgba.dtype != np.uint8:
         raise EncodeError("expected uint8 pixels")
 
+    _progress(config, 0)
     if config.lossless:
         from .models.vp8l.encoder import encode_vp8l
 
-        payload = encode_vp8l(rgba, quality=int(config.quality))
-        return assemble_simple(Chunk(CHUNK_VP8L, payload))
+        payload = encode_vp8l(rgba, quality=int(config.quality), stats=stats)
+        out = assemble_simple(Chunk(CHUNK_VP8L, payload))
+        if stats is not None:
+            stats.coded_size = len(out)
+            stats.lossless_size = len(payload)
+        _progress(config, 100)
+        return out
 
     from .models.vp8.encoder import encode_vp8_webp
 
-    return encode_vp8_webp(rgba, config)
+    out = encode_vp8_webp(rgba, config, stats=stats)
+    if stats is not None:
+        stats.coded_size = len(out)
+    _progress(config, 100)
+    return out
+
+
+def _progress(config: EncoderConfig, percent: int) -> None:
+    hook = getattr(config, "progress_hook", None)
+    if hook is not None and hook(percent) is False:
+        raise EncodeError("encoding aborted by progress hook")
 
 
 __all__ = ["encode_rgba"]

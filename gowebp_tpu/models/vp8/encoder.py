@@ -544,7 +544,7 @@ def filter_level_from_q(base_q: int, filter_strength: int, sharpness: int) -> in
 
 
 def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
-                     base_q: int | None = None) -> bytes:
+                     base_q: int | None = None, stats=None) -> bytes:
     """Y/U/V planes (already MB-padded) → VP8 frame payload."""
     if base_q is None:
         base_q = quality_to_q(config.quality)
@@ -559,7 +559,7 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
             native["y2"], native["yl"], native["uvl"], native["is_i4"],
             native["ymode"], native["uvmode"],
             mb_w, mb_h, width, height, base_q, config,
-            imodes=native["imodes"],
+            imodes=native["imodes"], stats=stats,
         )
         if out is not None:
             return out
@@ -743,7 +743,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
 def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
                       mb_w: int, mb_h: int, width: int, height: int,
                       base_q: int, config: EncoderConfig,
-                      imodes=None) -> bytes | None:
+                      imodes=None, stats=None) -> bytes | None:
     """Array-driven emission via the native tokenizer (None w/o lib)."""
     from types import SimpleNamespace
 
@@ -770,10 +770,11 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
         ]
         for my in range(mb_h)
     ]
-    return _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config)
+    return _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q,
+                         config, stats=stats)
 
 
-def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config):
+def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None):
     """Shared tail: probability finalization, headers, partitions."""
     total = mb_w * mb_h
     probs, updates = finalize_probas(native["stats"])
@@ -792,6 +793,18 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config):
                         intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
     part0 = p0.finish()
     parts = native["emit"](probs, use_skip, num_parts)
+    if stats is not None:
+        stats.block_count_skipped = n_skip
+        n_i4 = sum(1 for row in mbs for mb in row if getattr(mb, "is_i4", False))
+        stats.block_count_i4 = n_i4
+        stats.block_count_i16 = total - n_i4
+        stats.header_bytes = len(part0)
+        stats.residual_bytes = sum(len(p) for p in parts)
+        stats.quantizer = base_q
+        stats.filter_level = filter_level_from_q(
+            base_q, config.filter_strength, config.filter_sharpness
+        )
+        stats.num_partitions = num_parts
     return _frame_bytes(part0, parts, width, height)
 
 
@@ -1046,7 +1059,7 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
     return emit_frame(mbs, mb_w, mb_h, width, height, base_q, config)
 
 
-def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig) -> bytes:
+def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig, stats=None) -> bytes:
     """(H, W, 3|4) uint8 → complete .webp bytes (lossy, + ALPH if needed)."""
     rgba = np.asarray(rgba)
     if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
@@ -1063,7 +1076,17 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig) -> bytes:
     elif config.target_size > 0 or config.target_psnr > 0:
         payload = _rate_controlled_encode(y, u, v, w, h, config)
     else:
-        payload = encode_vp8_frame(y, u, v, w, h, config)
+        payload = encode_vp8_frame(y, u, v, w, h, config, stats=stats)
+    if stats is not None:
+        from .decoder import decode_vp8_yuv
+        from ...utils.metrics import psnr as _psnr
+
+        dy, du, dv = decode_vp8_yuv(payload)
+        stats.psnr = {
+            "y": _psnr(dy, np.asarray(y[: dy.shape[0], : dy.shape[1]])),
+            "u": _psnr(du, np.asarray(u[: du.shape[0], : du.shape[1]])),
+            "v": _psnr(dv, np.asarray(v[: dv.shape[0], : dv.shape[1]])),
+        }
 
     if not has_alpha:
         return assemble_simple(Chunk(CHUNK_VP8, payload))

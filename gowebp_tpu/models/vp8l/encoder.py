@@ -910,7 +910,7 @@ def _emit_refs_grouped_native(bw, refs, codes_flat, groups_per_op, width,
 
 
 def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
-                          quality: int = 75) -> None:
+                          quality: int = 75, stats=None) -> None:
     """Top-level spatially-coded image body (after transform headers)."""
     height = argb.shape[0]
     lut = _build_dist_code_lut(width)
@@ -935,6 +935,8 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
         bw.put_bits(cache_bits, 4)
     else:
         bw.put_bits(0, 1)
+    if stats is not None:
+        stats.cache_bits = cache_bits
 
     # Meta-huffman: tile histograms + stochastic clustering when the
     # image is big enough for spatial adaptivity to pay.
@@ -966,6 +968,8 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
             if est_meta >= est_single:
                 num_groups = 1
         if num_groups > 1:
+            if stats is not None:
+                stats.num_huffman_groups = num_groups
             bw.put_bits(1, 1)              # meta-huffman present
             bw.put_bits(bits - 2, 3)
             himg = (0xFF000000
@@ -1055,7 +1059,7 @@ def _pack_palette_indices(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 
 def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
                        use_predictor: bool | None = None,
-                       bw: BitWriter | None = None) -> BitWriter:
+                       bw: BitWriter | None = None, stats=None) -> BitWriter:
     """Encode the image-stream portion (after the 5-byte header)."""
     h, w = argb.shape
     if bw is None:
@@ -1076,7 +1080,10 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         _write_image_stream(bw, deltas.reshape(1, -1), len(palette))
         packed = _pack_palette_indices(argb, palette)
         bw.put_bits(0, 1)  # end of transforms
-        _write_spatial_stream(bw, packed, packed.shape[1], quality)
+        if stats is not None:
+            stats.palette_size = len(palette)
+            stats.transforms.append("color-indexing")
+        _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats)
         return bw
 
     # Photographic path: subtract-green then per-tile predictor.
@@ -1096,7 +1103,11 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         work = _apply_predictor_transform(work, bits, mode_img)
 
     bw.put_bits(0, 1)  # end of transforms
-    _write_spatial_stream(bw, work, w, quality)
+    if stats is not None:
+        stats.transforms.append("subtract-green")
+        if use_predictor:
+            stats.transforms.append("predictor")
+    _write_spatial_stream(bw, work, w, quality, stats=stats)
     return bw
 
 
@@ -1107,7 +1118,7 @@ def _sub_scalar(pixel: int, pred: int) -> int:
     return out
 
 
-def encode_vp8l(rgba: np.ndarray, *, quality: int = 75) -> bytes:
+def encode_vp8l(rgba: np.ndarray, *, quality: int = 75, stats=None) -> bytes:
     """(H, W, 4) uint8 RGBA → VP8L chunk payload."""
     if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
         raise EncodeError("expected (H, W, 3|4) array")
@@ -1127,7 +1138,7 @@ def encode_vp8l(rgba: np.ndarray, *, quality: int = 75) -> bytes:
     bw.put_bits(h - 1, 14)
     bw.put_bits(1 if has_alpha else 0, 1)
     bw.put_bits(0, 3)  # version
-    encode_vp8l_stream(argb, quality=quality, bw=bw)
+    encode_vp8l_stream(argb, quality=quality, bw=bw, stats=stats)
     return bw.getvalue()
 
 
