@@ -39,6 +39,16 @@ def encode_rgba(
     if config.lossless:
         from .models.vp8l.encoder import encode_vp8l
 
+        if config.near_lossless < 100:
+            from .models.vp8l.near_lossless import apply_near_lossless
+
+            if rgba.shape[2] == 3:
+                rgba = np.concatenate(
+                    [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)],
+                    axis=-1,
+                )
+            rgba = apply_near_lossless(rgba, config.near_lossless)
+
         payload = encode_vp8l(rgba, quality=int(config.quality), stats=stats)
         out = assemble_simple(Chunk(CHUNK_VP8L, payload))
         if stats is not None:

@@ -81,16 +81,37 @@ def decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def encode_alpha(plane: np.ndarray, *, method: int = 1,
-                 filter_m: int = FILTER_NONE) -> bytes:
-    """(H, W) uint8 alpha plane → ALPH chunk payload."""
-    h, w = plane.shape
-    filtered = _filter(filter_m, plane)
-    hdr = (method & 3) | ((filter_m & 3) << 2)
-    if method == 0:
-        return bytes([hdr]) + filtered.tobytes()
-    from ..vp8l.encoder import encode_vp8l_alpha
+                 filter_m: int | None = None, quality: int = 100,
+                 filtering_level: int = 1) -> bytes:
+    """(H, W) uint8 alpha plane → ALPH chunk payload.
 
-    return bytes([hdr]) + encode_vp8l_alpha(filtered)
+    filtering_level: 0 = none, 1 = heuristic (gradient), 2 = try all
+    four spatial filters and keep the smallest (reference
+    ApplyFiltersAndEncode, alpha_enc.c.go:224).
+    """
+    if quality < 100:
+        from ..vp8l.near_lossless import quantize_alpha_levels
+
+        plane = quantize_alpha_levels(plane, quality)
+
+    def encode_with(fm: int) -> bytes:
+        filtered = _filter(fm, plane)
+        hdr = (method & 3) | ((fm & 3) << 2)
+        if method == 0:
+            return bytes([hdr]) + filtered.tobytes()
+        from ..vp8l.encoder import encode_vp8l_alpha
+
+        return bytes([hdr]) + encode_vp8l_alpha(filtered)
+
+    if filter_m is not None:
+        return encode_with(filter_m)
+    if filtering_level == 0:
+        return encode_with(FILTER_NONE)
+    if filtering_level == 1:
+        return min(
+            (encode_with(FILTER_NONE), encode_with(FILTER_GRADIENT)), key=len
+        )
+    return min((encode_with(f) for f in range(4)), key=len)
 
 
 def _filter(method: int, data: np.ndarray) -> np.ndarray:

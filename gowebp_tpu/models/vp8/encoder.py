@@ -70,6 +70,48 @@ def rgb_to_yuv420(rgba: np.ndarray):
     return y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)
 
 
+def rgb_to_yuv420_sharp(rgba: np.ndarray, iterations: int = 4):
+    """Sharp (iterative) RGB→YUV420: refine U/V so the upsampled
+    reconstruction matches the source at chroma edges.
+
+    Feature parity target: the use_sharp_yuv path
+    (/root/reference/pkg/libwebp/enc/picture_csp_enc.c.go gamma-aware
+    "smart" conversion) — re-done as a damped fixed-point descent on the
+    chroma planes.
+    """
+    h, w = rgba.shape[:2]
+    r = rgba[..., 0].astype(np.int64)
+    g = rgba[..., 1].astype(np.int64)
+    b = rgba[..., 2].astype(np.int64)
+    y, u, v = rgb_to_yuv420(rgba)
+    y = y.astype(np.int64)
+    u = u.astype(np.int64)
+    v = v.astype(np.int64)
+    for _ in range(iterations):
+        uf = yuv_np.fancy_upsample(np.clip(u, 0, 255), h, w).astype(np.int64)
+        vf = yuv_np.fancy_upsample(np.clip(v, 0, 255), h, w).astype(np.int64)
+        rec = yuv_np.yuv_to_rgb(np.clip(y, 0, 255), uf, vf).astype(np.int64)
+        er = r - rec[..., 0]
+        eg = g - rec[..., 1]
+        eb = b - rec[..., 2]
+        # Project the RGB error onto Y and (downsampled) U/V axes.
+        dy = (16839 * er + 33059 * eg + 6420 * eb) >> 16
+        du_full = (-9719 * er - 19081 * eg + 28800 * eb) >> 16
+        dv_full = (28800 * er - 24116 * eg - 4684 * eb) >> 16
+        du = _downsample2(du_full) // 4
+        dv = _downsample2(dv_full) // 4
+        y = np.clip(y + (dy * 3) // 4, 0, 255)
+        u = np.clip(u + (du * 3) // 4, 0, 255)
+        v = np.clip(v + (dv * 3) // 4, 0, 255)
+    return y, u, v
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h & 1), (0, w & 1)), mode="edge")
+    return p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+
+
 def _pad_to_mb(plane: np.ndarray, mb_size: int) -> np.ndarray:
     h, w = plane.shape
     H = (h + mb_size - 1) // mb_size * mb_size
@@ -1067,7 +1109,10 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig, stats=None) -> byte
     h, w = rgba.shape[:2]
     has_alpha = rgba.shape[2] == 4 and bool((rgba[..., 3] != 255).any())
 
-    y, u, v = rgb_to_yuv420(rgba)
+    if config.use_sharp_yuv:
+        y, u, v = rgb_to_yuv420_sharp(rgba)
+    else:
+        y, u, v = rgb_to_yuv420(rgba)
     y = _pad_to_mb(y, 16)
     u = _pad_to_mb(u, 8)
     v = _pad_to_mb(v, 8)
@@ -1092,8 +1137,14 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig, stats=None) -> byte
         return assemble_simple(Chunk(CHUNK_VP8, payload))
     from .alpha import encode_alpha
 
-    alpha_payload = encode_alpha(rgba[..., 3], method=config.alpha_compression,
-                                 filter_m=0)
+    alpha_payload = encode_alpha(
+        rgba[..., 3],
+        method=config.alpha_compression,
+        quality=config.alpha_quality,
+        filtering_level=config.alpha_filtering,
+    )
+    if stats is not None:
+        stats.alpha_data_size = len(alpha_payload)
     return assemble(
         [
             build_vp8x(w, h, has_alpha=True),
