@@ -840,20 +840,24 @@ extern "C" {
 // Layouts match wtpu_vp8_token_stats.  rec planes are scratch outputs.
 int wtpu_vp8_encode_frame(
     const uint8_t* y_src, const uint8_t* u_src, const uint8_t* v_src,
-    int mb_w, int mb_h, const int32_t* qsteps,  // 6: y1dc..uvac
+    int mb_w, int mb_h, const int32_t* qsteps,  // [4][6]: y1dc..uvac per seg
     int try_i4, int i4_penalty,
+    const uint8_t* segments,                    // per-MB segment id or NULL
     int16_t* y2_out, int16_t* yl_out, int16_t* uvl_out,
     uint8_t* ymode_out, uint8_t* uvmode_out, uint8_t* is_i4_out,
     uint8_t* imodes_out,
     uint8_t* y_rec, uint8_t* u_rec, uint8_t* v_rec) {
   const int ys = mb_w * 16, cs = mb_w * 8;
-  QP y1dc, y1ac, y2dc, y2ac, uvdc, uvac;
-  y1dc.set(qsteps[0], 96);
-  y1ac.set(qsteps[1], 110);
-  y2dc.set(qsteps[2], 96);
-  y2ac.set(qsteps[3], 96);
-  uvdc.set(qsteps[4], 110);
-  uvac.set(qsteps[5], 110);
+  QP seg_q[4][6];
+  for (int s = 0; s < 4; s++) {
+    const int32_t* qs = qsteps + s * 6;
+    seg_q[s][0].set(qs[0], 96);
+    seg_q[s][1].set(qs[1], 110);
+    seg_q[s][2].set(qs[2], 96);
+    seg_q[s][3].set(qs[3], 96);
+    seg_q[s][4].set(qs[4], 110);
+    seg_q[s][5].set(qs[5], 110);
+  }
 
   std::vector<uint8_t> ybuf(17 * BUFS), ubuf(9 * BUFS), vbuf(9 * BUFS);
   std::vector<uint8_t> trial(17 * BUFS);
@@ -862,6 +866,13 @@ int wtpu_vp8_encode_frame(
   for (int my = 0; my < mb_h; my++) {
     for (int mx = 0; mx < mb_w; mx++) {
       size_t m = (size_t)my * mb_w + mx;
+      int seg = segments ? segments[m] : 0;
+      const QP& y1dc = seg_q[seg][0];
+      const QP& y1ac = seg_q[seg][1];
+      const QP& y2dc = seg_q[seg][2];
+      const QP& y2ac = seg_q[seg][3];
+      const QP& uvdc = seg_q[seg][4];
+      const QP& uvac = seg_q[seg][5];
       bool ht = my > 0, hl = mx > 0;
       // Borders from the reconstruction planes.
       if (ht) {

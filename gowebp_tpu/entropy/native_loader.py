@@ -149,7 +149,7 @@ def _configure(lib) -> None:
     lib.wtpu_vp8_encode_frame.restype = c.c_int
     lib.wtpu_vp8_encode_frame.argtypes = [
         u8p, u8p, u8p, c.c_int, c.c_int, i32p,
-        c.c_int, c.c_int,
+        c.c_int, c.c_int, u8p,
         i16p, i16p, i16p, u8p, u8p, u8p, u8p,
         u8p, u8p, u8p,
     ]

@@ -522,9 +522,17 @@ def finalize_probas(stats: np.ndarray):
 
 
 def _write_mode(enc: BoolEncoder, mb, use_skip: bool, skip_p: int,
-                top4=None, left4=None) -> None:
+                top4=None, left4=None, seg_probs=None) -> None:
     from .tables import BMODE_PATHS, KF_BMODE_PROBAS
 
+    if seg_probs is not None:
+        sid = getattr(mb, "segment", 0)
+        if sid < 2:
+            enc.put_bit(0, seg_probs[0])
+            enc.put_bit(sid, seg_probs[1])
+        else:
+            enc.put_bit(1, seg_probs[0])
+            enc.put_bit(sid - 2, seg_probs[2])
     if use_skip:
         enc.put_bit(1 if mb.skip else 0, skip_p)
     is_i4 = bool(getattr(mb, "is_i4", False))
@@ -595,13 +603,27 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
     mb_w = y.shape[1] // 16
     mb_h = y.shape[0] // 16
 
-    native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q, config.method)
+    seg = None
+    if config.segments > 1:
+        seg_map, deltas = analyze_segments(
+            y, mb_w, mb_h, config.segments, config.sns_strength, base_q
+        )
+        if len(set(deltas[: config.segments])) > 1:
+            seg = {
+                "map": seg_map,
+                "deltas": deltas,
+                "probs": _segment_tree_probs(seg_map),
+                "quants": [make_quants(max(0, min(127, base_q + d)))
+                           for d in deltas],
+            }
+    native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q, config.method,
+                                        seg=seg)
     if native is not None:
         out = emit_frame_arrays(
             native["y2"], native["yl"], native["uvl"], native["is_i4"],
             native["ymode"], native["uvmode"],
             mb_w, mb_h, width, height, base_q, config,
-            imodes=native["imodes"], stats=stats,
+            imodes=native["imodes"], stats=stats, seg=seg,
         )
         if out is not None:
             return out
@@ -733,7 +755,7 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     return header + part0 + part1
 
 
-def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4):
+def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None):
     """C++ closed-loop dense phase; returns level/mode arrays or None."""
     import ctypes
 
@@ -746,10 +768,16 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     ys = np.ascontiguousarray(np.asarray(y), np.uint8)
     us = np.ascontiguousarray(np.asarray(u), np.uint8)
     vs = np.ascontiguousarray(np.asarray(v), np.uint8)
-    qsteps = np.array(
-        [q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q, q.uv_dc.q, q.uv_ac.q],
-        np.int32,
-    )
+    def qrow(sq):
+        return [sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,
+                sq.uv_dc.q, sq.uv_ac.q]
+
+    if seg is not None:
+        qsteps = np.array([qrow(s) for s in seg["quants"]], np.int32)
+        seg_arr = np.ascontiguousarray(seg["map"], np.uint8)
+    else:
+        qsteps = np.array([qrow(q)] * 4, np.int32)
+        seg_arr = None
     y2 = np.zeros((total, 16), np.int16)
     yl = np.zeros((total, 16, 16), np.int16)
     uvl = np.zeros((total, 8, 16), np.int16)
@@ -770,6 +798,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
         p(ys, ctypes.c_uint8), p(us, ctypes.c_uint8), p(vs, ctypes.c_uint8),
         mb_w, mb_h, p(qsteps, ctypes.c_int32),
         try_i4, i4_penalty,
+        p(seg_arr, ctypes.c_uint8) if seg_arr is not None else None,
         p(y2, ctypes.c_int16), p(yl, ctypes.c_int16), p(uvl, ctypes.c_int16),
         p(ymode, ctypes.c_uint8), p(uvmode, ctypes.c_uint8),
         p(is_i4, ctypes.c_uint8), p(imodes, ctypes.c_uint8),
@@ -785,7 +814,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
 def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
                       mb_w: int, mb_h: int, width: int, height: int,
                       base_q: int, config: EncoderConfig,
-                      imodes=None, stats=None) -> bytes | None:
+                      imodes=None, stats=None, seg=None) -> bytes | None:
     """Array-driven emission via the native tokenizer (None w/o lib)."""
     from types import SimpleNamespace
 
@@ -798,6 +827,7 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
     is_i4_f = np.asarray(is_i4).reshape(-1)
     imodes_f = (np.asarray(imodes).reshape(-1, 16)
                 if imodes is not None else None)
+    seg_map = seg["map"] if seg is not None else None
     mbs = [
         [
             SimpleNamespace(
@@ -807,16 +837,18 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
                 is_i4=bool(is_i4_f[my * mb_w + mx]),
                 imodes=(imodes_f[my * mb_w + mx]
                         if imodes_f is not None else None),
+                segment=(int(seg_map[my * mb_w + mx])
+                         if seg_map is not None else 0),
             )
             for mx in range(mb_w)
         ]
         for my in range(mb_h)
     ]
     return _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q,
-                         config, stats=stats)
+                         config, stats=stats, seg=seg)
 
 
-def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None):
+def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None, seg=None):
     """Shared tail: probability finalization, headers, partitions."""
     total = mb_w * mb_h
     probs, updates = finalize_probas(native["stats"])
@@ -826,13 +858,16 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=
 
     num_parts = 1 << config.partitions
     p0 = BoolEncoder()
-    _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p)
+    _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p,
+                      seg=seg)
     intra_t = np.zeros(4 * mb_w, np.int32)
+    seg_probs = seg["probs"] if seg is not None else None
     for mb_y in range(mb_h):
         intra_l = np.zeros(4, np.int32)
         for mb_x in range(mb_w):
             _write_mode(p0, mbs[mb_y][mb_x], use_skip, skip_p,
-                        intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
+                        intra_t[4 * mb_x : 4 * mb_x + 4], intra_l,
+                        seg_probs=seg_probs)
     part0 = p0.finish()
     parts = native["emit"](probs, use_skip, num_parts)
     if stats is not None:
@@ -850,10 +885,32 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=
     return _frame_bytes(part0, parts, width, height)
 
 
-def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p):
+def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p,
+                      seg=None):
     p0.put_flag(0)  # color space
     p0.put_flag(0)  # clamp type
-    p0.put_flag(0)  # no segmentation
+    if seg is None:
+        p0.put_flag(0)  # no segmentation
+    else:
+        p0.put_flag(1)  # use_segment
+        p0.put_flag(1)  # update_map
+        p0.put_flag(1)  # update data
+        p0.put_flag(0)  # absolute_delta = 0 (deltas relative to base q)
+        for s in range(4):
+            d = seg["deltas"][s]
+            if d:
+                p0.put_flag(1)
+                p0.put_signed_literal(d, 7)
+            else:
+                p0.put_flag(0)
+        for s in range(4):  # filter strength deltas: none
+            p0.put_flag(0)
+        for pr in seg["probs"]:
+            if pr != 255:
+                p0.put_flag(1)
+                p0.put_literal(pr, 8)
+            else:
+                p0.put_flag(0)
     filter_level = filter_level_from_q(
         base_q, config.filter_strength, config.filter_sharpness
     )
@@ -1004,6 +1061,47 @@ def _fill_borders(Y, U, V, ybuf, ubuf, vbuf, mb_x, mb_y, mb_w):
         ybuf[1:17, 0] = 129
         ubuf[1:9, 0] = 129
         vbuf[1:9, 0] = 129
+
+
+def analyze_segments(y, mb_w: int, mb_h: int, num_segments: int,
+                     sns_strength: int, base_q: int = 64):
+    """Per-MB activity → segment map + quantizer deltas.
+
+    The reference's VP8EncAnalyze/AssignSegments (analysis_enc.c.go:139,
+    431): 1-D clustering of a susceptibility metric, re-done with a
+    vectorized activity measure and quantile split.
+    """
+    ya = np.asarray(y, np.int32)
+    H, W = mb_h * 16, mb_w * 16
+    lap = np.abs(
+        4 * ya[1:-1, 1:-1] - ya[:-2, 1:-1] - ya[2:, 1:-1]
+        - ya[1:-1, :-2] - ya[1:-1, 2:]
+    )
+    lap = np.pad(lap, 1)[:H, :W]
+    act = lap.reshape(mb_h, 16, mb_w, 16).mean(axis=(1, 3)).reshape(-1)
+    order = np.argsort(np.argsort(act))          # rank per MB
+    total = mb_w * mb_h
+    seg_map = (order * num_segments // total).astype(np.uint8)
+    # Scale the spread down at fine quantizers (matching libwebp's
+    # quality-dependent amp) so high-quality files don't pay for it.
+    dq_max = min(sns_strength * 15 // 100, base_q // 3)
+    deltas = []
+    for s in range(num_segments):
+        centered = s - (num_segments - 1) / 2.0
+        deltas.append(int(round(centered * 2 * dq_max / max(1, num_segments - 1))))
+    deltas += [0] * (4 - num_segments)
+    return seg_map, deltas
+
+
+def _segment_tree_probs(seg_map: np.ndarray):
+    counts = np.bincount(seg_map, minlength=4)
+    total = counts.sum()
+    lo = counts[0] + counts[1]
+    p0 = int(np.clip(lo * 255 // max(1, total), 1, 255))
+    p1 = int(np.clip(counts[0] * 255 // max(1, lo), 1, 255)) if lo else 255
+    hi = counts[2] + counts[3]
+    p2 = int(np.clip(counts[2] * 255 // max(1, hi), 1, 255)) if hi else 255
+    return [p0, p1, p2]
 
 
 def _rate_controlled_encode(y, u, v, w, h, config: EncoderConfig) -> bytes:
