@@ -76,6 +76,53 @@ def decode_yuv(data: bytes):
     return decode_vp8_yuv(vp8.payload)
 
 
+def decode_rgba_batch(datas: list, use_tpu: bool = True) -> list:
+    """Decode many .webp files; same-sized lossy images share one TPU
+    post-processing launch (chroma upsample + color conversion batched).
+
+    Host does entropy decode + reconstruction per image; the dense
+    pixel-rate work runs as a single batched jit call.
+    """
+    from .models.vp8.decoder import decode_vp8_yuv
+
+    planes = []
+    fallback = {}
+    for i, data in enumerate(datas):
+        parsed = parse_riff(data)
+        vp8 = parsed.find(CHUNK_VP8)
+        if (
+            not use_tpu
+            or vp8 is None
+            or parsed.find(CHUNK_ALPHA) is not None
+        ):
+            fallback[i] = decode_rgba(data)
+            planes.append(None)
+        else:
+            planes.append(decode_vp8_yuv(vp8.payload))
+
+    # Group identical shapes into batches.
+    groups = {}
+    for i, p in enumerate(planes):
+        if p is not None:
+            groups.setdefault(p[0].shape, []).append(i)
+    results = [None] * len(datas)
+    if groups:
+        import numpy as np
+
+        from .ops.yuv_jax import batch_yuv_to_rgba
+
+        for shape, idxs in groups.items():
+            y = np.stack([planes[i][0] for i in idxs]).astype(np.int32)
+            u = np.stack([planes[i][1] for i in idxs]).astype(np.int32)
+            v = np.stack([planes[i][2] for i in idxs]).astype(np.int32)
+            out = np.asarray(batch_yuv_to_rgba(y, u, v))
+            for k, i in enumerate(idxs):
+                results[i] = out[k]
+    for i, r in fallback.items():
+        results[i] = r
+    return results
+
+
 def features(data: bytes) -> WebPFeatures:
     return get_features(data)
 
