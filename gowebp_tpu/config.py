@@ -60,9 +60,10 @@ class EncoderConfig:
     use_sharp_yuv: bool = False
     qmin: int = 0
     qmax: int = 100
-    # Dense-phase backend: "numpy" = closed-loop reference (sequential
-    # reconstruction feedback), "jax" = open-loop TPU plane engine
-    # (fully parallel; slight quality drift, much faster at scale).
+    # Dense-phase backend: "numpy" = host path (C++/NumPy closed loop);
+    # "jax" = exact closed-loop TPU wavefront engine (bit-identical
+    # output, batched over the mesh); "jax-openloop" = fully-parallel
+    # open-loop engine (maximum throughput, slight quality drift).
     plane_backend: str = "numpy"
     # Optional progress callback: hook(percent:int)->bool; returning False
     # aborts the encode (reference: Picture.progress_hook + USER_ABORT,

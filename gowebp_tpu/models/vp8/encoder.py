@@ -1160,13 +1160,21 @@ def _rate_controlled_encode(y, u, v, w, h, config: EncoderConfig) -> bytes:
 
 
 def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes:
-    """Dense phase on TPU (open-loop batched plane engine), emission on host."""
-    from ...ops.encode_plane_jax import encode_plane_step
+    """Dense phase on TPU, emission on host.
+
+    plane_backend "jax" uses the exact closed-loop wavefront engine
+    (bit-identical to the sequential host encoder); "jax-openloop" uses
+    the fully-parallel open-loop engine (fastest, slight drift).
+    """
+    if config.plane_backend == "jax":
+        from ...ops.encode_wavefront_jax import encode_wavefront as _step
+    else:
+        from ...ops.encode_plane_jax import encode_plane_step as _step
 
     base_q = quality_to_q(config.quality)
     base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
     q = make_quants(base_q)
-    out = encode_plane_step(
+    out = _step(
         np.asarray(y, np.int32)[None],
         np.asarray(u, np.int32)[None],
         np.asarray(v, np.int32)[None],
@@ -1214,7 +1222,7 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig, stats=None) -> byte
     y = _pad_to_mb(y, 16)
     u = _pad_to_mb(u, 8)
     v = _pad_to_mb(v, 8)
-    if config.plane_backend == "jax":
+    if config.plane_backend in ("jax", "jax-openloop"):
         payload = encode_vp8_frame_tpu(y, u, v, w, h, config)
     elif config.target_size > 0 or config.target_psnr > 0:
         payload = _rate_controlled_encode(y, u, v, w, h, config)
