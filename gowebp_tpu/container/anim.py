@@ -76,21 +76,60 @@ def decode_animation(data: bytes) -> tuple[list[AnimFrame], Demuxer]:
 
 
 class AnimationEncoder:
-    """Accumulate frames, then assemble an animated WebP."""
+    """Accumulate frames, then assemble an animated WebP.
+
+    Delta optimization (reference anim_encode.go: change-rect
+    minimization + duration merging): identical frames extend the
+    previous frame's duration; changed frames encode only the even-
+    aligned bounding rectangle of the change, placed at (x, y) with
+    overwrite blending.
+    """
 
     def __init__(self, *, loop_count: int = 0,
-                 background_color: int = 0xFFFFFFFF):
+                 background_color: int = 0xFFFFFFFF,
+                 minimize_size: bool = True):
         self._mux = Mux(loop_count=loop_count,
                         background_color=background_color)
+        self._minimize = minimize_size
+        self._canvas: np.ndarray | None = None
 
     def add_frame(self, rgba: np.ndarray, duration_ms: int, *,
                   lossless: bool = True, quality: float = 75.0) -> None:
+        rgba = np.asarray(rgba)
+        if rgba.shape[-1] == 3:
+            rgba = np.concatenate(
+                [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], -1
+            )
+        x = y = 0
+        sub = rgba
+        if self._minimize and self._canvas is not None \
+                and self._canvas.shape == rgba.shape:
+            diff = (rgba != self._canvas).any(axis=-1)
+            if not diff.any():
+                # Identical frame: merge into the previous duration.
+                if self._mux.frames:
+                    self._mux.frames[-1].duration_ms += duration_ms
+                    self._canvas = rgba.copy()
+                    return
+            else:
+                ys, xs = np.nonzero(diff)
+                y0, y1 = int(ys.min()), int(ys.max()) + 1
+                x0, x1 = int(xs.min()), int(xs.max()) + 1
+                # ANMF offsets must be even; sizes stay within canvas.
+                x0 &= ~1
+                y0 &= ~1
+                # Only lossless sub-frames are exactly compositable.
+                if lossless:
+                    x, y = x0, y0
+                    sub = rgba[y0:y1, x0:x1]
+        self._canvas = rgba.copy()
+
         from ..config import EncoderConfig
         from ..container.riff import parse_riff
         from ..encode import encode_rgba
 
         cfg = EncoderConfig(lossless=lossless, quality=quality)
-        data = encode_rgba(rgba, config=cfg)
+        data = encode_rgba(np.ascontiguousarray(sub), config=cfg)
         parsed = parse_riff(data)
         vp8l = parsed.find(b"VP8L")
         vp8 = parsed.find(b"VP8 ")
@@ -103,7 +142,9 @@ class AnimationEncoder:
         else:
             raise WebPError("internal: no image chunk produced")
         frame.duration_ms = duration_ms
-        frame.blend = False           # full-canvas overwrite frames
+        frame.blend = False           # overwrite compositing
+        frame.x = x
+        frame.y = y
         self._mux.push_frame(frame)
 
     def assemble(self) -> bytes:

@@ -92,3 +92,36 @@ class TestMux:
         # Pillow still decodes the pixels.
         got = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
         np.testing.assert_array_equal(got, img)
+
+
+class TestDeltaFrames:
+    def test_delta_optimization(self):
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, (40, 64, 4), dtype=np.uint8)
+        base[..., 3] = 255
+        f2 = base.copy()
+        f2[10:20, 30:44] = (255, 0, 0, 255)
+        frames = [base, f2, f2.copy(), f2.copy()]
+        f3 = f2.copy()
+        f3[0:4, 0:8] = (0, 255, 0, 255)
+        frames.append(f3)
+
+        enc = AnimationEncoder()
+        for f in frames:
+            enc.add_frame(f, 100, lossless=True)
+        data = enc.assemble()
+
+        img = Image.open(io.BytesIO(data))
+        assert img.n_frames == 3  # two identical frames merged
+        expect = [frames[0], f2, f3]
+        for i, e in enumerate(expect):
+            img.seek(i)
+            np.testing.assert_array_equal(np.asarray(img.convert("RGBA")), e)
+        # Merged duration shows up on the middle frame.
+        _, d = decode_animation(data)
+        assert [fr.duration_ms for fr in d.frames] == [100, 300, 100]
+
+        enc_full = AnimationEncoder(minimize_size=False)
+        for f in frames:
+            enc_full.add_frame(f, 100, lossless=True)
+        assert len(data) < len(enc_full.assemble()) // 2
