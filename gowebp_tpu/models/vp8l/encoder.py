@@ -669,6 +669,69 @@ def _apply_predictor_transform(argb: np.ndarray, bits: int,
     return out
 
 
+def _residual_mag(argb: np.ndarray) -> int:
+    """Folded-magnitude proxy for residual cost (smaller = better)."""
+    total = 0
+    for shift in (16, 0):
+        ch = ((argb >> shift) & 0xFF).astype(np.int64)
+        total += int(np.minimum(ch, 256 - ch).sum())
+    return total
+
+
+def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
+    """Per-tile least-squares green→red / green→blue / red→blue multipliers.
+
+    Residual channels are interpreted as signed int8 (they are mod-256
+    prediction residuals); the 3.5-bit fixed-point multiplier x minimizes
+    Σ (c − (x·g)>>5)².  Returns the transform image, or None when no tile
+    gains anything.  Reference: GetBestGreenToRed/GreenRedToBlue
+    (predictor_enc.go:759-877), re-done as a closed-form fit.
+    """
+    h, w = argb.shape
+    th = tnp.subsample_size(h, bits)
+    tw = tnp.subsample_size(w, bits)
+    tile = 1 << bits
+    ph, pw = th * tile, tw * tile
+    pad = np.zeros((ph, pw), np.uint32)
+    pad[:h, :w] = argb
+    mask = np.zeros((ph, pw), bool)
+    mask[:h, :w] = True
+
+    def signed(ch_shift):
+        return ((pad >> ch_shift) & 0xFF).astype(np.uint8).astype(np.int8).astype(np.int64)
+
+    g = signed(8) * mask
+    r = signed(16) * mask
+    b = signed(0) * mask
+
+    def tiles(x):
+        return x.reshape(th, tile, tw, tile)
+
+    def fit(num, den):
+        den = np.maximum(den, 1)
+        x = np.rint(32.0 * num / den).astype(np.int64)
+        return np.clip(x, -128, 127)
+
+    gg = tiles(g * g).sum(axis=(1, 3))
+    g2r = fit(tiles(r * g).sum(axis=(1, 3)), gg)
+    g2b = fit(tiles(b * g).sum(axis=(1, 3)), gg)
+    # Residual blue after removing the green part, then fit on red.
+    g2b_px = np.repeat(np.repeat(g2b, tile, 0), tile, 1)
+    b_res = b - ((g2b_px * g) >> 5)
+    rr = tiles(r * r).sum(axis=(1, 3))
+    r2b = fit(tiles(b_res * r).sum(axis=(1, 3)), rr)
+
+    if not (g2r.any() or g2b.any() or r2b.any()):
+        return None
+    timg = (
+        0xFF000000
+        | ((r2b & 0xFF).astype(np.uint32) << 16)
+        | ((g2b & 0xFF).astype(np.uint32) << 8)
+        | (g2r & 0xFF).astype(np.uint32)
+    ).astype(np.uint32)
+    return timg
+
+
 # ---------------------------------------------------------------------------
 # Stream assembly
 # ---------------------------------------------------------------------------
@@ -1101,6 +1164,23 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         bw.put_bits(bits - 2, 3)
         _write_image_stream(bw, mode_img, mode_img.shape[1])
         work = _apply_predictor_transform(work, bits, mode_img)
+
+    # Cross-color transform on the prediction residuals.
+    use_cross = quality >= 50
+    if use_cross:
+        cc_bits = 4
+        cc_img = _choose_cross_color(work, cc_bits)
+        if cc_img is not None:
+            # Estimate whether it actually helps before committing.
+            trial = tnp.color_transform_forward(work, cc_img, cc_bits)
+            if _residual_mag(trial) < _residual_mag(work):
+                bw.put_bits(1, 1)
+                bw.put_bits(1, 2)      # COLOR_TRANSFORM
+                bw.put_bits(cc_bits - 2, 3)
+                _write_image_stream(bw, cc_img, cc_img.shape[1])
+                work = trial
+                if stats is not None:
+                    stats.transforms.append("cross-color")
 
     bw.put_bits(0, 1)  # end of transforms
     if stats is not None:

@@ -112,7 +112,9 @@ def color_transform_forward(
     r = (argb >> 16) & 0xFF
     b = argb & 0xFF
     new_r = (r - _delta(g2r, g)) & 0xFF
-    new_b = (b - _delta(g2b, g) - _delta(r2b, new_r & 0xFF)) & 0xFF
+    # red_to_blue applies to the ORIGINAL red (the decoder restores red
+    # before using it in the blue inverse).
+    new_b = (b - _delta(g2b, g) - _delta(r2b, r)) & 0xFF
     return (
         (argb & 0xFF00FF00) | (new_r.astype(np.uint32) << 16) | new_b.astype(np.uint32)
     ).astype(np.uint32)

@@ -87,8 +87,9 @@ def color_transform_forward(argb, transform_img, bits: int):
     r = (argb >> 16) & _FF
     b = argb & _FF
     new_r = (r.astype(jnp.int32) - _delta(g2r, g)).astype(jnp.uint32) & _FF
+    # red_to_blue applies to the ORIGINAL red (decoder restores it first).
     new_b = (
-        b.astype(jnp.int32) - _delta(g2b, g) - _delta(r2b, new_r)
+        b.astype(jnp.int32) - _delta(g2b, g) - _delta(r2b, r)
     ).astype(jnp.uint32) & _FF
     return ((argb & _M_AG) | (new_r << 16) | new_b).astype(jnp.uint32)
 
