@@ -728,9 +728,15 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder):
     )
 
 
-def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False):
+def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
+                   filter_level_override: int | None = None):
     """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped)."""
     st, bd = parse_frame_header(payload)
+    if filter_level_override is not None:
+        st.filter_hdr.level = filter_level_override
+        st.filter_type = 0 if filter_level_override == 0 else (
+            1 if st.filter_hdr.simple else 2
+        )
     if bypass_filtering:
         st.filter_type = 0
     native = _decode_vp8_yuv_native(st, bd)

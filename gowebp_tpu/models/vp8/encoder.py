@@ -625,6 +625,16 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
             mb_w, mb_h, width, height, base_q, config,
             imodes=native["imodes"], stats=stats, seg=seg,
         )
+        if out is not None and config.autofilter:
+            best = _autofilter(out, y, width, height, base_q, config)
+            if best is not None:
+                out = emit_frame_arrays(
+                    native["y2"], native["yl"], native["uvl"],
+                    native["is_i4"], native["ymode"], native["uvmode"],
+                    mb_w, mb_h, width, height, base_q, config,
+                    imodes=native["imodes"], stats=stats, seg=seg,
+                    filter_level=best,
+                )
         if out is not None:
             return out
 
@@ -814,7 +824,8 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
 def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
                       mb_w: int, mb_h: int, width: int, height: int,
                       base_q: int, config: EncoderConfig,
-                      imodes=None, stats=None, seg=None) -> bytes | None:
+                      imodes=None, stats=None, seg=None,
+                      filter_level=None) -> bytes | None:
     """Array-driven emission via the native tokenizer (None w/o lib)."""
     from types import SimpleNamespace
 
@@ -845,10 +856,11 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
         for my in range(mb_h)
     ]
     return _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q,
-                         config, stats=stats, seg=seg)
+                         config, stats=stats, seg=seg,
+                         filter_level=filter_level)
 
 
-def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None, seg=None):
+def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None, seg=None, filter_level=None):
     """Shared tail: probability finalization, headers, partitions."""
     total = mb_w * mb_h
     probs, updates = finalize_probas(native["stats"])
@@ -859,7 +871,7 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=
     num_parts = 1 << config.partitions
     p0 = BoolEncoder()
     _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p,
-                      seg=seg)
+                      seg=seg, filter_level=filter_level)
     intra_t = np.zeros(4 * mb_w, np.int32)
     seg_probs = seg["probs"] if seg is not None else None
     for mb_y in range(mb_h):
@@ -886,7 +898,7 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=
 
 
 def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p,
-                      seg=None):
+                      seg=None, filter_level=None):
     p0.put_flag(0)  # color space
     p0.put_flag(0)  # clamp type
     if seg is None:
@@ -911,9 +923,10 @@ def _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p,
                 p0.put_literal(pr, 8)
             else:
                 p0.put_flag(0)
-    filter_level = filter_level_from_q(
-        base_q, config.filter_strength, config.filter_sharpness
-    )
+    if filter_level is None:
+        filter_level = filter_level_from_q(
+            base_q, config.filter_strength, config.filter_sharpness
+        )
     p0.put_flag(0 if config.filter_type else 1)
     p0.put_literal(filter_level, 6)
     p0.put_literal(config.filter_sharpness, 3)
@@ -1102,6 +1115,30 @@ def _segment_tree_probs(seg_map: np.ndarray):
     hi = counts[2] + counts[3]
     p2 = int(np.clip(counts[2] * 255 // max(1, hi), 1, 255)) if hi else 255
     return [p0, p1, p2]
+
+
+def _autofilter(payload_webp_frame, y_src, width, height, base_q,
+                config: EncoderConfig) -> int | None:
+    """Pick the loop-filter level maximizing decoded luma PSNR.
+
+    Reference: VP8AdjustFilterStrength's lf_stats trials
+    (filter_enc.c.go:34-73) — here done against the actual decode.
+    """
+    from .decoder import decode_vp8_yuv
+
+    base = filter_level_from_q(base_q, config.filter_strength,
+                               config.filter_sharpness)
+    cands = sorted({0, base // 2, base, min(63, base + base // 2 + 1),
+                    min(63, 2 * base + 1)})
+    best_level, best_err = None, None
+    ref = np.asarray(y_src, np.float64)
+    for lvl in cands:
+        dy, _, _ = decode_vp8_yuv(payload_webp_frame,
+                                  filter_level_override=lvl)
+        err = ((dy[: height, : width] - ref[: height, : width]) ** 2).sum()
+        if best_err is None or err < best_err:
+            best_err, best_level = err, lvl
+    return best_level
 
 
 def _rate_controlled_encode(y, u, v, w, h, config: EncoderConfig) -> bytes:
