@@ -809,6 +809,111 @@ struct QP {
   }
 };
 
+// ----------------------------------------------------------------------
+// Trellis quantization: exact token-grammar DP over {l0, l0-1} per coeff.
+// Cost tables in 1/256-bit units, layout [4][8][3][...] (see cost.py).
+// ----------------------------------------------------------------------
+struct TrellisTables {
+  const uint16_t* p0;    // [4][8][3][2]
+  const uint16_t* p1;    // [4][8][3][2]
+  const uint16_t* val;   // [4][8][3][68]
+};
+
+static inline int tt_p0(const TrellisTables& tt, int t, int b, int c, int bit) {
+  return tt.p0[((t * 8 + b) * 3 + c) * 2 + bit];
+}
+static inline int tt_p1(const TrellisTables& tt, int t, int b, int c, int bit) {
+  return tt.p1[((t * 8 + b) * 3 + c) * 2 + bit];
+}
+static inline int tt_val(const TrellisTables& tt, int t, int b, int c, int v) {
+  if (v > 67) v = 67;  // extra-bit tail beyond the table is ~flat
+  return tt.val[((t * 8 + b) * 3 + c) * 68 + v];
+}
+
+// levels: zigzag in/out; coeffs raster.  Refines nonzero levels in place
+// over candidates {l0, max(1, l0-1)} with the exact token-grammar rate.
+static void trellis_refine(int16_t* levels, const int16_t* coeffs, int type,
+                           int first, int ctx0, int dc_q, int ac_q,
+                           int64_t lambda, const TrellisTables& tt) {
+  int nz_pos[16], n_nz = 0;
+  for (int n = first; n < 16; n++) if (levels[n]) nz_pos[n_nz++] = n;
+  if (n_nz == 0) return;
+
+  constexpr int64_t INF = (int64_t)1 << 60;
+  struct Node { int64_t score; int prev_cand; };
+  Node dp[16][2];
+  int cand_level[16][2];
+
+  int64_t start_cost =
+      (int64_t)tt_p0(tt, type, kBands[first], ctx0, 1) * lambda;
+
+  for (int k = 0; k < n_nz; k++) {
+    int n = nz_pos[k];
+    int sign = levels[n] < 0;
+    int v0 = sign ? -levels[n] : levels[n];
+    int q = n == 0 ? dc_q : ac_q;
+    int raw = coeffs[kZigzag[n]];
+    int araw = raw < 0 ? -raw : raw;
+    for (int cand = 0; cand < 2; cand++) {
+      int v = cand == 0 ? v0 : (v0 > 1 ? v0 - 1 : -1);
+      dp[k][cand].score = INF;
+      dp[k][cand].prev_cand = -1;
+      cand_level[k][cand] = 0;
+      if (v < 1) continue;
+      cand_level[k][cand] = sign ? -v : v;
+      int64_t d = (int64_t)(araw - v * q) * (araw - v * q);
+      if (k == 0) {
+        int64_t rate = 0;
+        for (int z = first; z < n; z++)
+          rate += tt_p1(tt, type, kBands[z], z == first ? ctx0 : 0, 0);
+        int vc = n == first ? ctx0 : 0;
+        rate += tt_p1(tt, type, kBands[n], vc, 1)
+                + tt_val(tt, type, kBands[n], vc, v) + 256;
+        dp[k][cand].score = start_cost + d + rate * lambda;
+      } else {
+        for (int pc = 0; pc < 2; pc++) {
+          if (dp[k - 1][pc].score >= INF) continue;
+          int pav = cand_level[k - 1][pc];
+          if (pav < 0) pav = -pav;
+          int nctx = pav == 1 ? 1 : 2;
+          int pn = nz_pos[k - 1];
+          int64_t rate = tt_p0(tt, type, kBands[pn + 1], nctx, 1);
+          for (int z = pn + 1; z < n; z++)
+            rate += tt_p1(tt, type, kBands[z], z == pn + 1 ? nctx : 0, 0);
+          int vc = n == pn + 1 ? nctx : 0;
+          rate += tt_p1(tt, type, kBands[n], vc, 1)
+                  + tt_val(tt, type, kBands[n], vc, v) + 256;
+          int64_t s = dp[k - 1][pc].score + d + rate * lambda;
+          if (s < dp[k][cand].score) {
+            dp[k][cand].score = s;
+            dp[k][cand].prev_cand = pc;
+          }
+        }
+      }
+    }
+  }
+  int best_cand = -1;
+  int64_t best_end = INF;
+  int last_n = nz_pos[n_nz - 1];
+  for (int cand = 0; cand < 2; cand++) {
+    if (dp[n_nz - 1][cand].score >= INF) continue;
+    int64_t s = dp[n_nz - 1][cand].score;
+    if (last_n < 15) {
+      int av = cand_level[n_nz - 1][cand];
+      if (av < 0) av = -av;
+      s += (int64_t)tt_p0(tt, type, kBands[last_n + 1], av == 1 ? 1 : 2, 0)
+           * lambda;
+    }
+    if (s < best_end) { best_end = s; best_cand = cand; }
+  }
+  if (best_cand < 0) return;
+  int cand = best_cand;
+  for (int k = n_nz - 1; k >= 0; k--) {
+    levels[nz_pos[k]] = (int16_t)cand_level[k][cand];
+    cand = dp[k][cand].prev_cand;
+  }
+}
+
 // Quantize raster coeffs to zigzag levels; returns nonzero count.
 static int quant_block(const int16_t* coeffs, const QP& dc, const QP& ac,
                        int first, int16_t* levels) {
@@ -843,6 +948,8 @@ int wtpu_vp8_encode_frame(
     int mb_w, int mb_h, const int32_t* qsteps,  // [4][6]: y1dc..uvac per seg
     int try_i4, int i4_penalty,
     const uint8_t* segments,                    // per-MB segment id or NULL
+    const uint16_t* t_p0, const uint16_t* t_p1, const uint16_t* t_val,
+    const int32_t* lambdas,                     // per segment; NULL = no trellis
     int16_t* y2_out, int16_t* yl_out, int16_t* uvl_out,
     uint8_t* ymode_out, uint8_t* uvmode_out, uint8_t* is_i4_out,
     uint8_t* imodes_out,
@@ -867,6 +974,9 @@ int wtpu_vp8_encode_frame(
     for (int mx = 0; mx < mb_w; mx++) {
       size_t m = (size_t)my * mb_w + mx;
       int seg = segments ? segments[m] : 0;
+      TrellisTables tt{t_p0, t_p1, t_val};
+      int64_t lam = lambdas ? lambdas[seg] : 0;
+      bool use_trellis = lambdas != nullptr;
       const QP& y1dc = seg_q[seg][0];
       const QP& y1ac = seg_q[seg][1];
       const QP& y2dc = seg_q[seg][2];
@@ -932,12 +1042,17 @@ int wtpu_vp8_encode_frame(
         dcs[n] = coeffs[n][0];
         for (int k = 0; k < 16; k++) yl[n * 16 + k] = 0;
         quant_block(coeffs[n], y1dc, y1ac, 1, yl + n * 16);
+        if (use_trellis)
+          trellis_refine(yl + n * 16, coeffs[n], 0, 1, 1,
+                         y1dc.q, y1ac.q, lam, tt);
       }
       int16_t y2c[16];
       fwht4x4(dcs, y2c);
       int16_t* y2l = y2_out + m * 16;
       for (int k = 0; k < 16; k++) y2l[k] = 0;
       quant_block(y2c, y2dc, y2ac, 0, y2l);
+      if (use_trellis)
+        trellis_refine(y2l, y2c, 1, 0, 1, y2dc.q, y2ac.q, lam, tt);
 
       // Reconstruction (i16).
       int16_t y2_deq[16];
@@ -995,6 +1110,8 @@ int wtpu_vp8_encode_frame(
             fdct4x4(src16 + r * 16 + cc, blk, 16, 4, cf);
             for (int k = 0; k < 16; k++) lv[k] = 0;
             quant_block(cf, y1dc, y1ac, 0, lv);
+            if (use_trellis)
+              trellis_refine(lv, cf, 3, 0, 1, y1dc.q, y1ac.q, lam, tt);
             dequant_block(lv, y1dc.q, y1ac.q, dq);
             bool any = false;
             for (int k = 0; k < 16; k++) if (dq[k]) { any = true; break; }
@@ -1074,6 +1191,8 @@ int wtpu_vp8_encode_frame(
           int16_t* lv = uvl + (half * 4 + n) * 16;
           for (int k = 0; k < 16; k++) lv[k] = 0;
           quant_block(cf, uvdc, uvac, 0, lv);
+          if (use_trellis)
+            trellis_refine(lv, cf, 2, 0, 1, uvdc.q, uvac.q, lam, tt);
           int16_t deq[16];
           dequant_block(lv, uvdc.q, uvac.q, deq);
           bool any = false;

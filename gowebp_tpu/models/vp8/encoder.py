@@ -42,6 +42,10 @@ from .tables import (
 
 MAX_LEVEL = 2047
 
+# Trellis rate-distortion weight: lambda = (NUM * q_ac^2) >> SHIFT.
+TRELLIS_LAMBDA_NUM = 1
+TRELLIS_LAMBDA_SHIFT = 10
+
 # ---------------------------------------------------------------------------
 # Color conversion + padding
 # ---------------------------------------------------------------------------
@@ -618,6 +622,22 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
             }
     native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q, config.method,
                                         seg=seg)
+    if native is not None and config.method >= 6:
+        # Second dense pass with trellis quantization, rate-modeled on the
+        # first pass's adapted probabilities (default-proba costs are far
+        # too pessimistic once two-pass adaptation kicks in).
+        first = _native_tokenizer_arrays(
+            native["y2"], native["yl"], native["uvl"], native["is_i4"],
+            mb_w, mb_h,
+        )
+        if first is not None:
+            probs1, _ = finalize_probas(first["stats"])
+            refined = _encode_frame_dense_native(
+                y, u, v, mb_w, mb_h, q, config.method, seg=seg,
+                trellis_probs=probs1,
+            )
+            if refined is not None:
+                native = refined
     if native is not None:
         out = emit_frame_arrays(
             native["y2"], native["yl"], native["uvl"], native["is_i4"],
@@ -765,7 +785,7 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     return header + part0 + part1
 
 
-def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None):
+def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None, trellis_probs=None):
     """C++ closed-loop dense phase; returns level/mode arrays or None."""
     import ctypes
 
@@ -800,6 +820,23 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     vr = np.zeros_like(vs)
     try_i4 = 1 if method >= 4 else 0
     i4_penalty = q.y1_ac.q * q.y1_ac.q
+    # Note: with two-pass probability adaptation the marginal rate saved
+    # by lowering a level is near zero, so trellis trades PSNR for very
+    # few bits; it is reserved for the smallest-size method setting.
+    use_trellis = method >= 6 and trellis_probs is not None
+    if use_trellis:
+        from .cost import trellis_cost_tables
+
+        tp0, tp1, tval = trellis_cost_tables(trellis_probs)
+        tp0 = np.ascontiguousarray(tp0)
+        tp1 = np.ascontiguousarray(tp1)
+        tval = np.ascontiguousarray(tval)
+        qs_for_lam = (seg["quants"] if seg is not None else [q] * 4)
+        lambdas = np.array(
+            [max(1, (TRELLIS_LAMBDA_NUM * s.y1_ac.q * s.y1_ac.q)
+                 >> TRELLIS_LAMBDA_SHIFT) for s in qs_for_lam],
+            np.int32,
+        )
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
@@ -809,6 +846,10 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
         mb_w, mb_h, p(qsteps, ctypes.c_int32),
         try_i4, i4_penalty,
         p(seg_arr, ctypes.c_uint8) if seg_arr is not None else None,
+        p(tp0, ctypes.c_uint16) if use_trellis else None,
+        p(tp1, ctypes.c_uint16) if use_trellis else None,
+        p(tval, ctypes.c_uint16) if use_trellis else None,
+        p(lambdas, ctypes.c_int32) if use_trellis else None,
         p(y2, ctypes.c_int16), p(yl, ctypes.c_int16), p(uvl, ctypes.c_int16),
         p(ymode, ctypes.c_uint8), p(uvmode, ctypes.c_uint8),
         p(is_i4, ctypes.c_uint8), p(imodes, ctypes.c_uint8),
