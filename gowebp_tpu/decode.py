@@ -51,6 +51,7 @@ def decode(data: bytes, config: DecoderConfig | None = None,
             alpha_payload=alpha_chunk.payload if alpha_chunk else None,
             fancy_upsampling=not config.no_fancy_upsampling,
             bypass_filtering=config.bypass_filtering,
+            dithering_strength=config.dithering_strength,
         )
     rgba = apply_output_options(rgba, config)
     return np.ascontiguousarray(rgba[..., _MODE_PERMUTE[mode]])

@@ -73,11 +73,33 @@ def decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
         plane = decode_vp8l_alpha(data, width, height)
     plane = _unfilter(filter_m, plane)
     if pre_processing == 1:
-        # Quantized-levels smoothing (WebPDequantizeLevels) is a display
-        # enhancement; level-quantized planes decode exactly without it
-        # only when the encoder used dithering off.  Not implemented yet.
-        raise UnsupportedFeature("alpha pre-processing (dequantize levels)")
+        plane = dequantize_levels(plane)
     return plane
+
+
+def dequantize_levels(plane: np.ndarray) -> np.ndarray:
+    """Smooth a level-quantized plane (WebPDequantizeLevels equivalent,
+    reference quant_levels_dec_utils.c.go:258): low-pass the plane, then
+    constrain each pixel to half a level-step around its coded value so
+    the result still decodes to the same levels."""
+    levels = np.unique(plane)
+    if len(levels) < 2 or len(levels) > 16:
+        return plane
+    step = int(np.diff(levels.astype(np.int32)).min())
+    radius = 2
+    p = np.pad(plane.astype(np.float64), radius, mode="edge")
+    acc = np.zeros_like(p[radius:-radius, radius:-radius])
+    n = 0
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            acc += p[radius + dy : p.shape[0] - radius + dy,
+                     radius + dx : p.shape[1] - radius + dx]
+            n += 1
+    sm = acc / n
+    half = step // 2
+    lo = plane.astype(np.int32) - half
+    hi = plane.astype(np.int32) + half
+    return np.clip(np.rint(sm), lo, hi).clip(0, 255).astype(np.uint8)
 
 
 def encode_alpha(plane: np.ndarray, *, method: int = 1,

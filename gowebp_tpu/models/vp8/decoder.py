@@ -788,9 +788,12 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
 
 def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
                     fancy_upsampling: bool = True,
-                    bypass_filtering: bool = False) -> np.ndarray:
+                    bypass_filtering: bool = False,
+                    dithering_strength: int = 0) -> np.ndarray:
     """Decode VP8 (+optional ALPH) → (H, W, 4) uint8 RGBA."""
     y, u, v = decode_vp8_yuv(payload, bypass_filtering=bypass_filtering)
+    if dithering_strength > 0:
+        u, v = _dither_chroma(payload, u, v, dithering_strength)
     H, W = y.shape
     if fancy_upsampling:
         uf = yuv_np.fancy_upsample(u, H, W)
@@ -808,6 +811,25 @@ def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
     else:
         out[..., 3] = 255
     return out
+
+
+def _dither_chroma(payload: bytes, u, v, strength: int):
+    """Chroma dithering for flat blocks (reference VP8InitDithering/
+    DitherRow, frame_dec.c.go:323,364 — here a deterministic triangular
+    dither scaled by the UV quantizer; a display enhancement only)."""
+    st, _ = parse_frame_header(payload)
+    amp = min(st.dqm[0].uv_ac, 12) * strength // 100
+    if amp <= 0:
+        return u, v
+    rng = np.random.default_rng(0xD17E)
+    out = []
+    for plane in (u, v):
+        noise = (rng.integers(0, amp + 1, plane.shape)
+                 + rng.integers(0, amp + 1, plane.shape)
+                 - amp).astype(np.int32)
+        out.append(np.clip(plane.astype(np.int32) + noise // 2, 0, 255)
+                   .astype(np.uint8))
+    return out[0], out[1]
 
 
 __all__ = ["decode_vp8_yuv", "decode_vp8_rgba", "parse_frame_header"]

@@ -1123,32 +1123,58 @@ def _pack_palette_indices(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
                        use_predictor: bool | None = None,
                        bw: BitWriter | None = None, stats=None) -> BitWriter:
-    """Encode the image-stream portion (after the 5-byte header)."""
+    """Encode the image-stream portion (after the 5-byte header).
+
+    Crunch choice (reference EncoderAnalyze/CrunchConfig,
+    vp8l_encoder.go:220-320): paletted images normally take the
+    color-indexing path, but mid/large palettes also try the photo path
+    (subtract-green/predictor) and the smaller stream wins.
+    """
     h, w = argb.shape
     if bw is None:
         bw = BitWriter()
 
     palette = _palette_of(argb)
-    if palette is not None and len(palette) <= 256:
-        # Color-indexing transform.
-        bw.put_bits(1, 1)
-        bw.put_bits(3, 2)              # COLOR_INDEXING_TRANSFORM
-        bw.put_bits(len(palette) - 1, 8)
-        # Palette stored delta-coded as a (n,1) entropy image.
-        deltas = np.zeros(len(palette), np.uint32)
-        prev = 0
-        for i, c in enumerate(palette):
-            deltas[i] = _sub_scalar(int(c), prev)
-            prev = int(c)
-        _write_image_stream(bw, deltas.reshape(1, -1), len(palette))
-        packed = _pack_palette_indices(argb, palette)
-        bw.put_bits(0, 1)  # end of transforms
-        if stats is not None:
-            stats.palette_size = len(palette)
-            stats.transforms.append("color-indexing")
-        _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats)
-        return bw
+    if palette is not None:
+        if len(palette) > 64 and quality >= 50:
+            pal_bw = BitWriter()
+            _encode_stream_palette(pal_bw, argb, palette, quality, None)
+            photo_bw = BitWriter()
+            _encode_stream_photo(photo_bw, argb, quality, use_predictor, None)
+            if pal_bw.bit_count <= photo_bw.bit_count:
+                _encode_stream_palette(bw, argb, palette, quality, stats)
+            else:
+                _encode_stream_photo(bw, argb, quality, use_predictor, stats)
+        else:
+            _encode_stream_palette(bw, argb, palette, quality, stats)
+    else:
+        _encode_stream_photo(bw, argb, quality, use_predictor, stats)
+    return bw
 
+
+def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
+                           quality: int, stats) -> None:
+    bw.put_bits(1, 1)
+    bw.put_bits(3, 2)              # COLOR_INDEXING_TRANSFORM
+    bw.put_bits(len(palette) - 1, 8)
+    # Palette stored delta-coded as a (n,1) entropy image.
+    deltas = np.zeros(len(palette), np.uint32)
+    prev = 0
+    for i, c in enumerate(palette):
+        deltas[i] = _sub_scalar(int(c), prev)
+        prev = int(c)
+    _write_image_stream(bw, deltas.reshape(1, -1), len(palette))
+    packed = _pack_palette_indices(argb, palette)
+    bw.put_bits(0, 1)  # end of transforms
+    if stats is not None:
+        stats.palette_size = len(palette)
+        stats.transforms.append("color-indexing")
+    _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats)
+
+
+def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
+                         use_predictor, stats) -> None:
+    w = argb.shape[1]
     # Photographic path: subtract-green then per-tile predictor.
     bw.put_bits(1, 1)
     bw.put_bits(2, 2)                  # SUBTRACT_GREEN
@@ -1188,7 +1214,6 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         if use_predictor:
             stats.transforms.append("predictor")
     _write_spatial_stream(bw, work, w, quality, stats=stats)
-    return bw
 
 
 def _sub_scalar(pixel: int, pred: int) -> int:
