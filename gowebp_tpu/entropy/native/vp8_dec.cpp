@@ -1086,6 +1086,10 @@ int wtpu_vp8_encode_frame(
             int d = (int)src[r * ys + cc] - ybuf[(1 + r) * BUFS + 1 + cc];
             d16 += d * d;
           }
+        int nz16 = 0;
+        for (int k = 0; k < 16; k++) nz16 += y2l[k] != 0;
+        for (int n = 0; n < 16; n++)
+          for (int k = 1; k < 16; k++) nz16 += yl[n * 16 + k] != 0;
         std::vector<uint8_t> yb4(ybase);
         // Top-right replication for right-column sub-blocks.
         if (!ht) { /* row of 127s already covers 17..20 */ }
@@ -1094,7 +1098,8 @@ int wtpu_vp8_encode_frame(
         int16_t yl4[16][16];
         uint8_t modes4[16];
         int64_t d4 = 0;
-        for (int n = 0; n < 16 && d4 < d16 + i4_penalty; n++) {
+        int nz4 = 0;
+        for (int n = 0; n < 16 && d4 < 4 * d16 + i4_penalty; n++) {
           int r = 4 * (n >> 2), cc = 4 * (n & 3);
           int64_t bcost = -1;
           int bmode = 0;
@@ -1137,9 +1142,16 @@ int wtpu_vp8_encode_frame(
             std::memcpy(&yb4[(r + 1 + k) * BUFS + cc + 1], brecon + 4 * k, 4);
           modes4[n] = (uint8_t)bmode;
           std::memcpy(yl4[n], blevels, sizeof(blevels));
+          for (int k = 0; k < 16; k++) nz4 += blevels[k] != 0;
           d4 += bcost;
         }
-        if (d4 + i4_penalty < d16) {
+        // Rate-aware comparison: ~2.5 bits per nonzero token plus ~3.5
+        // bits per 4x4 mode, weighted by an RD lambda derived from the
+        // quantizer (i4_penalty carries lambda<<8 per bit).
+        int64_t rate16 = nz16 * 20;
+        int64_t rate4 = (int64_t)nz4 * 20 + 16 * 28;
+        int64_t lam = i4_penalty;
+        if (d4 + ((lam * rate4) >> 11) < d16 + ((lam * rate16) >> 11)) {
           // Adopt the i4 candidate.
           is_i4_out[m] = 1;
           for (int k = 0; k < 16; k++) y2l[k] = 0;

@@ -43,6 +43,7 @@ from .tables import (
 MAX_LEVEL = 2047
 
 # Trellis rate-distortion weight: lambda = (NUM * q_ac^2) >> SHIFT.
+I4_LAMBDA_MULT = 4
 TRELLIS_LAMBDA_NUM = 1
 TRELLIS_LAMBDA_SHIFT = 10
 
@@ -819,7 +820,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     ur = np.zeros_like(us)
     vr = np.zeros_like(vs)
     try_i4 = 1 if method >= 4 else 0
-    i4_penalty = q.y1_ac.q * q.y1_ac.q
+    i4_penalty = I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
     # Note: with two-pass probability adaptation the marginal rate saved
     # by lowering a level is near zero, so trellis trades PSNR for very
     # few bits; it is reserved for the smallest-size method setting.
