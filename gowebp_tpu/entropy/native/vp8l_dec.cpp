@@ -364,6 +364,48 @@ static inline uint32_t add_pixels(uint32_t a, uint32_t b) {
          (((a & 0xff00ff00u) + (b & 0xff00ff00u)) & 0xff00ff00u);
 }
 
+void wtpu_vp8l_add_green(uint32_t* argb, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t v = argb[i];
+    uint32_t g = (v >> 8) & 0xff;
+    uint32_t r = (((v >> 16) & 0xff) + g) & 0xff;
+    uint32_t b = ((v & 0xff) + g) & 0xff;
+    argb[i] = (v & 0xff00ff00u) | (r << 16) | b;
+  }
+}
+
+void wtpu_vp8l_color_inverse(uint32_t* argb, int width, int height,
+                             const uint32_t* timg, int bits,
+                             int tiles_per_row) {
+  for (int y = 0; y < height; y++) {
+    uint32_t* row = argb + (int64_t)y * width;
+    const uint32_t* trow = timg + (int64_t)(y >> bits) * tiles_per_row;
+    for (int x = 0; x < width; x++) {
+      uint32_t t = trow[x >> bits];
+      int g2r = (int8_t)(t & 0xff);
+      int g2b = (int8_t)((t >> 8) & 0xff);
+      int r2b = (int8_t)((t >> 16) & 0xff);
+      uint32_t v = row[x];
+      int g = (int8_t)((v >> 8) & 0xff);
+      int r = (int)((v >> 16) & 0xff);
+      int b = (int)(v & 0xff);
+      r = (r + ((g2r * g) >> 5)) & 0xff;
+      b = (b + ((g2b * g) >> 5) + ((r2b * (int)(int8_t)(uint8_t)r) >> 5)) & 0xff;
+      row[x] = (v & 0xff00ff00u) | ((uint32_t)r << 16) | (uint32_t)b;
+    }
+  }
+}
+
+void wtpu_argb_to_rgba(const uint32_t* argb, uint8_t* out, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t v = argb[i];
+    out[4 * i + 0] = (uint8_t)(v >> 16);
+    out[4 * i + 1] = (uint8_t)(v >> 8);
+    out[4 * i + 2] = (uint8_t)v;
+    out[4 * i + 3] = (uint8_t)(v >> 24);
+  }
+}
+
 void wtpu_vp8l_predictor_inverse(uint32_t* argb, int width, int height,
                                  const uint32_t* mode_img, int bits,
                                  int tiles_per_row) {

@@ -91,6 +91,15 @@ def _configure(lib) -> None:
         u32p, u64p,                           # out, bit_pos_out
     ]
 
+    lib.wtpu_vp8l_add_green.restype = None
+    lib.wtpu_vp8l_add_green.argtypes = [u32p, c.c_int64]
+    lib.wtpu_vp8l_color_inverse.restype = None
+    lib.wtpu_vp8l_color_inverse.argtypes = [
+        u32p, c.c_int, c.c_int, u32p, c.c_int, c.c_int,
+    ]
+    lib.wtpu_argb_to_rgba.restype = None
+    lib.wtpu_argb_to_rgba.argtypes = [u32p, u8p, c.c_int64]
+
     lib.wtpu_vp8l_predictor_inverse.restype = None
     lib.wtpu_vp8l_predictor_inverse.argtypes = [
         u32p, c.c_int, c.c_int, u32p, c.c_int, c.c_int,

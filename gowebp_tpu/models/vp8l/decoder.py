@@ -447,6 +447,19 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br = BitReader(payload[1:])
     br.skip_bits(14 + 14 + 1 + 3)
     argb = _decode_image_stream(br, width, height, top_level=True)
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+        out = np.empty((height, width, 4), np.uint8)
+        lib.wtpu_argb_to_rgba(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size,
+        )
+        return out
     ch = tnp.argb_to_channels(argb)          # A,R,G,B
     return ch[..., [1, 2, 3, 0]]             # → R,G,B,A
 

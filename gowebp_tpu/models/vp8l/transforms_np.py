@@ -19,6 +19,12 @@ import numpy as np
 from ...constants import ARGB_BLACK
 
 
+def _lib():
+    from ...entropy.native_loader import get_lib
+
+    return get_lib()
+
+
 def subsample_size(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
 
@@ -43,6 +49,15 @@ def channels_to_argb(ch: np.ndarray) -> np.ndarray:
 
 def add_green_inverse(argb: np.ndarray) -> np.ndarray:
     """r += g; b += g (mod 256)."""
+    lib = _lib()
+    if lib is not None:
+        import ctypes
+
+        buf = np.ascontiguousarray(argb, np.uint32).copy()
+        lib.wtpu_vp8l_add_green(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), buf.size
+        )
+        return buf
     g = (argb >> 8) & 0xFF
     r = ((argb >> 16) & 0xFF) + g
     b = (argb & 0xFF) + g
@@ -79,6 +94,19 @@ def color_transform_inverse(
     argb: np.ndarray, transform_img: np.ndarray, bits: int
 ) -> np.ndarray:
     """argb: (H, W) uint32; transform_img: (tH, tW) uint32 tile multipliers."""
+    lib = _lib()
+    if lib is not None:
+        import ctypes
+
+        h, w = argb.shape
+        buf = np.ascontiguousarray(argb, np.uint32).copy()
+        timg = np.ascontiguousarray(transform_img, np.uint32)
+        lib.wtpu_vp8l_color_inverse(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), w, h,
+            timg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), bits,
+            transform_img.shape[1],
+        )
+        return buf
     h, w = argb.shape
     ty = np.arange(h) >> bits
     tx = np.arange(w) >> bits
