@@ -77,18 +77,20 @@ def decode_yuv(data: bytes):
     return decode_vp8_yuv(vp8.payload)
 
 
-def decode_rgba_batch(datas: list, use_tpu: bool = True) -> list:
+def decode_rgba_batch(datas: list, use_tpu: bool = True,
+                      threads: int = 0) -> list:
     """Decode many .webp files; same-sized lossy images share one TPU
     post-processing launch (chroma upsample + color conversion batched).
 
-    Host does entropy decode + reconstruction per image; the dense
-    pixel-rate work runs as a single batched jit call.
+    Host entropy decode + reconstruction fans out over threads (the C++
+    decoder releases the GIL); the dense pixel-rate work runs as a single
+    batched jit call.
     """
+    import concurrent.futures as cf
+
     from .models.vp8.decoder import decode_vp8_yuv
 
-    planes = []
-    fallback = {}
-    for i, data in enumerate(datas):
+    def host_one(data):
         parsed = parse_riff(data)
         vp8 = parsed.find(CHUNK_VP8)
         if (
@@ -96,10 +98,23 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True) -> list:
             or vp8 is None
             or parsed.find(CHUNK_ALPHA) is not None
         ):
-            fallback[i] = decode_rgba(data)
+            return ("full", decode_rgba(data))
+        return ("planes", decode_vp8_yuv(vp8.payload))
+
+    workers = threads if threads > 0 else min(8, max(1, len(datas)))
+    if workers <= 1 or len(datas) <= 1:
+        host = [host_one(d) for d in datas]
+    else:
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            host = list(pool.map(host_one, datas))
+    planes = []
+    fallback = {}
+    for i, (kind, val) in enumerate(host):
+        if kind == "full":
+            fallback[i] = val
             planes.append(None)
         else:
-            planes.append(decode_vp8_yuv(vp8.payload))
+            planes.append(val)
 
     # Group identical shapes into batches.
     groups = {}

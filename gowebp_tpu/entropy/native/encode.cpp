@@ -320,6 +320,114 @@ int wtpu_vp8_token_emit_multi(const int16_t* y2, const int16_t* yl,
   return 0;
 }
 
+// Partition-0 mode syntax: segment ids, skip flags, intra modes for all
+// MBs, continuing a boolean-encoder state handed over from Python.
+// Returns the complete partition-0 byte buffer (prefix + modes), WITHOUT
+// the final flush (Python finishes remaining headers? no - this is the
+// tail, so we flush here).
+int wtpu_vp8_write_modes(
+    const uint8_t* prefix, uint64_t prefix_size,
+    uint64_t bottom, uint32_t range, int bit_count,
+    const uint8_t* ymodes, const uint8_t* uvmodes, const uint8_t* is_i4,
+    const uint8_t* imodes, const uint8_t* skips, const uint8_t* segments,
+    int mb_w, int mb_h,
+    int use_skip, int skip_p, const uint8_t* seg_probs,
+    uint8_t** out_data, uint64_t* out_size) {
+  BoolEnc enc;
+  enc.buf.assign(prefix, prefix + prefix_size);
+  enc.bottom = bottom;
+  enc.range = range;
+  enc.bit_count = bit_count;
+
+  std::vector<uint8_t> intra_t((size_t)4 * mb_w, 0);
+  // Tree paths for the 10 bmodes through kBModeTree.
+  // path[m] = list of (prob_idx, bit); precomputed once.
+  static int path_len[10];
+  static int path_prob[10][8];
+  static int path_bit[10][8];
+  static bool init_done = false;
+  if (!init_done) {
+    for (int m = 0; m < 10; m++) path_len[m] = 0;
+    // DFS over the tree.
+    struct Walk {
+      static void go(int pair, int prob, int* stack_p, int* stack_b, int d) {
+        for (int bit = 0; bit < 2; bit++) {
+          int nxt = kBModeTree[pair + bit];
+          stack_p[d] = prob;
+          stack_b[d] = bit;
+          if (nxt <= 0) {
+            int m = -nxt;
+            path_len[m] = d + 1;
+            for (int i = 0; i <= d; i++) {
+              path_prob[m][i] = stack_p[i];
+              path_bit[m][i] = stack_b[i];
+            }
+          } else {
+            go(2 * nxt, nxt, stack_p, stack_b, d + 1);
+          }
+        }
+      }
+    };
+    int sp[8], sb[8];
+    Walk::go(0, 0, sp, sb, 0);
+    init_done = true;
+  }
+
+  for (int my = 0; my < mb_h; my++) {
+    uint8_t intra_l[4] = {0, 0, 0, 0};
+    for (int mx = 0; mx < mb_w; mx++) {
+      size_t m = (size_t)my * mb_w + mx;
+      if (seg_probs) {
+        int sid = segments ? segments[m] : 0;
+        if (sid < 2) {
+          enc.put(0, seg_probs[0]);
+          enc.put(sid, seg_probs[1]);
+        } else {
+          enc.put(1, seg_probs[0]);
+          enc.put(sid - 2, seg_probs[2]);
+        }
+      }
+      if (use_skip) enc.put(skips[m] ? 1 : 0, skip_p);
+      uint8_t* top4 = intra_t.data() + 4 * mx;
+      if (!is_i4[m]) {
+        enc.put(1, 145);
+        int mode = ymodes[m];
+        if (mode == 0) { enc.put(0, 156); enc.put(0, 163); }
+        else if (mode == 2) { enc.put(0, 156); enc.put(1, 163); }
+        else if (mode == 3) { enc.put(1, 156); enc.put(0, 128); }
+        else { enc.put(1, 156); enc.put(1, 128); }
+        std::memset(top4, mode, 4);
+        std::memset(intra_l, mode, 4);
+      } else {
+        enc.put(0, 145);
+        for (int yy = 0; yy < 4; yy++) {
+          int ymode = intra_l[yy];
+          for (int xx = 0; xx < 4; xx++) {
+            const uint8_t* prob = kBModeProbas + (top4[xx] * 10 + ymode) * 9;
+            int mode = imodes[m * 16 + 4 * yy + xx];
+            for (int i = 0; i < path_len[mode]; i++)
+              enc.put(path_bit[mode][i], prob[path_prob[mode][i]]);
+            top4[xx] = (uint8_t)mode;
+            ymode = mode;
+          }
+          intra_l[yy] = (uint8_t)ymode;
+        }
+      }
+      int uv = uvmodes[m];
+      if (uv == 0) enc.put(0, 142);
+      else if (uv == 2) { enc.put(1, 142); enc.put(0, 114); }
+      else if (uv == 1) { enc.put(1, 142); enc.put(1, 114); enc.put(1, 183); }
+      else { enc.put(1, 142); enc.put(1, 114); enc.put(0, 183); }
+    }
+  }
+  enc.finish();
+  uint8_t* out = (uint8_t*)std::malloc(enc.buf.size());
+  std::memcpy(out, enc.buf.data(), enc.buf.size());
+  *out_data = out;
+  *out_size = enc.buf.size();
+  return 0;
+}
+
 void wtpu_free(void* p) { std::free(p); }
 
 // Hash-chain LZ77 with optional color cache (the reference's

@@ -122,6 +122,14 @@ def _configure(lib) -> None:
         u8p, c.c_int, c.c_int, u8p, c.c_int, u8p, c.c_int,
         c.POINTER(c.POINTER(c.c_uint8)), u64p, u64p,
     ]
+    lib.wtpu_vp8_write_modes.restype = c.c_int
+    lib.wtpu_vp8_write_modes.argtypes = [
+        u8p, c.c_uint64, c.c_uint64, c.c_uint32, c.c_int,
+        u8p, u8p, u8p, u8p, u8p, u8p,
+        c.c_int, c.c_int,
+        c.c_int, c.c_int, u8p,
+        c.POINTER(c.POINTER(c.c_uint8)), u64p,
+    ]
     lib.wtpu_free.restype = None
     lib.wtpu_free.argtypes = [c.c_void_p]
     lib.wtpu_vp8l_emit.restype = c.c_int

@@ -880,6 +880,12 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
     is_i4_f = np.asarray(is_i4).reshape(-1)
     imodes_f = (np.asarray(imodes).reshape(-1, 16)
                 if imodes is not None else None)
+    fast = _finish_frame_native(
+        native, y2, yl, uvl, is_i4, ymodes, uvmodes, imodes,
+        mb_w, mb_h, width, height, base_q, config, stats, seg, filter_level,
+    )
+    if fast is not None:
+        return fast
     seg_map = seg["map"] if seg is not None else None
     mbs = [
         [
@@ -900,6 +906,72 @@ def emit_frame_arrays(y2, yl, uvl, is_i4, ymodes, uvmodes,
     return _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q,
                          config, stats=stats, seg=seg,
                          filter_level=filter_level)
+
+
+def _finish_frame_native(native, y2, yl, uvl, is_i4, ymodes, uvmodes,
+                         imodes, mb_w, mb_h, width, height, base_q, config,
+                         stats, seg, filter_level):
+    """All-native emission: headers (Python) + modes + tokens (C++)."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_write_modes"):
+        return None
+    total = mb_w * mb_h
+    skip_flags = np.ascontiguousarray(native["skip"], np.uint8)
+    probs, updates = finalize_probas(native["stats"])
+    n_skip = int(skip_flags.sum())
+    use_skip = n_skip > 0
+    skip_p = max(1, min(255, ((total - n_skip) * 255) // total)) if use_skip else 0
+
+    num_parts = 1 << config.partitions
+    p0 = BoolEncoder()
+    _write_p0_headers(p0, base_q, config, probs, updates, use_skip, skip_p,
+                      seg=seg, filter_level=filter_level)
+    out_p = ctypes.POINTER(ctypes.c_uint8)()
+    out_n = ctypes.c_uint64(0)
+    prefix = bytes(p0._buf)
+
+    def u8(a):
+        return np.ascontiguousarray(np.asarray(a).reshape(-1), np.uint8)
+
+    ym = u8(ymodes)
+    um = u8(uvmodes)
+    i4 = u8(is_i4)
+    im = (u8(imodes) if imodes is not None else np.zeros(total * 16, np.uint8))
+    seg_map = (u8(seg["map"]) if seg is not None else None)
+    seg_probs = (np.array(seg["probs"], np.uint8) if seg is not None else None)
+
+    def p8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if a is not None else None
+
+    lib.wtpu_vp8_write_modes(
+        (ctypes.c_uint8 * len(prefix)).from_buffer_copy(prefix) if prefix
+        else None,
+        len(prefix), p0.bottom, p0.range, p0.bit_count,
+        p8(ym), p8(um), p8(i4), p8(im), p8(skip_flags), p8(seg_map),
+        mb_w, mb_h, int(use_skip), skip_p, p8(seg_probs),
+        ctypes.byref(out_p), ctypes.byref(out_n),
+    )
+    part0 = ctypes.string_at(out_p, out_n.value)
+    lib.wtpu_free(out_p)
+    parts = native["emit"](probs, use_skip, num_parts)
+
+    if stats is not None:
+        stats.block_count_skipped = n_skip
+        n_i4 = int(i4.sum())
+        stats.block_count_i4 = n_i4
+        stats.block_count_i16 = total - n_i4
+        stats.header_bytes = len(part0)
+        stats.residual_bytes = sum(len(pp) for pp in parts)
+        stats.quantizer = base_q
+        stats.filter_level = filter_level if filter_level is not None else \
+            filter_level_from_q(base_q, config.filter_strength,
+                                config.filter_sharpness)
+        stats.num_partitions = num_parts
+    return _frame_bytes(part0, parts, width, height)
 
 
 def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None, seg=None, filter_level=None):
