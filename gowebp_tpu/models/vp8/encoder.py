@@ -496,28 +496,27 @@ def _bit_cost(n0: int, n1: int, prob: int) -> float:
 
 
 def finalize_probas(stats: np.ndarray):
-    """Choose updated probabilities where the saving beats the header cost."""
-    probs = COEFF_PROBAS.copy()
-    updates = np.zeros(probs.shape, bool)
-    for t in range(4):
-        for b in range(8):
-            for c in range(3):
-                for p in range(11):
-                    n0 = int(stats[t, b, c, p, 0])
-                    n1 = int(stats[t, b, c, p, 1])
-                    if n0 + n1 == 0:
-                        continue
-                    old = int(COEFF_PROBAS[t, b, c, p])
-                    new = max(1, min(255, (n0 * 255) // (n0 + n1)))
-                    if new == old:
-                        continue
-                    old_cost = _bit_cost(n0, n1, old)
-                    new_cost = _bit_cost(n0, n1, new) + 8.0
-                    # The update flag itself costs ~ -log2 of its proba;
-                    # require a clear win.
-                    if old_cost - new_cost > 8.0:
-                        probs[t, b, c, p] = new
-                        updates[t, b, c, p] = True
+    """Choose updated probabilities where the saving beats the header cost.
+
+    Fully vectorized over the (4,8,3,11) probability tree.
+    """
+    n0 = stats[..., 0].astype(np.float64)
+    n1 = stats[..., 1].astype(np.float64)
+    total = n0 + n1
+    old = COEFF_PROBAS.astype(np.int64)
+    new = np.clip((n0 * 255 / np.maximum(total, 1)).astype(np.int64), 1, 255)
+
+    def cost(prob):
+        p = prob / 256.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = -n0 * np.log2(np.maximum(p, 1e-9)) \
+                - n1 * np.log2(np.maximum(1.0 - p, 1e-9))
+        return c
+
+    old_cost = cost(old)
+    new_cost = cost(new) + 8.0
+    updates = (total > 0) & (new != old) & (old_cost - new_cost > 8.0)
+    probs = np.where(updates, new, old).astype(np.uint8)
     return probs, updates
 
 

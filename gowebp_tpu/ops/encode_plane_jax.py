@@ -160,11 +160,11 @@ def encode_plane_core(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac,
     uv_levels = jnp.concatenate(uv_levels, axis=3)  # (B,mh,mw,8,16)
 
     return {
-        "ymode": ymode,
-        "uvmode": uvmode,
-        "y_levels": y_levels,
-        "y2_levels": y2_levels,
-        "uv_levels": uv_levels,
+        "ymode": ymode.astype(jnp.uint8),
+        "uvmode": uvmode.astype(jnp.uint8),
+        "y_levels": y_levels.astype(jnp.int16),
+        "y2_levels": y2_levels.astype(jnp.int16),
+        "uv_levels": uv_levels.astype(jnp.int16),
     }
 
 

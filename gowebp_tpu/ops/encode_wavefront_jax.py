@@ -230,12 +230,14 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
     state = (Yr, Ur, Vr, y_levels, y2_levels, uv_levels, ymode, uvmode)
     state = jax.lax.fori_loop(0, n_steps, step, state)
     _, _, _, y_levels, y2_levels, uv_levels, ymode, uvmode = state
+    # Narrow dtypes on-device: levels fit int16, modes fit uint8 —
+    # halves the device→host transfer for the batch pipeline.
     return {
-        "ymode": ymode[:, :mh],
-        "uvmode": uvmode[:, :mh],
-        "y_levels": y_levels[:, :mh],
-        "y2_levels": y2_levels[:, :mh],
-        "uv_levels": uv_levels[:, :mh],
+        "ymode": ymode[:, :mh].astype(jnp.uint8),
+        "uvmode": uvmode[:, :mh].astype(jnp.uint8),
+        "y_levels": y_levels[:, :mh].astype(jnp.int16),
+        "y2_levels": y2_levels[:, :mh].astype(jnp.int16),
+        "uv_levels": uv_levels[:, :mh].astype(jnp.int16),
     }
 
 
