@@ -66,6 +66,75 @@ struct BoolDec {
 };
 
 // ----------------------------------------------------------------------
+// Fast boolean decoder: 56-bit prefetch, branchless CLZ renormalization
+// (libwebp's classic representation: range stored as range-1; the RFC
+// arithmetic maps 1:1 — split_stored = split_rfc - 1).
+// Used for the token partitions (initialized fresh from raw bytes).
+// ----------------------------------------------------------------------
+struct FastBoolDec {
+  const uint8_t* buf;
+  const uint8_t* buf_end;
+  uint64_t value;
+  uint32_t range;   // stored as real_range - 1, in [126, 253]
+  int bits;         // current bit position; < 0 means "needs load"
+  int eof;
+  int virtual_bytes;
+
+  void init(const uint8_t* d, uint64_t n) {
+    buf = d;
+    buf_end = d + n;
+    value = 0;
+    range = 254;
+    bits = -8;
+    eof = 0;
+    virtual_bytes = 0;
+  }
+  inline void load() {
+    if (buf + 8 <= buf_end) {
+      uint64_t in;
+      std::memcpy(&in, buf, 8);
+      buf += 7;
+      value = (__builtin_bswap64(in) >> 8) | (value << 56);
+      bits += 56;
+    } else {
+      // Final bytes, one at a time; then virtual zeros.
+      while (bits < 0) {
+        if (buf < buf_end) {
+          value = (value << 8) | *buf++;
+        } else {
+          value <<= 8;
+          if (++virtual_bytes > 4) eof = 1;
+        }
+        bits += 8;
+      }
+    }
+  }
+  inline int get(int prob) {
+    if (bits < 0) load();
+    const int pos = bits;
+    const uint32_t split = (range * (uint32_t)prob) >> 8;
+    const uint32_t v = (uint32_t)(value >> pos) & 0xff;
+    int bit;
+    uint32_t r;
+    if (v > split) {
+      r = range - split;            // real_new = real - split_rfc
+      value -= (uint64_t)(split + 1) << pos;
+      bit = 1;
+    } else {
+      r = split + 1;                // real_new = split_rfc
+      bit = 0;
+    }
+    const int shift = 7 ^ (31 - __builtin_clz(r));
+    r <<= shift;
+    bits -= shift;
+    range = r - 1;
+    return bit;
+  }
+  inline int signed_value(int v) { return get(128) ? -v : v; }
+  inline bool exhausted() const { return eof; }
+};
+
+// ----------------------------------------------------------------------
 // Frame state
 // ----------------------------------------------------------------------
 struct MB {
@@ -89,7 +158,8 @@ inline int clip255i(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
 // ----------------------------------------------------------------------
 // Coefficient decode
 // ----------------------------------------------------------------------
-static int get_large_value(BoolDec& bd, const uint8_t* p) {
+template <typename BD>
+static int get_large_value(BD& bd, const uint8_t* p) {
   int v;
   if (!bd.get(p[3])) {
     if (!bd.get(p[4])) v = 2;
@@ -110,7 +180,8 @@ static int get_large_value(BoolDec& bd, const uint8_t* p) {
 }
 
 // probs_t: [8][3][11] for this block type; dq = {dc, ac}.
-static int get_coeffs(BoolDec& bd, const uint8_t* probs_t, int ctx,
+template <typename BD>
+static int get_coeffs(BD& bd, const uint8_t* probs_t, int ctx,
                       int dq_dc, int dq_ac, int first, int16_t* out) {
   const uint8_t* p = probs_t + (kBands[first] * 3 + ctx) * 11;
   int n = first;
@@ -469,7 +540,7 @@ int wtpu_vp8_decode_frame(
   bd.data = p0; bd.size = p0_size; bd.pos = p0_pos;
   bd.value = p0_value; bd.range = p0_range; bd.bit_count = (int)p0_bitcount;
 
-  std::vector<BoolDec> tparts(num_parts);
+  std::vector<FastBoolDec> tparts(num_parts);
   for (int i = 0; i < num_parts; i++)
     tparts[i].init(parts + part_offsets[i],
                    part_offsets[i + 1] - part_offsets[i]);
@@ -483,7 +554,7 @@ int wtpu_vp8_decode_frame(
   for (int mb_y = 0; mb_y < mb_h; mb_y++) {
     uint8_t intra_l[4] = {0, 0, 0, 0};
     Ctx ctx_left;
-    BoolDec& tb = tparts[mb_y & (num_parts - 1)];
+    FastBoolDec& tb = tparts[mb_y & (num_parts - 1)];
     // --- mode parsing for the row (partition 0) ---
     for (int mb_x = 0; mb_x < mb_w; mb_x++) {
       MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
@@ -734,6 +805,94 @@ int wtpu_vp8_decode_frame(
     }
   }
   return 0;
+}
+
+// ----------------------------------------------------------------------
+// Fused fancy upsample + BT.601 YUV→RGBA (libwebp's EmitFancyRGB math).
+// ----------------------------------------------------------------------
+static inline void yuv2rgba_px(int y, int u, int v, uint8_t* o) {
+  const int yy = (y * 19077) >> 8;
+  int r = yy + ((v * 26149) >> 8) - 14234;
+  int g = yy - ((u * 6419) >> 8) - ((v * 13320) >> 8) + 8708;
+  int b = yy + ((u * 33050) >> 8) - 17685;
+  const int M = (256 << 6) - 1;
+  r = r < 0 ? 0 : (r > M ? M : r);
+  g = g < 0 ? 0 : (g > M ? M : g);
+  b = b < 0 ? 0 : (b > M ? M : b);
+  o[0] = (uint8_t)(r >> 6);
+  o[1] = (uint8_t)(g >> 6);
+  o[2] = (uint8_t)(b >> 6);
+  o[3] = 255;
+}
+
+// One interpolated chroma row pair: T = chroma row k, B = row k+1.
+static void fancy_row(const uint8_t* T, const uint8_t* B, int w2, int width,
+                      uint8_t* out_top /* len width */, bool is_top) {
+  // is_top: produce the "top" output row of the pair, else the bottom.
+  if (is_top) out_top[0] = (uint8_t)((3 * T[0] + B[0] + 2) >> 2);
+  else out_top[0] = (uint8_t)((3 * B[0] + T[0] + 2) >> 2);
+  for (int i = 1; i < w2; i++) {
+    const int tl = T[i - 1], t = T[i], l = B[i - 1], c = B[i];
+    const int avg = tl + t + l + c + 8;
+    const int d12 = (avg + 2 * (t + l)) >> 3;
+    const int d03 = (avg + 2 * (tl + c)) >> 3;
+    if (is_top) {
+      out_top[2 * i - 1] = (uint8_t)((d12 + tl) >> 1);
+      if (2 * i < width) out_top[2 * i] = (uint8_t)((d03 + t) >> 1);
+    } else {
+      out_top[2 * i - 1] = (uint8_t)((d03 + l) >> 1);
+      if (2 * i < width) out_top[2 * i] = (uint8_t)((d12 + c) >> 1);
+    }
+  }
+  if (width % 2 == 0 && width > 1) {
+    if (is_top)
+      out_top[width - 1] = (uint8_t)((3 * T[w2 - 1] + B[w2 - 1] + 2) >> 2);
+    else
+      out_top[width - 1] = (uint8_t)((3 * B[w2 - 1] + T[w2 - 1] + 2) >> 2);
+  }
+}
+
+void wtpu_yuv_to_rgba_fancy(const uint8_t* yp, const uint8_t* up,
+                            const uint8_t* vp, int width, int height,
+                            int y_stride, int uv_stride, uint8_t* out) {
+  const int w2 = (width + 1) >> 1;
+  const int h2 = (height + 1) >> 1;
+  std::vector<uint8_t> urow(width), vrow(width);
+
+  auto emit_row = [&](int r) {
+    const uint8_t* y = yp + (int64_t)r * y_stride;
+    uint8_t* o = out + (int64_t)r * width * 4;
+    for (int x = 0; x < width; x++)
+      yuv2rgba_px(y[x], urow[x], vrow[x], o + 4 * x);
+  };
+
+  // Row 0: self-pair of chroma row 0.
+  fancy_row(up, up, w2, width, urow.data(), true);
+  fancy_row(vp, vp, w2, width, vrow.data(), true);
+  emit_row(0);
+  for (int k = 0; k + 1 < h2; k++) {
+    const uint8_t* uT = up + (int64_t)k * uv_stride;
+    const uint8_t* uB = uT + uv_stride;
+    const uint8_t* vT = vp + (int64_t)k * uv_stride;
+    const uint8_t* vB = vT + uv_stride;
+    if (2 * k + 1 < height) {
+      fancy_row(uT, uB, w2, width, urow.data(), true);
+      fancy_row(vT, vB, w2, width, vrow.data(), true);
+      emit_row(2 * k + 1);
+    }
+    if (2 * k + 2 < height) {
+      fancy_row(uT, uB, w2, width, urow.data(), false);
+      fancy_row(vT, vB, w2, width, vrow.data(), false);
+      emit_row(2 * k + 2);
+    }
+  }
+  if (height % 2 == 0 && height > 1) {
+    const uint8_t* uL = up + (int64_t)(h2 - 1) * uv_stride;
+    const uint8_t* vL = vp + (int64_t)(h2 - 1) * uv_stride;
+    fancy_row(uL, uL, w2, width, urow.data(), true);
+    fancy_row(vL, vL, w2, width, vrow.data(), true);
+    emit_row(height - 1);
+  }
 }
 
 }  // extern "C"

@@ -173,6 +173,11 @@ def _configure(lib) -> None:
         u8p, u8p, u8p,
     ]
 
+    lib.wtpu_yuv_to_rgba_fancy.restype = None
+    lib.wtpu_yuv_to_rgba_fancy.argtypes = [
+        u8p, u8p, u8p, c.c_int, c.c_int, c.c_int, c.c_int, u8p,
+    ]
+
     lib.wtpu_vp8_decode_frame.restype = c.c_int
     lib.wtpu_vp8_decode_frame.argtypes = [
         u8p, c.c_uint64, c.c_uint64, c.c_uint32, c.c_uint32, c.c_uint32,

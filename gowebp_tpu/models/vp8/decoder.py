@@ -795,15 +795,37 @@ def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
     if dithering_strength > 0:
         u, v = _dither_chroma(payload, u, v, dithering_strength)
     H, W = y.shape
+    out = None
     if fancy_upsampling:
-        uf = yuv_np.fancy_upsample(u, H, W)
-        vf = yuv_np.fancy_upsample(v, H, W)
-    else:
-        uf = yuv_np.simple_upsample(u, H, W)
-        vf = yuv_np.simple_upsample(v, H, W)
-    rgb = yuv_np.yuv_to_rgb(y.astype(np.int64), uf.astype(np.int64), vf.astype(np.int64))
-    out = np.empty((H, W, 4), np.uint8)
-    out[..., :3] = rgb
+        from ...entropy.native_loader import get_lib
+
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "wtpu_yuv_to_rgba_fancy"):
+            import ctypes
+
+            yc = np.ascontiguousarray(y, np.uint8)
+            uc = np.ascontiguousarray(u, np.uint8)
+            vc = np.ascontiguousarray(v, np.uint8)
+            out = np.empty((H, W, 4), np.uint8)
+
+            def u8(a):
+                return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+            lib.wtpu_yuv_to_rgba_fancy(
+                u8(yc), u8(uc), u8(vc), W, H, yc.shape[1], uc.shape[1], u8(out)
+            )
+    if out is None:
+        if fancy_upsampling:
+            uf = yuv_np.fancy_upsample(u, H, W)
+            vf = yuv_np.fancy_upsample(v, H, W)
+        else:
+            uf = yuv_np.simple_upsample(u, H, W)
+            vf = yuv_np.simple_upsample(v, H, W)
+        rgb = yuv_np.yuv_to_rgb(y.astype(np.int64), uf.astype(np.int64),
+                                vf.astype(np.int64))
+        out = np.empty((H, W, 4), np.uint8)
+        out[..., :3] = rgb
+        out[..., 3] = 255
     if alpha_payload is not None:
         from .alpha import decode_alpha
 
