@@ -19,7 +19,6 @@ from ..constants import (
     CHUNK_ICCP,
     CHUNK_VP8,
     CHUNK_VP8L,
-    CHUNK_VP8X,
     CHUNK_XMP,
     VP8X_FLAG_ALPHA,
     VP8X_FLAG_ANIMATION,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ...errors import BitstreamError, UnsupportedFeature
+from ...errors import BitstreamError
 
 FILTER_NONE = 0
 FILTER_HORIZONTAL = 1

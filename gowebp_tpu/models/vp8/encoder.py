@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ...config import EncoderConfig
-from ...constants import CHUNK_ALPHA, CHUNK_VP8, VP8_SIGNATURE
+from ...constants import CHUNK_ALPHA, CHUNK_VP8
 from ...container.riff import Chunk, assemble, assemble_simple, build_vp8x
 from ...entropy.bool_coder import BoolEncoder
 from ...errors import EncodeError

@@ -82,7 +82,6 @@ def _tokenize_code_lengths(lengths: np.ndarray):
     tokens = []
     n = len(lengths)
     i = 0
-    prev_nz = 8
     while i < n:
         v = int(lengths[i])
         run = 1
@@ -103,7 +102,6 @@ def _tokenize_code_lengths(lengths: np.ndarray):
             # First occurrence written literally; 16 repeats the previous
             # nonzero length, so it also works right after it.
             tokens.append((v, 0, 0))
-            prev_nz = v
             r = run - 1
             while r >= 3:
                 k = min(r, 6)
