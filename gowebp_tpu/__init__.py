@@ -10,8 +10,44 @@ host (Python reference path + native C++ fast path) over tensorized
 symbol streams.
 """
 
-from .decode import decode_rgb, decode_rgba, features
+from .config import EncoderConfig
+from .decode import (
+    decode,
+    decode_rgb,
+    decode_rgba,
+    decode_rgba_batch,
+    decode_yuv,
+    features,
+)
+from .decode_options import DecoderConfig
+from .encode import encode_rgba, encode_rgba_batch
+from .errors import (
+    BitstreamError,
+    EncodeError,
+    InvalidConfig,
+    NotEnoughData,
+    UnsupportedFeature,
+    WebPError,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["decode_rgba", "decode_rgb", "features", "__version__"]
+__all__ = [
+    "decode",
+    "decode_rgba",
+    "decode_rgb",
+    "decode_yuv",
+    "decode_rgba_batch",
+    "encode_rgba",
+    "encode_rgba_batch",
+    "features",
+    "EncoderConfig",
+    "DecoderConfig",
+    "WebPError",
+    "BitstreamError",
+    "NotEnoughData",
+    "UnsupportedFeature",
+    "InvalidConfig",
+    "EncodeError",
+    "__version__",
+]

@@ -496,6 +496,50 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
       }
     }
     if (best_len >= 4) {
+      // Lazy matching: if starting one pixel later yields a clearly
+      // longer match, emit a literal instead and take it next round.
+      if (best_len < 128 && pos + 2 < n) {
+        int32_t cand = head[hash_at(pos + 1)];
+        int tries = depth >> 1;
+        int next_best = 0;
+        while (cand >= 0 && tries-- > 0) {
+          int64_t d = pos + 1 - cand;
+          if (d > WINDOW) break;
+          if (pos + 1 + next_best < n &&
+              flat[cand + next_best] == flat[pos + 1 + next_best]) {
+            int l = match_len(cand, pos + 1);
+            if (l > next_best) next_best = l;
+          }
+          cand = prev[cand];
+        }
+        if (next_best > best_len + 1) {
+          uint32_t px = flat[pos];
+          if (cache_size) {
+            uint32_t idx = (uint32_t)(0x1e35a7bdu * px) >> cache_shift;
+            if (cache[idx] == px) {
+              ops[n_ops] = 2;
+              argbs[n_ops] = px;
+              lengths[n_ops] = (int32_t)idx;
+              dists[n_ops] = 0;
+            } else {
+              cache[idx] = px;
+              ops[n_ops] = 0;
+              argbs[n_ops] = px;
+              lengths[n_ops] = 1;
+              dists[n_ops] = 0;
+            }
+          } else {
+            ops[n_ops] = 0;
+            argbs[n_ops] = px;
+            lengths[n_ops] = 1;
+            dists[n_ops] = 0;
+          }
+          n_ops++;
+          insert(pos);
+          pos++;
+          continue;
+        }
+      }
       ops[n_ops] = 1;
       argbs[n_ops] = 0;
       lengths[n_ops] = best_len;

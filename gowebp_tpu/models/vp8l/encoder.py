@@ -497,34 +497,70 @@ def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
 
 
 def _choose_predictors(argb: np.ndarray, bits: int) -> np.ndarray:
-    """Per-tile best predictor by absolute-residual cost proxy.
+    """Per-tile best predictor by residual-histogram entropy.
 
     Evaluates all 14 predictors over the whole image at once (this is the
     TPU-shaped part — a (14, H, W) residual tensor reduced per tile).
+    The cost per tile is the Shannon entropy of the four per-channel
+    residual-byte histograms plus a small magnitude bias — the cost model
+    of the reference's per-tile predictor search
+    (vp8l_transforms.go predictor selection), rather than a pure
+    magnitude proxy: entropy correctly prefers a *constant* residual
+    (e.g. TOP on a vertical gradient) over a mostly-zero-but-ragged one,
+    which also LZ77-compresses far better.  A raster re-pick pass then
+    biases ties toward the left/top neighbor's mode for cross-tile
+    consistency.
     """
     h, w = argb.shape
     th = tnp.subsample_size(h, bits)
     tw = tnp.subsample_size(w, bits)
-    costs = np.zeros((14, th, tw), np.int64)
-    residual_cost = _residual_cost_table()
+    T = th * tw
+    tile_sz = 1 << bits
+
+    # Per-pixel tile id, flattened once.
+    ty = np.arange(h) >> bits
+    tx = np.arange(w) >> bits
+    tile_id = (ty[:, None] * tw + tx[None, :]).ravel()
+    # Combined bin index base: tile*1024 + channel*256 (+ byte).
+    base = tile_id * 1024
+
+    # Per-tile per-channel pixel counts (edge tiles are smaller).
+    npx = np.bincount(tile_id, minlength=T).astype(np.float64)
+    n_log_n = 4.0 * npx * np.log2(np.maximum(npx, 1.0))
+
+    folded = np.minimum(np.arange(256), np.arange(256)[::-1] + 1)
+    mag_bias = (0.04 * folded).astype(np.float64)
+
+    costs = np.empty((14, T), np.float64)
     for mode in range(14):
         pred = _predict_plane(argb, mode)
-        res = _sub_pixels_vec(argb, pred)
-        # Cost: sum over channels of a small-value-favoring table.
-        c = (
-            residual_cost[(res >> 24) & 0xFF]
-            + residual_cost[(res >> 16) & 0xFF]
-            + residual_cost[(res >> 8) & 0xFF]
-            + residual_cost[res & 0xFF]
-        )
-        # Tile-reduce.
-        ph = th * (1 << bits)
-        pw = tw * (1 << bits)
-        cp = np.zeros((ph, pw), np.int64)
-        cp[:h, :w] = c
-        costs[mode] = cp.reshape(th, 1 << bits, tw, 1 << bits).sum(axis=(1, 3))
-    modes = costs.argmin(axis=0).astype(np.uint32)
-    return (0xFF000000 | (modes << 8)).astype(np.uint32)
+        res = _sub_pixels_vec(argb, pred).ravel()
+        hist = np.zeros(T * 1024, np.int64)
+        for ch, shift in enumerate((24, 16, 8, 0)):
+            b = (res >> shift) & 0xFF
+            hist += np.bincount(base + ch * 256 + b, minlength=T * 1024)
+        hh = hist.reshape(T, 1024).astype(np.float64)
+        # Shannon: 4*N*log2(N) - sum n_i*log2(n_i), channels disjoint bins.
+        ent = n_log_n - (hh * np.log2(np.maximum(hh, 1.0))).sum(axis=1)
+        bias = hh @ np.tile(mag_bias, 4)
+        costs[mode] = ent + bias
+
+    costs = costs.reshape(14, th, tw)
+    modes = costs.argmin(axis=0)
+    # Neighbor-consistency pass: keep left/top mode when nearly as good.
+    best = np.take_along_axis(
+        costs.reshape(14, T), modes.ravel()[None, :], axis=0
+    ).reshape(th, tw)
+    for y in range(th):
+        for x in range(tw):
+            for nb in ((y, x - 1), (y - 1, x)):
+                if nb[0] < 0 or nb[1] < 0:
+                    continue
+                m = modes[nb]
+                if m != modes[y, x] and costs[m, y, x] <= best[y, x] * 1.03 + 8.0:
+                    modes[y, x] = m
+                    break
+    return (0xFF000000 | (modes.astype(np.uint32) << 8)).astype(np.uint32)
 
 
 def _residual_cost_table() -> np.ndarray:
@@ -674,6 +710,21 @@ def _residual_mag(argb: np.ndarray) -> int:
         ch = ((argb >> shift) & 0xFF).astype(np.int64)
         total += int(np.minimum(ch, 256 - ch).sum())
     return total
+
+
+def _refs_cost_bits(argb: np.ndarray, width: int, quality: int) -> float:
+    """Estimated body cost: LZ77 refs + histogram entropy (no emission).
+
+    Used to gate the cross-color transform: unlike raw literal entropy,
+    this accounts for LZ77 — on highly repetitive residuals the copy
+    stream dominates and a transform that lowers literal entropy may
+    save nothing in the actual bitstream.
+    """
+    refs = build_refs_lz77(argb, width, quality, 0)
+    if refs is None:
+        refs = build_backward_refs(argb, width)
+    lut = _build_dist_code_lut(width)
+    return _entropy_bits(_build_histograms(refs, width, lut, 0))
 
 
 def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
@@ -1195,9 +1246,16 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         cc_bits = 4
         cc_img = _choose_cross_color(work, cc_bits)
         if cc_img is not None:
-            # Estimate whether it actually helps before committing.
+            # Gate on estimated literal entropy saved vs the header cost
+            # of the multiplier tile stream (written to a scratch writer
+            # so its exact size is known before committing).
             trial = tnp.color_transform_forward(work, cc_img, cc_bits)
-            if _residual_mag(trial) < _residual_mag(work):
+            scratch = BitWriter()
+            _write_image_stream(scratch, cc_img, cc_img.shape[1])
+            hdr_bits = scratch.bit_count + 6
+            if _refs_cost_bits(trial, w, quality) + hdr_bits < _refs_cost_bits(
+                work, w, quality
+            ):
                 bw.put_bits(1, 1)
                 bw.put_bits(1, 2)      # COLOR_TRANSFORM
                 bw.put_bits(cc_bits - 2, 3)
