@@ -917,56 +917,107 @@ def _entropy_of_rows(H: np.ndarray, slices) -> np.ndarray:
 GROUP_HEADER_BITS = 1500.0   # approx cost of one extra group's 5 codes
 
 
-def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 16,
-                        rounds: int = 60):
-    """Greedy-stochastic pairwise merging → (group_map, merged_rows)."""
-    rng = np.random.default_rng(0x5EED)
+def _tree_entropy(H: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Shannon bits of one tree's sub-histogram per row."""
+    sub = H[:, a:b].astype(np.float64)
+    tot = sub.sum(axis=1)
+    n_log_n = tot * np.log2(np.maximum(tot, 1.0))
+    return n_log_n - (sub * np.log2(np.maximum(sub, 1.0))).sum(axis=1)
+
+
+def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 48,
+                        refine_iters: int = 2):
+    """Tile-histogram clustering → (group_map, merged_rows).
+
+    Three stages, all vectorized (the TPU-shaped re-expression of the
+    reference's histogram_enc.go combine path):
+      1. entropy-bin preclustering — tiles whose (literal, red, blue)
+         entropy signature lands in the same discretized bin share a
+         group;
+      2. exact greedy pairwise merging with an incrementally-maintained
+         savings matrix, stopping when the best merge loses more than a
+         group's header cost;
+      3. k-means-style refinement: reassign every tile to the group
+         whose code distribution codes it cheapest, then rebuild.
+    """
     T = len(H)
-    rows = [H[i].copy() for i in range(T)]
-    cost = list(_entropy_of_rows(H, slices))
-    group_of = list(range(T))
-    alive = list(range(T))
+    if T <= 1:
+        return np.zeros(T, np.int32), [H[i] for i in range(T)]
+    H = H.astype(np.int64)
 
-    def row_cost(v):
-        total = 0.0
+    # --- Stage 1: precluster by discretized entropy signature. ---
+    sig = []
+    for a, b in (slices[0], slices[1], slices[2]):
+        e = _tree_entropy(H, a, b)
+        hi = e.max()
+        levels = 4
+        q = np.minimum((e / max(hi, 1e-9) * levels).astype(np.int64), levels - 1)
+        sig.append(q)
+    bin_id = (sig[0] * 4 + sig[1]) * 4 + sig[2]
+    uniq, bin_of = np.unique(bin_id, return_inverse=True)
+    G = len(uniq)
+    rows = np.zeros((G, H.shape[1]), np.int64)
+    np.add.at(rows, bin_of, H)
+    group_of = bin_of.astype(np.int64)
+
+    # --- Stage 2: exact greedy merging with incremental savings. ---
+    cost = _entropy_of_rows(rows, slices)
+
+    def pair_savings(i, rows, cost, alive_mask):
+        merged = rows[i][None, :] + rows
+        ent = _entropy_of_rows(merged, slices)
+        s = cost[i] + cost - ent
+        s[~alive_mask] = -np.inf
+        s[i] = -np.inf
+        return s
+
+    alive = np.ones(G, bool)
+    M = np.full((G, G), -np.inf)
+    for i in range(G):
+        M[i] = pair_savings(i, rows, cost, alive)
+    while alive.sum() > 1:
+        flat = np.argmax(M)
+        i, j = divmod(int(flat), G)
+        saving = M[i, j]
+        n_alive = int(alive.sum())
+        if saving <= -GROUP_HEADER_BITS and n_alive <= max_groups:
+            break
+        if saving <= 0 and n_alive <= 2:
+            break
+        rows[i] += rows[j]
+        cost[i] = float(_entropy_of_rows(rows[i][None, :], slices)[0])
+        alive[j] = False
+        group_of[group_of == j] = i
+        M[j, :] = -np.inf
+        M[:, j] = -np.inf
+        M[i, :] = pair_savings(i, rows, cost, alive)
+        M[:, i] = M[i, :]
+
+    live_idx = np.flatnonzero(alive)
+    remap = np.full(G, -1, np.int64)
+    remap[live_idx] = np.arange(len(live_idx))
+    group_of = remap[group_of]
+    rows = rows[live_idx]
+
+    # --- Stage 3: refinement (cheapest-group reassignment). ---
+    for _ in range(refine_iters):
+        if len(rows) <= 1:
+            break
+        # log2 of per-tree code distributions, epsilon-smoothed.
+        logp = np.empty(rows.shape, np.float64)
         for a, b in slices:
-            sub = v[a:b].astype(np.float64)
-            tot = sub.sum()
-            if tot > 0:
-                nz = sub[sub > 0]
-                total += float((nz * (np.log2(tot) - np.log2(nz))).sum())
-        return total
+            sub = rows[:, a:b].astype(np.float64) + 0.04
+            logp[:, a:b] = np.log2(sub / sub.sum(axis=1, keepdims=True))
+        bits = -(H @ logp.T)            # (T, G) cross-entropy bits
+        new_assign = bits.argmin(axis=1)
+        if np.array_equal(new_assign, group_of):
+            break
+        group_of = new_assign
+        used, group_of = np.unique(group_of, return_inverse=True)
+        rows = np.zeros((len(used), H.shape[1]), np.int64)
+        np.add.at(rows, group_of, H)
 
-    while len(alive) > 1:
-        best = None
-        n_samples = min(rounds, len(alive) * (len(alive) - 1) // 2)
-        for _ in range(n_samples):
-            i, j = rng.choice(len(alive), 2, replace=False)
-            a, b = alive[i], alive[j]
-            merged = rows[a] + rows[b]
-            saving = cost[a] + cost[b] - row_cost(merged)
-            if best is None or saving > best[0]:
-                best = (saving, i, j, merged)
-        if best is None:
-            break
-        saving, i, j, merged = best
-        # Each extra group costs ~5 code headers; merge while the entropy
-        # loss stays below that, not just while it is free.
-        if saving <= -GROUP_HEADER_BITS and len(alive) <= max_groups:
-            break
-        if saving <= 0 and len(alive) <= 2:
-            break
-        a, b = alive[i], alive[j]
-        rows[a] = merged
-        cost[a] = row_cost(merged)
-        for t in range(T):
-            if group_of[t] == b:
-                group_of[t] = a
-        alive.pop(j)
-    remap = {g: k for k, g in enumerate(alive)}
-    group_map = np.array([remap[g] for g in group_of], np.int32)
-    merged_rows = [rows[g] for g in alive]
-    return group_map, merged_rows
+    return group_of.astype(np.int32), [rows[i] for i in range(len(rows))]
 
 
 def _emit_refs_grouped_native(bw, refs, codes_flat, groups_per_op, width,
@@ -1052,12 +1103,15 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
 
     # Meta-huffman: tile histograms + stochastic clustering when the
     # image is big enough for spatial adaptivity to pay.
-    use_meta = quality >= 30 and width * height >= (1 << 14)
+    use_meta = quality >= 30 and width * height >= (1 << 12)
     if use_meta:
-        bits = 7
+        # Small tiles for spatial adaptivity, grown only while the tile
+        # grid stays too large to cluster (reference histo-bits rule,
+        # vp8l_encoder.go GetHistoBits: start fine, cap grid ~2600).
+        bits = 3
         while bits < 9 and tnp.subsample_size(width, bits) * tnp.subsample_size(
             height, bits
-        ) > 256:
+        ) > 2600:
             bits += 1
         tw = tnp.subsample_size(width, bits)
         th = tnp.subsample_size(height, bits)
