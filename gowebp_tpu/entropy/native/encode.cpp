@@ -770,4 +770,182 @@ int wtpu_vp8l_emit(
   return 0;
 }
 
+// ----------------------------------------------------------------------
+// Cost-model optimal LZ77 parse (shortest path over pixel positions).
+//
+// The re-expression of the reference's TraceBackwards pass
+// (backward-references cost model, SURVEY.md §2.6): symbol costs come
+// from a greedy first-pass histogram; edges are literals plus, per
+// position, the best hash-chain match evaluated at every length-prefix
+// *bucket end* (the cost of a copy is constant within a bucket, so only
+// bucket boundaries can be optimal).  A final pass converts literals to
+// color-cache hits.
+// ----------------------------------------------------------------------
+int64_t wtpu_vp8l_optimal_refs(
+    const uint32_t* flat, int64_t n, int width, int depth, int cache_bits,
+    const float* g_cost,   // [280] green-tree symbol cost (bits)
+    const float* r_cost, const float* b_cost, const float* a_cost,  // [256]
+    const float* d_cost,   // [40] distance prefix symbol cost
+    const int32_t* dist_lut, int dist_lut_size,
+    uint8_t* ops, uint32_t* argbs, int32_t* lengths, int32_t* dists) {
+  constexpr int HASH_BITS = 18;
+  constexpr int64_t WINDOW = (1 << 20) - 126;
+  constexpr int MAX_LEN = 4095;
+
+  // Per-length copy-symbol cost (green length symbol + extra bits).
+  std::vector<float> len_cost(MAX_LEN + 1, 1e30f);
+  // Bucket-end lengths: the largest length mapping to each prefix code.
+  std::vector<int> bucket_ends;
+  {
+    int prev_code = -1;
+    for (int l = 2; l <= MAX_LEN; l++) {
+      int code, nb, bits;
+      prefix_encode_c(l, &code, &nb, &bits);
+      len_cost[l] = g_cost[256 + code] + nb;
+      if (code != prev_code && l > 2) bucket_ends.push_back(l - 1);
+      prev_code = code;
+    }
+    bucket_ends.push_back(MAX_LEN);
+  }
+  auto dist_cost_of = [&](int64_t d) -> float {
+    int plane = (d < dist_lut_size && dist_lut[d]) ? dist_lut[d]
+                                                   : (int)(d + 120);
+    int code, nb, bits;
+    prefix_encode_c(plane, &code, &nb, &bits);
+    return d_cost[code] + nb;
+  };
+  auto lit_cost_of = [&](uint32_t px) -> float {
+    return g_cost[(px >> 8) & 0xff] + r_cost[(px >> 16) & 0xff] +
+           b_cost[px & 0xff] + a_cost[(px >> 24) & 0xff];
+  };
+
+  std::vector<int32_t> head((size_t)1 << HASH_BITS, -1);
+  std::vector<int32_t> prev(n, -1);
+  auto hash_at = [&](int64_t i) -> uint32_t {
+    uint64_t v = ((uint64_t)flat[i + 1] << 32) | flat[i];
+    return (uint32_t)((v * 0x1e35a7bd1e35a7bdull) >> (64 - HASH_BITS));
+  };
+  auto match_len = [&](int64_t a, int64_t b) -> int {
+    int len = 0;
+    int64_t maxl = n - b;
+    if (maxl > MAX_LEN) maxl = MAX_LEN;
+    while (len < maxl && flat[a + len] == flat[b + len]) len++;
+    return len;
+  };
+
+  std::vector<float> cost(n + 1, 1e30f);
+  std::vector<int32_t> from_len(n + 1, 0);
+  std::vector<int32_t> from_dist(n + 1, 0);
+  cost[0] = 0.0f;
+
+  for (int64_t i = 0; i < n; i++) {
+    const float c0 = cost[i];
+    // Literal edge.
+    {
+      float c = c0 + lit_cost_of(flat[i]);
+      if (c < cost[i + 1]) { cost[i + 1] = c; from_len[i + 1] = 1;
+                             from_dist[i + 1] = 0; }
+    }
+    // Candidate matches: dist 1, dist width, best hash-chain match.
+    int64_t cand_d[3];
+    int cand_l[3];
+    int n_cand = 0;
+    if (i >= 1) {
+      int l = match_len(i - 1, i);
+      if (l >= 2) { cand_d[n_cand] = 1; cand_l[n_cand++] = l; }
+    }
+    if (i >= width) {
+      int l = match_len(i - width, i);
+      if (l >= 2) { cand_d[n_cand] = width; cand_l[n_cand++] = l; }
+    }
+    if (i + 1 < n) {
+      int32_t c = head[hash_at(i)];
+      int tries = depth;
+      int best_len = 0;
+      int64_t best_dist = 0;
+      while (c >= 0 && tries-- > 0) {
+        int64_t d = i - c;
+        if (d > WINDOW) break;
+        if (best_len == 0 ||
+            (i + best_len < n && flat[c + best_len] == flat[i + best_len])) {
+          int l = match_len(c, i);
+          if (l > best_len || (l == best_len && d < best_dist)) {
+            best_len = l;
+            best_dist = d;
+          }
+        }
+        c = prev[c];
+      }
+      if (best_len >= 2 && best_dist != 1 && best_dist != width) {
+        cand_d[n_cand] = best_dist;
+        cand_l[n_cand++] = best_len;
+      }
+    }
+    for (int k = 0; k < n_cand; k++) {
+      const float dc = c0 + dist_cost_of(cand_d[k]);
+      const int lmax = cand_l[k];
+      // Bucket-end lengths only (equal copy cost within a bucket, so the
+      // longest length in each bucket dominates shorter ones), plus lmax.
+      for (int bi = 0; ; bi++) {
+        int l = bucket_ends[bi];
+        if (l >= lmax) l = lmax;
+        float c = dc + len_cost[l];
+        if (c < cost[i + l]) { cost[i + l] = c; from_len[i + l] = l;
+                               from_dist[i + l] = (int32_t)cand_d[k]; }
+        if (l == lmax) break;
+      }
+    }
+    // Insert into the hash chain (every position — DP visits them all).
+    if (i + 1 < n) {
+      uint32_t h = hash_at(i);
+      prev[i] = head[h];
+      head[h] = (int32_t)i;
+    }
+  }
+
+  // Backward trace, then forward emission with cache conversion.
+  std::vector<int64_t> cuts;
+  for (int64_t p = n; p > 0; p -= from_len[p]) cuts.push_back(p);
+  const int cache_size = cache_bits > 0 ? 1 << cache_bits : 0;
+  std::vector<uint32_t> cache(cache_size, 0);
+  const int cache_shift = cache_bits > 0 ? 32 - cache_bits : 0;
+  int64_t n_ops = 0;
+  int64_t pos = 0;
+  for (int64_t ci = (int64_t)cuts.size() - 1; ci >= 0; ci--) {
+    int64_t end = cuts[ci];
+    int32_t l = from_len[end];
+    if (from_dist[end] == 0) {
+      uint32_t px = flat[pos];
+      if (cache_size) {
+        uint32_t idx = (uint32_t)(0x1e35a7bdu * px) >> cache_shift;
+        if (cache[idx] == px) {
+          ops[n_ops] = 2; argbs[n_ops] = px;
+          lengths[n_ops] = (int32_t)idx; dists[n_ops] = 0;
+        } else {
+          cache[idx] = px;
+          ops[n_ops] = 0; argbs[n_ops] = px;
+          lengths[n_ops] = 1; dists[n_ops] = 0;
+        }
+      } else {
+        ops[n_ops] = 0; argbs[n_ops] = px;
+        lengths[n_ops] = 1; dists[n_ops] = 0;
+      }
+      n_ops++;
+      pos++;
+    } else {
+      ops[n_ops] = 1; argbs[n_ops] = 0;
+      lengths[n_ops] = l; dists[n_ops] = from_dist[end];
+      n_ops++;
+      if (cache_size) {
+        for (int64_t p = pos; p < pos + l; p++) {
+          uint32_t px = flat[p];
+          cache[(uint32_t)(0x1e35a7bdu * px) >> cache_shift] = px;
+        }
+      }
+      pos += l;
+    }
+  }
+  return n_ops;
+}
+
 }  // extern "C"

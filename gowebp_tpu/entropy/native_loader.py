@@ -161,6 +161,14 @@ def _configure(lib) -> None:
         u32p, c.c_int64, c.c_int, c.c_int, c.c_int,
         u8p, u32p, i32p, i32p,
     ]
+    f32p = c.POINTER(c.c_float)
+    lib.wtpu_vp8l_optimal_refs.restype = c.c_int64
+    lib.wtpu_vp8l_optimal_refs.argtypes = [
+        u32p, c.c_int64, c.c_int, c.c_int, c.c_int,
+        f32p, f32p, f32p, f32p, f32p,
+        i32p, c.c_int,
+        u8p, u32p, i32p, i32p,
+    ]
 
     i16p = c.POINTER(c.c_int16)
     lib.wtpu_vp8_encode_frame.restype = c.c_int

@@ -496,7 +496,8 @@ def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _choose_predictors(argb: np.ndarray, bits: int) -> np.ndarray:
+def _choose_predictors(argb: np.ndarray, bits: int,
+                       refine_iters: int = 4) -> np.ndarray:
     """Per-tile best predictor by residual-histogram entropy.
 
     Evaluates all 14 predictors over the whole image at once (this is the
@@ -545,21 +546,71 @@ def _choose_predictors(argb: np.ndarray, bits: int) -> np.ndarray:
         bias = hh @ np.tile(mag_bias, 4)
         costs[mode] = ent + bias
 
-    costs = costs.reshape(14, th, tw)
-    modes = costs.argmin(axis=0)
-    # Neighbor-consistency pass: keep left/top mode when nearly as good.
-    best = np.take_along_axis(
-        costs.reshape(14, T), modes.ravel()[None, :], axis=0
-    ).reshape(th, tw)
-    for y in range(th):
-        for x in range(tw):
-            for nb in ((y, x - 1), (y - 1, x)):
-                if nb[0] < 0 or nb[1] < 0:
+    modes = costs.argmin(axis=0).reshape(th, tw)
+
+    # Refinement: per-tile entropy is locally greedy but all tiles share
+    # Huffman trees, so diverse modes can *raise* the global entropy.
+    # Iterate: build the global residual-byte distribution under the
+    # current picks, then re-pick each tile by its cross-entropy under
+    # that shared distribution plus the mode symbol's own cost (the
+    # accumulated-histogram bias of the reference's per-tile search,
+    # made parallel: a fixed-point iteration instead of a raster scan).
+    cache_bytes = h * w <= (1 << 22)
+    res_bytes = None
+    if cache_bytes:
+        res_bytes = np.empty((14, 4, h, w), np.uint8)
+        for mode in range(14):
+            pred = _predict_plane(argb, mode)
+            res = _sub_pixels_vec(argb, pred)
+            for ch, shift in enumerate((24, 16, 8, 0)):
+                res_bytes[mode, ch] = (res >> shift) & 0xFF
+
+    tile_2d = tile_id.reshape(h, w)
+    for _ in range(refine_iters):
+        # Global per-channel byte distribution under current modes.
+        mode_px = np.repeat(np.repeat(modes, tile_sz, 0), tile_sz, 1)[:h, :w]
+        glob = np.zeros((4, 256), np.float64)
+        if cache_bytes:
+            pick = res_bytes[mode_px, :, np.arange(h)[:, None], np.arange(w)]
+            # pick: (h, w, 4)
+            for ch in range(4):
+                glob[ch] = np.bincount(pick[..., ch].ravel(), minlength=256)
+        else:
+            for mode in range(14):
+                sel = mode_px == mode
+                if not sel.any():
                     continue
-                m = modes[nb]
-                if m != modes[y, x] and costs[m, y, x] <= best[y, x] * 1.03 + 8.0:
-                    modes[y, x] = m
-                    break
+                pred = _predict_plane(argb, mode)
+                res = _sub_pixels_vec(argb, pred)[sel]
+                for ch, shift in enumerate((24, 16, 8, 0)):
+                    glob[ch] += np.bincount((res >> shift) & 0xFF,
+                                            minlength=256)
+        logp = np.log2((glob + 0.1) / (glob.sum(axis=1, keepdims=True) + 25.6))
+        mcount = np.bincount(modes.ravel(), minlength=14).astype(np.float64)
+        mode_cost = -np.log2((mcount + 0.1) / (mcount.sum() + 1.4))
+
+        new_costs = np.empty((14, T), np.float64)
+        for mode in range(14):
+            if cache_bytes:
+                per_px = (logp[0][res_bytes[mode, 0]]
+                          + logp[1][res_bytes[mode, 1]]
+                          + logp[2][res_bytes[mode, 2]]
+                          + logp[3][res_bytes[mode, 3]])
+            else:
+                pred = _predict_plane(argb, mode)
+                res = _sub_pixels_vec(argb, pred)
+                per_px = (logp[0][(res >> 24) & 0xFF]
+                          + logp[1][(res >> 16) & 0xFF]
+                          + logp[2][(res >> 8) & 0xFF]
+                          + logp[3][res & 0xFF])
+            new_costs[mode] = np.bincount(
+                tile_2d.ravel(), weights=-per_px.ravel(), minlength=T
+            ) + mode_cost[mode]
+        new_modes = new_costs.argmin(axis=0).reshape(th, tw)
+        if np.array_equal(new_modes, modes):
+            break
+        modes = new_modes
+
     return (0xFF000000 | (modes.astype(np.uint32) << 8)).astype(np.uint32)
 
 
@@ -816,6 +867,62 @@ def build_refs_lz77(argb: np.ndarray, width: int, quality: int,
     n_ops = lib.wtpu_vp8l_hashchain_refs(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         n, width, depth, cache_bits,
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        argbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return RefStream(ops[:n_ops], argbs[:n_ops], lens[:n_ops], dists[:n_ops])
+
+
+def _symbol_costs(h: np.ndarray) -> np.ndarray:
+    """-log2 probability per symbol (bits), smoothed for unseen symbols."""
+    tot = float(h.sum())
+    if tot <= 0:
+        return np.full(len(h), 8.0, np.float32)
+    p = (h.astype(np.float64) + 0.2) / (tot + 0.2 * len(h))
+    return (-np.log2(p)).astype(np.float32)
+
+
+def build_refs_optimal(argb: np.ndarray, width: int, quality: int,
+                       cache_bits: int) -> RefStream | None:
+    """Cost-model optimal parse (native DP); None without the lib.
+
+    Greedy first pass supplies the symbol-cost model (the reference's
+    TraceBackwards strategy); the C++ DP then finds the cheapest path
+    over pixel positions and rewrites literals as color-cache hits.
+    """
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_optimal_refs"):
+        return None
+    seed = build_refs_lz77(argb, width, quality, cache_bits)
+    if seed is None:
+        return None
+    lut = _build_dist_code_lut(width)
+    g, r, b, a, d = _build_histograms(seed, width, lut, cache_bits)
+    gc = _symbol_costs(g[:280])
+    costs = [np.ascontiguousarray(cst, np.float32) for cst in
+             (gc, _symbol_costs(r), _symbol_costs(b), _symbol_costs(a),
+              _symbol_costs(d))]
+    lut_arr = _build_dist_lut_array(width).astype(np.int32)
+
+    flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+    n = len(flat)
+    ops = np.zeros(n, np.uint8)
+    argbs = np.zeros(n, np.uint32)
+    lens = np.zeros(n, np.int32)
+    dists = np.zeros(n, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    n_ops = lib.wtpu_vp8l_optimal_refs(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, width, 8 + quality // 5, cache_bits,
+        *(cst.ctypes.data_as(f32p) for cst in costs),
+        lut_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(lut_arr),
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         argbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -1081,7 +1188,10 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
     if quality >= 20:
         candidates = (0, 6, 8, 10) if quality >= 90 else (0, 8)
         for cb in candidates:
-            refs = build_refs_lz77(argb, width, quality, cb)
+            refs = (build_refs_optimal(argb, width, quality, cb)
+                    if quality >= 65 else None)
+            if refs is None:
+                refs = build_refs_lz77(argb, width, quality, cb)
             if refs is None:
                 break
             hists = _build_histograms(refs, width, lut, cb)
@@ -1287,7 +1397,8 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         use_predictor = quality >= 10
     if use_predictor:
         bits = 4
-        mode_img = _choose_predictors(work, bits)
+        mode_img = _choose_predictors(
+            work, bits, refine_iters=4 if quality >= 75 else 2)
         bw.put_bits(1, 1)
         bw.put_bits(0, 2)              # PREDICTOR_TRANSFORM
         bw.put_bits(bits - 2, 3)
