@@ -17,13 +17,16 @@ from .errors import EncodeError
 def encode_rgba(
     rgba: np.ndarray,
     *,
-    lossless: bool = True,
+    lossless: bool = False,
     quality: float = 75.0,
     method: int = 4,
     config: EncoderConfig | None = None,
     stats=None,
 ) -> bytes:
     """Encode an (H, W, 3|4) uint8 array into a .webp byte string.
+
+    Defaults to lossy VP8 at quality 75, matching the reference's
+    WebPEncodeRGBA defaults (webp/encode.go: lossless off by default).
 
     Pass an EncodeStats instance as ``stats`` to collect WebPAuxStats-style
     diagnostics for the encode.

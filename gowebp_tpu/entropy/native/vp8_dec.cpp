@@ -1256,9 +1256,18 @@ int wtpu_vp8_encode_frame(
           std::memcpy(&yb4[rr * BUFS + 17], &yb4[17], 4);
         int16_t yl4[16][16];
         uint8_t modes4[16];
-        int64_t d4 = 0;
-        int nz4 = 0;
-        for (int n = 0; n < 16 && d4 < 4 * d16 + i4_penalty; n++) {
+        // Per-block rate-aware RD: score = dist + lam*(20*nz + mode_bits)
+        // >> 11, with approximate per-mode header bits (DC is near-free
+        // in the kf bmode trees; diagonal modes cost the most).  The
+        // same scores accumulate into the i4-vs-i16 comparison, so the
+        // selection and the final decision optimize the same objective.
+        static const int kMode4Bits[10] = {8, 22, 24, 24, 30, 32, 30, 32,
+                                           32, 30};
+        int64_t lamq = i4_penalty;
+        int64_t s4 = 0;
+        int64_t s16 = d16 + ((lamq * (int64_t)(nz16 * 20)) >> 11);
+        int blocks_done = 0;
+        for (int n = 0; n < 16 && s4 < s16; n++, blocks_done++) {
           int r = 4 * (n >> 2), cc = 4 * (n & 3);
           int64_t bcost = -1;
           int bmode = 0;
@@ -1278,17 +1287,19 @@ int wtpu_vp8_encode_frame(
               trellis_refine(lv, cf, 3, 0, 1, y1dc.q, y1ac.q, lam, tt);
             dequant_block(lv, y1dc.q, y1ac.q, dq);
             bool any = false;
+            int nzb = 0;
+            for (int k = 0; k < 16; k++) nzb += lv[k] != 0;
             for (int k = 0; k < 16; k++) if (dq[k]) { any = true; break; }
             uint8_t rec[16];
             std::memcpy(rec, blk, 16);
             if (any) idct_add(dq, rec, 4);
-            int64_t cost = 0;
+            int64_t dist = 0;
             for (int k = 0; k < 16; k++) {
               int d = (int)src16[(r + (k >> 2)) * 16 + cc + (k & 3)] - rec[k];
-              cost += d * d;
+              dist += d * d;
             }
-            // Small per-mode bias: non-DC modes cost a few header bits.
-            cost += (mode != 0) ? i4_penalty / 64 : 0;
+            int64_t cost =
+                dist + ((lamq * (int64_t)(20 * nzb + kMode4Bits[mode])) >> 11);
             if (bcost < 0 || cost < bcost) {
               bcost = cost;
               bmode = mode;
@@ -1301,16 +1312,9 @@ int wtpu_vp8_encode_frame(
             std::memcpy(&yb4[(r + 1 + k) * BUFS + cc + 1], brecon + 4 * k, 4);
           modes4[n] = (uint8_t)bmode;
           std::memcpy(yl4[n], blevels, sizeof(blevels));
-          for (int k = 0; k < 16; k++) nz4 += blevels[k] != 0;
-          d4 += bcost;
+          s4 += bcost;
         }
-        // Rate-aware comparison: ~2.5 bits per nonzero token plus ~3.5
-        // bits per 4x4 mode, weighted by an RD lambda derived from the
-        // quantizer (i4_penalty carries lambda<<8 per bit).
-        int64_t rate16 = nz16 * 20;
-        int64_t rate4 = (int64_t)nz4 * 20 + 16 * 28;
-        int64_t lam = i4_penalty;
-        if (d4 + ((lam * rate4) >> 11) < d16 + ((lam * rate16) >> 11)) {
+        if (blocks_done == 16 && s4 < s16) {
           // Adopt the i4 candidate.
           is_i4_out[m] = 1;
           for (int k = 0; k < 16; k++) y2l[k] = 0;

@@ -1205,17 +1205,49 @@ def analyze_segments(y, mb_w: int, mb_h: int, num_segments: int,
     )
     lap = np.pad(lap, 1)[:H, :W]
     act = lap.reshape(mb_h, 16, mb_w, 16).mean(axis=(1, 3)).reshape(-1)
-    order = np.argsort(np.argsort(act))          # rank per MB
-    total = mb_w * mb_h
-    seg_map = (order * num_segments // total).astype(np.uint8)
-    # Scale the spread down at fine quantizers (matching libwebp's
-    # quality-dependent amp) so high-quality files don't pay for it.
-    dq_max = min(sns_strength * 15 // 100, base_q // 3)
-    deltas = []
-    for s in range(num_segments):
-        centered = s - (num_segments - 1) / 2.0
-        deltas.append(int(round(centered * 2 * dq_max / max(1, num_segments - 1))))
-    deltas += [0] * (4 - num_segments)
+
+    # 1-D k-means on activity (reference AssignSegments' centroid fit):
+    # segments follow the actual activity clusters instead of fixed
+    # population quartiles, so mostly-flat images put most MBs in the
+    # cheap segment.
+    qs = np.quantile(act, [(2 * s + 1) / (2 * num_segments)
+                           for s in range(num_segments)])
+    centers = np.unique(qs).astype(np.float64)
+    for _ in range(8):
+        assign = np.abs(act[:, None] - centers[None, :]).argmin(axis=1)
+        new = np.array([
+            act[assign == k].mean() if (assign == k).any() else centers[k]
+            for k in range(len(centers))
+        ])
+        if np.allclose(new, centers):
+            break
+        centers = new
+    order = np.argsort(centers)
+    rank_of = np.empty_like(order)
+    rank_of[order] = np.arange(len(order))
+    seg_map = rank_of[assign].astype(np.uint8)
+    centers = centers[order]
+
+    # Asymmetric quantizer spread (reference SetSegmentParams shape):
+    # flat segments get a deep discount (cheap PSNR on smooth areas),
+    # busy segments a coarser step (masked detail, expensive bits).
+    n = len(centers)
+    if n > 1:
+        a_norm = (centers - centers[0]) / max(1e-9, centers[-1] - centers[0])
+    else:
+        a_norm = np.zeros(1)
+    # Scale the spread by how heterogeneous the image actually is: a
+    # uniformly-textured photo keeps a near-flat quantizer, a graphics
+    # image with flat fills + hard edges gets a wide one.
+    rel = float((centers[-1] - centers[0]) / (centers[-1] + 8.0))
+    s = min(100, sns_strength) / 50.0
+    amp_lo = 0.45 * s * rel
+    amp_hi = 0.50 * s * rel
+    deltas = [
+        int(round(base_q * (amp_hi * a - amp_lo * (1.0 - a))))
+        for a in a_norm
+    ]
+    deltas += [0] * (4 - n)
     return seg_map, deltas
 
 
