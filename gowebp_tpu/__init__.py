@@ -20,7 +20,7 @@ from .decode import (
     features,
 )
 from .decode_options import DecoderConfig
-from .encode import encode_rgba, encode_rgba_batch
+from .encode import encode_rgba, encode_rgba_batch, encode_yuv
 from .errors import (
     BitstreamError,
     EncodeError,
@@ -40,6 +40,7 @@ __all__ = [
     "decode_rgba_batch",
     "encode_rgba",
     "encode_rgba_batch",
+    "encode_yuv",
     "features",
     "EncoderConfig",
     "DecoderConfig",

@@ -69,6 +69,73 @@ def encode_rgba(
     return out
 
 
+def encode_yuv(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    *,
+    alpha: np.ndarray | None = None,
+    quality: float = 75.0,
+    method: int = 4,
+    config: EncoderConfig | None = None,
+    stats=None,
+) -> bytes:
+    """Encode pre-converted YUV420 planes into a lossy .webp byte string.
+
+    The reference Picture container accepts YUV420(A) planes directly
+    (pkg/picture picture.go:33-105, WebPPictureAllocYUVA) — this is that
+    input path: no RGB conversion happens, the planes go straight to the
+    VP8 coder.  y is (H, W); u and v are (ceil(H/2), ceil(W/2)); alpha,
+    if given, is (H, W) and produces an ALPH chunk + VP8X container.
+    """
+    from .constants import CHUNK_VP8
+    from .models.vp8.encoder import _pad_to_mb, encode_vp8_frame
+
+    if config is None:
+        config = EncoderConfig(lossless=False, quality=quality, method=method)
+    config.validate()
+    y = np.asarray(y)
+    u = np.asarray(u)
+    v = np.asarray(v)
+    if y.dtype != np.uint8 or u.dtype != np.uint8 or v.dtype != np.uint8:
+        raise EncodeError("expected uint8 planes")
+    h, w = y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if u.shape != (ch, cw) or v.shape != (ch, cw):
+        raise EncodeError("u/v planes must be (ceil(H/2), ceil(W/2))")
+
+    _progress(config, 0)
+    yp = _pad_to_mb(y, 16)
+    up = _pad_to_mb(u, 8)
+    vp = _pad_to_mb(v, 8)
+    payload = encode_vp8_frame(yp, up, vp, w, h, config, stats=stats)
+    if alpha is None:
+        out = assemble_simple(Chunk(CHUNK_VP8, payload))
+    else:
+        from .constants import CHUNK_ALPHA
+        from .container.riff import assemble, build_vp8x
+        from .models.vp8.alpha import encode_alpha
+
+        alpha = np.asarray(alpha)
+        if alpha.shape != (h, w):
+            raise EncodeError("alpha plane must match luma shape")
+        alpha_payload = encode_alpha(
+            alpha,
+            method=config.alpha_compression,
+            quality=config.alpha_quality,
+            filtering_level=config.alpha_filtering,
+        )
+        out = assemble([
+            build_vp8x(w, h, has_alpha=True),
+            Chunk(CHUNK_ALPHA, alpha_payload),
+            Chunk(CHUNK_VP8, payload),
+        ])
+    if stats is not None:
+        stats.coded_size = len(out)
+    _progress(config, 100)
+    return out
+
+
 def encode_rgba_batch(
     images: list,
     *,
@@ -154,4 +221,4 @@ def _progress(config: EncoderConfig, percent: int) -> None:
         raise EncodeError("encoding aborted by progress hook")
 
 
-__all__ = ["encode_rgba"]
+__all__ = ["encode_rgba", "encode_rgba_batch", "encode_yuv"]

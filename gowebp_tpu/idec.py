@@ -32,6 +32,7 @@ class IncrementalDecoder:
         self.state = STATE_HEADER
         self.features = None
         self._vp8 = None       # _VP8RowDecoder
+        self._vp8l = None      # _VP8LRowDecoder
         self._output = None
         self._is_lossless = False
 
@@ -74,28 +75,48 @@ class IncrementalDecoder:
             self._output = decode_rgba(data)
             self.state = STATE_DONE
             return
-        # Partial data: advance the VP8 row decoder if this is a lossy file.
+        # Partial data: advance the row decoder for the detected format.
         if self.features is not None and self.features.format == "lossy":
             self._advance_vp8(data)
+        elif self.features is not None and self.features.format == "lossless":
+            self._advance_vp8l(data)
 
-    def _advance_vp8(self, data: bytes) -> None:
-        # The VP8 chunk payload may itself be truncated; find its span.
+    def _find_chunk_payload(self, data: bytes, want: bytes) -> bytes | None:
+        """Span of a chunk's (possibly truncated) payload inside data."""
         try:
             from .container.riff import RIFF_HEADER_SIZE
             import struct
 
             pos = RIFF_HEADER_SIZE
-            payload = None
             while pos + 8 <= len(data):
                 tag = data[pos : pos + 4]
                 size = struct.unpack_from("<I", data, pos + 4)[0]
-                if tag == CHUNK_VP8:
-                    payload = data[pos + 8 : pos + 8 + size]
-                    break
+                if tag == want:
+                    return data[pos + 8 : pos + 8 + size]
                 pos += 8 + size + (size & 1)
-            if payload is None:
-                return
         except Exception:
+            pass
+        return None
+
+    def _advance_vp8l(self, data: bytes) -> None:
+        from .constants import CHUNK_VP8L
+
+        payload = self._find_chunk_payload(data, CHUNK_VP8L)
+        if payload is None:
+            return
+        if self._vp8l is None:
+            try:
+                self._vp8l = _VP8LRowDecoder(payload)
+            except (NotEnoughData, BitstreamError, IndexError):
+                return
+        else:
+            self._vp8l.update_data(payload)
+        self._vp8l.decode_available_rows()
+
+    def _advance_vp8(self, data: bytes) -> None:
+        # The VP8 chunk payload may itself be truncated; find its span.
+        payload = self._find_chunk_payload(data, CHUNK_VP8)
+        if payload is None:
             return
         if self._vp8 is None:
             try:
@@ -111,6 +132,8 @@ class IncrementalDecoder:
         """Finalized output rows available via get_partial_output()."""
         if self.state == STATE_DONE and self._output is not None:
             return self._output.shape[0]
+        if self._vp8l is not None:
+            return self._vp8l.rows_done
         if self._vp8 is None:
             return 0
         done_mb_rows = max(0, self._vp8.rows_done - 1)  # loop-filter lag
@@ -121,7 +144,11 @@ class IncrementalDecoder:
         if self.state == STATE_DONE:
             return self._output
         n = self.rows_decoded
-        if n == 0 or self._vp8 is None:
+        if n == 0:
+            return None
+        if self._vp8l is not None:
+            return self._vp8l.partial_rgba(n)
+        if self._vp8 is None:
             return None
         return self._vp8.partial_rgba(n)
 
@@ -256,6 +283,62 @@ class _VP8RowDecoder:
         out[..., :3] = rgb[:H]
         out[..., 3] = 255
         return out
+
+
+class _VP8LRowDecoder:
+    """Incremental VP8L: suspend/resume over a growing chunk payload.
+
+    Reference mechanism: vp8l_dec.c.go SaveState/RestoreState +
+    VP8_STATUS_SUSPENDED (SURVEY.md §2.3, §3.5); the checkpointing loop
+    itself lives in models/vp8l/decoder.VP8LIncrementalPixels.
+    """
+
+    def __init__(self, payload: bytes):
+        from .models.vp8l.decoder import (
+            VP8LIncrementalPixels,
+            _parse_stream_header,
+            decode_vp8l_header,
+        )
+        from .entropy.bitio import BitReader
+
+        self.payload = payload
+        self.width, self.height, _ = decode_vp8l_header(payload)
+        br = BitReader(payload[1:])
+        br.skip_bits(14 + 14 + 1 + 3)
+        hdr = _parse_stream_header(br, self.width, self.height,
+                                   top_level=True)
+        if br.eos:
+            raise NotEnoughData("VP8L entropy headers incomplete")
+        self._pix = VP8LIncrementalPixels(self.width, self.height, hdr,
+                                          br.bit_pos)
+        self._done = False
+
+    def update_data(self, payload: bytes) -> None:
+        self.payload = payload
+
+    def decode_available_rows(self) -> None:
+        if not self._done:
+            self._done = self._pix.resume(self.payload[1:])
+
+    @property
+    def rows_done(self) -> int:
+        return self._pix.rows_ready()
+
+    def _to_rgba(self, argb: np.ndarray) -> np.ndarray:
+        a = (argb >> 24) & 0xFF
+        r = (argb >> 16) & 0xFF
+        g = (argb >> 8) & 0xFF
+        b = argb & 0xFF
+        return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+
+    def partial_rgba(self, n_rows: int) -> np.ndarray:
+        from .models.vp8l.decoder import _apply_inverse_transforms
+
+        argb = self._pix.partial_argb()
+        if argb.shape[0] == 0:
+            return np.zeros((0, self.width, 4), np.uint8)
+        argb = _apply_inverse_transforms(argb, self._pix.transforms)
+        return self._to_rgba(argb[:n_rows])
 
 
 __all__ = ["IncrementalDecoder", "STATE_HEADER", "STATE_DATA", "STATE_DONE"]

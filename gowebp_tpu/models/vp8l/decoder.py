@@ -372,13 +372,17 @@ def _read_transform(
     return t, new_xsize
 
 
-def _decode_image_stream(
-    br: BitReader, xsize: int, ysize: int, *, top_level: bool
-) -> np.ndarray:
-    """Decode one image stream → (ysize, xsize) ARGB uint32 (pre-inverse).
+class _StreamHeader:
+    """Parsed transform + entropy-code headers of one image stream."""
 
-    At top level, transforms are read and inverse-applied before returning.
-    """
+    __slots__ = ("transforms", "cur_xsize", "cache_bits", "huffman_image",
+                 "huffman_bits", "groups")
+
+
+def _parse_stream_header(br: BitReader, xsize: int, ysize: int, *,
+                         top_level: bool) -> _StreamHeader:
+    """Everything before the pixel loop (reference VP8LDecodeHeader)."""
+    hdr = _StreamHeader()
     transforms: list[Transform] = []
     seen: set[int] = set()
     cur_xsize = xsize
@@ -406,11 +410,17 @@ def _decode_image_stream(
         huffman_image = ((raw >> 8) & 0xFFFF).astype(np.int32)
         num_groups = int(huffman_image.max()) + 1
 
-    groups = _read_prefix_groups(br, num_groups, cache_bits)
-    argb = _decode_pixels(
-        br, cur_xsize, ysize, groups, huffman_image, huffman_bits, cache_bits
-    )
+    hdr.transforms = transforms
+    hdr.cur_xsize = cur_xsize
+    hdr.cache_bits = cache_bits
+    hdr.huffman_image = huffman_image
+    hdr.huffman_bits = huffman_bits
+    hdr.groups = _read_prefix_groups(br, num_groups, cache_bits)
+    return hdr
 
+
+def _apply_inverse_transforms(argb: np.ndarray,
+                              transforms: list) -> np.ndarray:
     for t in reversed(transforms):
         if t.kind == COLOR_INDEXING_TRANSFORM:
             argb = tnp.color_index_inverse(argb, t.data, t.orig_width)
@@ -421,6 +431,165 @@ def _decode_image_stream(
         elif t.kind == COLOR_TRANSFORM:
             argb = tnp.color_transform_inverse(argb, t.data, t.bits)
     return argb
+
+
+def _decode_image_stream(
+    br: BitReader, xsize: int, ysize: int, *, top_level: bool
+) -> np.ndarray:
+    """Decode one image stream → (ysize, xsize) ARGB uint32 (pre-inverse).
+
+    At top level, transforms are read and inverse-applied before returning.
+    """
+    hdr = _parse_stream_header(br, xsize, ysize, top_level=top_level)
+    argb = _decode_pixels(
+        br, hdr.cur_xsize, ysize, hdr.groups, hdr.huffman_image,
+        hdr.huffman_bits, hdr.cache_bits
+    )
+    return _apply_inverse_transforms(argb, hdr.transforms)
+
+
+class VP8LIncrementalPixels:
+    """Resumable VP8L pixel loop for incremental decode.
+
+    Mirrors the reference's suspend/resume mechanism
+    (vp8l_dec.c.go SaveState/RestoreState every SYNC_EVERY_N_ROWS,
+    SURVEY.md §2.3): a checkpoint (bit position, pixel position, color
+    cache snapshot) is taken at row boundaries; when the reader runs off
+    the end of the available bytes the state rolls back to the last
+    checkpoint and decoding resumes after more data arrives.
+    """
+
+    SYNC_ROWS = 8
+
+    def __init__(self, width: int, height: int, hdr: _StreamHeader,
+                 bit_pos: int):
+        self.width = hdr.cur_xsize
+        self.height = height
+        self.groups = hdr.groups
+        self.huffman_image = hdr.huffman_image
+        self.huffman_bits = hdr.huffman_bits
+        self.cache_bits = hdr.cache_bits
+        self.transforms = hdr.transforms
+        self.npix = self.width * height
+        self.pixels = [0] * self.npix
+        self.cache = [0] * (1 << hdr.cache_bits) if hdr.cache_bits else None
+        self.pos = 0
+        self.x = 0
+        self.done = False
+        # (bit_pos, pos, x, cache snapshot)
+        self._ck = (bit_pos, 0, 0, list(self.cache) if self.cache else None)
+
+    def rows_ready(self) -> int:
+        return self._ck[1] // self.width if not self.done else self.height
+
+    def resume(self, data: bytes) -> bool:
+        """Continue from the last checkpoint over (possibly longer) data.
+
+        Returns True when the whole image has been decoded.
+        """
+        if self.done:
+            return True
+        br = BitReader(data)
+        br.bit_pos, self.pos, self.x, ck_cache = self._ck
+        if self.cache is not None:
+            self.cache = list(ck_cache)
+        width = self.width
+        npix = self.npix
+        pixels = self.pixels
+        cache = self.cache
+        cache_shift = 32 - self.cache_bits if self.cache_bits else 0
+        cache_limit = NUM_LITERAL_CODES + NUM_LENGTH_CODES
+        hufi = self.huffman_image
+        hbits = self.huffman_bits
+        meta_w = hufi.shape[1] if hufi is not None else 0
+        meta_idx = hufi.tolist() if hufi is not None else None
+        group = self.groups[0]
+        last_group_key = -1
+        next_sync = ((self.pos // width) // self.SYNC_ROWS + 1) * self.SYNC_ROWS
+
+        pos = self.pos
+        x = self.x
+        while pos < npix:
+            if hufi is not None:
+                key = (pos // width >> hbits) * meta_w + (x >> hbits)
+                if key != last_group_key:
+                    y = pos // width
+                    group = self.groups[meta_idx[y >> hbits][x >> hbits]]
+                    last_group_key = key
+            sym = group.green.decode(br)
+            if br.eos:
+                break
+            if sym < NUM_LITERAL_CODES:
+                red = group.red.decode(br)
+                blue = group.blue.decode(br)
+                alpha = group.alpha.decode(br)
+                if br.eos:
+                    break
+                argb = (alpha << 24) | (red << 16) | (sym << 8) | blue
+                pixels[pos] = argb
+                if cache is not None:
+                    cache[(HASH_MUL * argb & 0xFFFFFFFF) >> cache_shift] = argb
+                pos += 1
+                x += 1
+                if x >= width:
+                    x = 0
+            elif sym < cache_limit:
+                length = _read_prefix_coded_value(br, sym - NUM_LITERAL_CODES)
+                dist_code = group.dist.decode(br)
+                dist = plane_code_to_distance(
+                    width, _read_prefix_coded_value(br, dist_code)
+                )
+                if br.eos:
+                    break
+                if dist > pos:
+                    raise BitstreamError("backward reference before image start")
+                if pos + length > npix:
+                    raise BitstreamError("backward reference overflows image")
+                if cache is None:
+                    for _ in range(length):
+                        pixels[pos] = pixels[pos - dist]
+                        pos += 1
+                else:
+                    for _ in range(length):
+                        argb = pixels[pos - dist]
+                        pixels[pos] = argb
+                        cache[(HASH_MUL * argb & 0xFFFFFFFF)
+                              >> cache_shift] = argb
+                        pos += 1
+                x = pos % width
+                last_group_key = -1
+            else:
+                idx = sym - cache_limit
+                if cache is None or idx >= len(cache):
+                    raise BitstreamError("color cache symbol without cache")
+                pixels[pos] = cache[idx]
+                pos += 1
+                x += 1
+                if x >= width:
+                    x = 0
+            if x == 0 and pos // width >= next_sync:
+                self._ck = (br.bit_pos, pos, 0,
+                            list(cache) if cache is not None else None)
+                next_sync = (pos // width // self.SYNC_ROWS + 1) * self.SYNC_ROWS
+        self.pos = pos
+        self.x = x
+        if pos >= npix:
+            self.done = True
+            self._ck = (br.bit_pos, pos, x, None)
+            return True
+        # Starved mid-symbol: progress past the checkpoint is discarded
+        # (the next resume() rolls back to the checkpoint and redoes it).
+        return False
+
+    def partial_argb(self) -> np.ndarray:
+        """(rows_ready, cur_xsize) ARGB decoded so far (pre-inverse)."""
+        rows = self.rows_ready()
+        return np.array(self.pixels[: rows * self.width],
+                        np.uint32).reshape(rows, self.width)
+
+    def full_argb(self) -> np.ndarray:
+        return np.array(self.pixels, np.uint32).reshape(
+            self.height, self.width)
 
 
 # ---------------------------------------------------------------------------

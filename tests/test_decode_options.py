@@ -119,3 +119,58 @@ class TestMetrics:
         rng = np.random.default_rng(0)
         b = np.clip(a.astype(np.int32) + rng.integers(-30, 30, a.shape), 0, 255)
         assert ssim(a, b) < 0.98
+
+
+class TestIncrementalVP8L:
+    def test_lossless_partial_rows(self):
+        """VP8L suspend/resume: partial rows must match the final decode."""
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 255, (120, 90, 4), dtype=np.uint8)
+        arr[..., 3] = 255
+        data = pil_encode_lossless(arr)
+        full = decode_rgba(data)
+        dec = IncrementalDecoder()
+        saw_partial = 0
+        for i in range(0, len(data), 37):
+            dec.append(data[i : i + 37])
+            n = dec.rows_decoded
+            if dec.state != STATE_DONE and n > 0:
+                part = dec.get_partial_output()
+                np.testing.assert_array_equal(part[:n], full[:part.shape[0]][:n])
+                saw_partial = max(saw_partial, n)
+        assert dec.state == STATE_DONE
+        np.testing.assert_array_equal(dec.get_output(), full)
+        assert saw_partial > 0      # resumed mid-stream at least once
+
+
+class TestEncodeYUV:
+    def test_yuv_input_roundtrip(self):
+        """YUV-plane input path: encode_yuv output decodes to those planes."""
+        from gowebp_tpu import encode_yuv
+        from gowebp_tpu.decode import decode_yuv
+
+        rng = np.random.default_rng(5)
+        h, w = 64, 80
+        y = rng.integers(16, 235, (h, w), dtype=np.uint8)
+        u = rng.integers(16, 240, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8)
+        v = rng.integers(16, 240, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8)
+        data = encode_yuv(y, u, v, quality=90)
+        dy, du, dv = decode_yuv(data)
+        assert dy.shape == (h, w)
+        assert psnr(y, dy) > 28
+        # Pillow must accept the container too.
+        assert pil_decode_rgba(data).shape == (h, w, 4)
+
+    def test_yuv_with_alpha(self):
+        from gowebp_tpu import encode_yuv
+
+        rng = np.random.default_rng(6)
+        h, w = 32, 48
+        y = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        u = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+        v = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+        a = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        data = encode_yuv(y, u, v, alpha=a, quality=80)
+        out = decode_rgba(data)
+        assert out.shape == (h, w, 4)
+        np.testing.assert_array_equal(out[..., 3], a)
