@@ -1365,8 +1365,59 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
     return bw
 
 
+def _palette_orderings(palette: np.ndarray, argb: np.ndarray,
+                       quality: int) -> list[np.ndarray]:
+    """Candidate palette orders (reference palette.go's sort strategies:
+    lexicographic, luminance, and a Zeng-style co-occurrence chain,
+    re-done as a greedy nearest-neighbor walk in RGB space)."""
+    cands = [palette]
+    if quality < 40 or len(palette) <= 4:
+        return cands
+    a = (palette >> 24) & 0xFF
+    r = (palette >> 16) & 0xFF
+    g = (palette >> 8) & 0xFF
+    b = palette & 0xFF
+    lum = 299 * r + 587 * g + 114 * b + 1000 * a
+    cands.append(palette[np.argsort(lum, kind="stable")])
+
+    # Greedy chain: start from the most frequent color, repeatedly hop to
+    # the nearest unvisited color (small index deltas between spatially
+    # adjacent pixels compress better).
+    vals, counts = np.unique(argb, return_counts=True)
+    freq = dict(zip(vals.tolist(), counts.tolist()))
+    cols = np.stack([a, r, g, b], axis=1).astype(np.int64)
+    n = len(palette)
+    used = np.zeros(n, bool)
+    cur = int(np.argmax([freq.get(int(p), 0) for p in palette]))
+    order = [cur]
+    used[cur] = True
+    for _ in range(n - 1):
+        d = np.abs(cols - cols[order[-1]]).sum(axis=1)
+        d[used] = 1 << 30
+        cur = int(np.argmin(d))
+        order.append(cur)
+        used[cur] = True
+    cands.append(palette[np.array(order)])
+    return cands
+
+
+def _choose_palette_order(palette: np.ndarray, argb: np.ndarray,
+                          quality: int) -> np.ndarray:
+    cands = _palette_orderings(palette, argb, quality)
+    if len(cands) == 1:
+        return cands[0]
+    best = None
+    for cand in cands:
+        packed = _pack_palette_indices(argb, cand)
+        cost = _refs_cost_bits(packed, packed.shape[1], min(quality, 50))
+        if best is None or cost < best[0]:
+            best = (cost, cand)
+    return best[1]
+
+
 def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
                            quality: int, stats) -> None:
+    palette = _choose_palette_order(palette, argb, quality)
     bw.put_bits(1, 1)
     bw.put_bits(3, 2)              # COLOR_INDEXING_TRANSFORM
     bw.put_bits(len(palette) - 1, 8)
