@@ -54,7 +54,10 @@ def decode(data: bytes, config: DecoderConfig | None = None,
             dithering_strength=config.dithering_strength,
         )
     rgba = apply_output_options(rgba, config)
-    return np.ascontiguousarray(rgba[..., _MODE_PERMUTE[mode]])
+    perm = _MODE_PERMUTE[mode]
+    if perm == tuple(range(rgba.shape[2])):
+        return rgba          # identity permute: no copy
+    return np.ascontiguousarray(rgba[..., list(perm)])
 
 
 def decode_rgba(data: bytes, config: DecoderConfig | None = None) -> np.ndarray:
