@@ -989,6 +989,35 @@ static inline int tt_val(const TrellisTables& tt, int t, int b, int c, int v) {
   return tt.val[((t * 8 + b) * 3 + c) * 68 + v];
 }
 
+// Exact token-grammar rate of one quantized block (zigzag levels), in
+// 1/256-bit units: EOB/continue bits, zero-run bits, value tokens (incl.
+// sign as a flat bit).  Neighbor nz contexts are approximated by the
+// caller-supplied ctx for the first position and the grammar's own
+// value-driven contexts after that.
+static int64_t block_rate256(const int16_t* lv, int type, int first, int ctx,
+                             const TrellisTables& tt) {
+  int64_t r = 0;
+  int n = first, c = ctx;
+  while (n <= 15) {
+    bool more = false;
+    for (int z = n; z < 16; z++)
+      if (lv[z]) { more = true; break; }
+    r += tt_p0(tt, type, kBands[n], c, more ? 1 : 0);
+    if (!more) return r;
+    while (!lv[n]) {
+      r += tt_p1(tt, type, kBands[n], c, 0);
+      n++;
+      c = 0;
+    }
+    int v = lv[n] < 0 ? -lv[n] : lv[n];
+    r += tt_p1(tt, type, kBands[n], c, 1) + tt_val(tt, type, kBands[n], c, v)
+         + 256;
+    c = v == 1 ? 1 : 2;
+    n++;
+  }
+  return r;
+}
+
 // levels: zigzag in/out; coeffs raster.  Refines nonzero levels in place
 // over candidates {l0, max(1, l0-1)} with the exact token-grammar rate.
 static void trellis_refine(int16_t* levels, const int16_t* coeffs, int type,
@@ -1245,10 +1274,20 @@ int wtpu_vp8_encode_frame(
             int d = (int)src[r * ys + cc] - ybuf[(1 + r) * BUFS + 1 + cc];
             d16 += d * d;
           }
+        const bool have_tt = t_p0 != nullptr;
+        // i16 luma rate: exact token costs when tables are present,
+        // else the flat per-nonzero model.
+        int64_t rate16_256 = 0;
         int nz16 = 0;
-        for (int k = 0; k < 16; k++) nz16 += y2l[k] != 0;
-        for (int n = 0; n < 16; n++)
-          for (int k = 1; k < 16; k++) nz16 += yl[n * 16 + k] != 0;
+        if (have_tt) {
+          rate16_256 = block_rate256(y2l, 1, 0, 1, tt);
+          for (int n = 0; n < 16; n++)
+            rate16_256 += block_rate256(yl + n * 16, 0, 1, 1, tt);
+        } else {
+          for (int k = 0; k < 16; k++) nz16 += y2l[k] != 0;
+          for (int n = 0; n < 16; n++)
+            for (int k = 1; k < 16; k++) nz16 += yl[n * 16 + k] != 0;
+        }
         std::vector<uint8_t> yb4(ybase);
         // Top-right replication for right-column sub-blocks.
         if (!ht) { /* row of 127s already covers 17..20 */ }
@@ -1263,9 +1302,15 @@ int wtpu_vp8_encode_frame(
         // selection and the final decision optimize the same objective.
         static const int kMode4Bits[10] = {8, 22, 24, 24, 30, 32, 30, 32,
                                            32, 30};
+        // 1/256-bit header-cost estimates of the 10 kf bmode symbols
+        // (DC near-free under the default trees; diagonals the dearest).
+        static const int kMode4Bits256[10] = {256, 704, 768, 768, 960, 1024,
+                                              960, 1024, 1024, 960};
         int64_t lamq = i4_penalty;
         int64_t s4 = 0;
-        int64_t s16 = d16 + ((lamq * (int64_t)(nz16 * 20)) >> 11);
+        int64_t s16 = have_tt
+            ? d16 + ((lamq * rate16_256) >> 16)
+            : d16 + ((lamq * (int64_t)(nz16 * 20)) >> 11);
         int blocks_done = 0;
         for (int n = 0; n < 16 && s4 < s16; n++, blocks_done++) {
           int r = 4 * (n >> 2), cc = 4 * (n & 3);
@@ -1298,8 +1343,11 @@ int wtpu_vp8_encode_frame(
               int d = (int)src16[(r + (k >> 2)) * 16 + cc + (k & 3)] - rec[k];
               dist += d * d;
             }
-            int64_t cost =
-                dist + ((lamq * (int64_t)(20 * nzb + kMode4Bits[mode])) >> 11);
+            int64_t cost = have_tt
+                ? dist + ((lamq * (block_rate256(lv, 3, 0, 1, tt)
+                                   + kMode4Bits256[mode])) >> 16)
+                : dist + ((lamq * (int64_t)(20 * nzb + kMode4Bits[mode]))
+                          >> 11);
             if (bcost < 0 || cost < bcost) {
               bcost = cost;
               bmode = mode;

@@ -785,6 +785,25 @@ def emit_frame(mbs, mb_w: int, mb_h: int, width: int, height: int,
     return header + part0 + part1
 
 
+_COST_TABLE_CACHE = None
+
+
+def _default_cost_tables():
+    """Token cost tables under the default coefficient probabilities."""
+    global _COST_TABLE_CACHE
+    if _COST_TABLE_CACHE is None:
+        from .cost import trellis_cost_tables
+        from .tables import COEFF_PROBAS
+
+        tp0, tp1, tval = trellis_cost_tables(COEFF_PROBAS)
+        _COST_TABLE_CACHE = (
+            np.ascontiguousarray(tp0),
+            np.ascontiguousarray(tp1),
+            np.ascontiguousarray(tval),
+        )
+    return _COST_TABLE_CACHE
+
+
 def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None, trellis_probs=None):
     """C++ closed-loop dense phase; returns level/mode arrays or None."""
     import ctypes
@@ -837,6 +856,10 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
                  >> TRELLIS_LAMBDA_SHIFT) for s in qs_for_lam],
             np.int32,
         )
+    else:
+        # Default-proba cost tables still drive the exact token-rate
+        # model in the i4/i16 decision (no trellis without adaptation).
+        tp0, tp1, tval = _default_cost_tables()
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
@@ -846,9 +869,9 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
         mb_w, mb_h, p(qsteps, ctypes.c_int32),
         try_i4, i4_penalty,
         p(seg_arr, ctypes.c_uint8) if seg_arr is not None else None,
-        p(tp0, ctypes.c_uint16) if use_trellis else None,
-        p(tp1, ctypes.c_uint16) if use_trellis else None,
-        p(tval, ctypes.c_uint16) if use_trellis else None,
+        p(tp0, ctypes.c_uint16),
+        p(tp1, ctypes.c_uint16),
+        p(tval, ctypes.c_uint16),
         p(lambdas, ctypes.c_int32) if use_trellis else None,
         p(y2, ctypes.c_int16), p(yl, ctypes.c_int16), p(uvl, ctypes.c_int16),
         p(ymode, ctypes.c_uint8), p(uvmode, ctypes.c_uint8),
