@@ -852,6 +852,48 @@ static void fancy_row(const uint8_t* T, const uint8_t* B, int w2, int width,
   }
 }
 
+// Fused RGBA→YUV420 import (reference ImportYUVAFromRGBA fixed-point
+// math, picture conversions.go): per-pixel Y, 2x2-accumulated chroma
+// with edge replication for odd dimensions.
+void wtpu_rgba_to_yuv420(const uint8_t* rgba, int h, int w,
+                         uint8_t* yo, uint8_t* uo, uint8_t* vo) {
+  constexpr int FIX = 16;
+  constexpr int HALF = 1 << (FIX - 1);
+  for (int r = 0; r < h; r++) {
+    const uint8_t* row = rgba + (size_t)r * w * 4;
+    uint8_t* yr = yo + (size_t)r * w;
+    for (int c = 0; c < w; c++) {
+      int rr = row[4 * c], gg = row[4 * c + 1], bb = row[4 * c + 2];
+      yr[c] = (uint8_t)((16839 * rr + 33059 * gg + 6420 * bb + HALF +
+                         (16 << FIX)) >> FIX);
+    }
+  }
+  const int ch = (h + 1) >> 1, cw = (w + 1) >> 1;
+  for (int r = 0; r < ch; r++) {
+    int r0 = 2 * r, r1 = r0 + 1 < h ? r0 + 1 : r0;
+    const uint8_t* rowa = rgba + (size_t)r0 * w * 4;
+    const uint8_t* rowb = rgba + (size_t)r1 * w * 4;
+    uint8_t* ur = uo + (size_t)r * cw;
+    uint8_t* vr = vo + (size_t)r * cw;
+    for (int c = 0; c < cw; c++) {
+      int c0 = 2 * c, c1 = c0 + 1 < w ? c0 + 1 : c0;
+      int rs = rowa[4 * c0] + rowa[4 * c1] + rowb[4 * c0] + rowb[4 * c1];
+      int gs = rowa[4 * c0 + 1] + rowa[4 * c1 + 1] + rowb[4 * c0 + 1] +
+               rowb[4 * c1 + 1];
+      int bs = rowa[4 * c0 + 2] + rowa[4 * c1 + 2] + rowb[4 * c0 + 2] +
+               rowb[4 * c1 + 2];
+      int64_t uu = ((int64_t)-9719 * rs - 19081 * gs + 28800 * bs +
+                    ((int64_t)HALF << 2) + ((int64_t)128 << (FIX + 2))) >>
+                   (FIX + 2);
+      int64_t vv = ((int64_t)28800 * rs - 24116 * gs - 4684 * bs +
+                    ((int64_t)HALF << 2) + ((int64_t)128 << (FIX + 2))) >>
+                   (FIX + 2);
+      ur[c] = (uint8_t)(uu < 0 ? 0 : (uu > 255 ? 255 : uu));
+      vr[c] = (uint8_t)(vv < 0 ? 0 : (vv > 255 ? 255 : vv));
+    }
+  }
+}
+
 void wtpu_yuv_to_rgba_fancy(const uint8_t* yp, const uint8_t* up,
                             const uint8_t* vp, int width, int height,
                             int y_stride, int uv_stride, uint8_t* out) {

@@ -161,6 +161,10 @@ def _configure(lib) -> None:
         u32p, c.c_int64, c.c_int, c.c_int, c.c_int,
         u8p, u32p, i32p, i32p,
     ]
+    lib.wtpu_rgba_to_yuv420.restype = None
+    lib.wtpu_rgba_to_yuv420.argtypes = [
+        u8p, c.c_int, c.c_int, u8p, u8p, u8p,
+    ]
     f32p = c.POINTER(c.c_float)
     lib.wtpu_vp8l_optimal_refs.restype = c.c_int64
     lib.wtpu_vp8l_optimal_refs.argtypes = [

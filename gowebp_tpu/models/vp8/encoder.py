@@ -59,9 +59,32 @@ def rgb_to_yuv420(rgba: np.ndarray):
     chroma with the same fixed-point rounding.
     """
     h, w = rgba.shape[:2]
-    r = rgba[..., 0].astype(np.int64)
-    g = rgba[..., 1].astype(np.int64)
-    b = rgba[..., 2].astype(np.int64)
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "wtpu_rgba_to_yuv420"):
+        import ctypes
+
+        if rgba.shape[2] == 3:
+            rgba4 = np.empty((h, w, 4), np.uint8)
+            rgba4[..., :3] = rgba
+            rgba4[..., 3] = 255
+        else:
+            rgba4 = np.ascontiguousarray(rgba, np.uint8)
+        yo = np.empty((h, w), np.uint8)
+        uo = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint8)
+        vo = np.empty_like(uo)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.wtpu_rgba_to_yuv420(
+            rgba4.ctypes.data_as(u8p), h, w,
+            yo.ctypes.data_as(u8p), uo.ctypes.data_as(u8p),
+            vo.ctypes.data_as(u8p),
+        )
+        return (yo.astype(np.int32), uo.astype(np.int32),
+                vo.astype(np.int32))
+    r = rgba[..., 0].astype(np.int32)
+    g = rgba[..., 1].astype(np.int32)
+    b = rgba[..., 2].astype(np.int32)
     y = yuv_np.rgb_to_y(r, g, b)
     # Pad to even dims by edge replication, then 2x2 sum.
     r2 = np.pad(r, ((0, h & 1), (0, w & 1)), mode="edge")
@@ -72,7 +95,7 @@ def rgb_to_yuv420(rgba: np.ndarray):
     bs = b2[0::2, 0::2] + b2[0::2, 1::2] + b2[1::2, 0::2] + b2[1::2, 1::2]
     u = yuv_np.rgb_to_u(rs, gs, bs)
     v = yuv_np.rgb_to_v(rs, gs, bs)
-    return y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)
+    return y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)
 
 
 def rgb_to_yuv420_sharp(rgba: np.ndarray, iterations: int = 4):
