@@ -55,7 +55,7 @@ def main() -> None:
     from gowebp_tpu.models.vp8.encoder import make_quants, quality_to_q, rgb_to_yuv420
     from gowebp_tpu.ops.encode_plane_jax import encode_plane_step
 
-    batch, size = 4, 1024
+    batch, size = 8, 1024
     imgs = make_images(batch, size)
 
     q = make_quants(quality_to_q(75.0))
