@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ops.encode_plane_jax import encode_plane_core
+from ..ops.encode_plane_jax import encode_plane_core_v2
 
 
 def _shift_right(col: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -45,7 +45,7 @@ def sharded_encode_plane_step(mesh: Mesh, y, u, v, *, quants):
         u_halo = _shift_right(u[:, :, -1], "tile")
         v_halo = _shift_right(v[:, :, -1], "tile")
         leftmost = jax.lax.axis_index("tile") == 0
-        return encode_plane_core(
+        return encode_plane_core_v2(
             y, u, v,
             y_halo=y_halo, u_halo=u_halo, v_halo=v_halo, leftmost=leftmost,
             **quants,
