@@ -39,13 +39,23 @@ def _build() -> Path | None:
         return so_path
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-        "-fno-exceptions", "-o", str(so_path),
+        "-fno-exceptions", "-march=native", "-funroll-loops",
+        "-o", str(so_path),
     ] + [str(s) for s in srcs]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except (subprocess.CalledProcessError, FileNotFoundError,
             subprocess.TimeoutExpired):
-        return None
+        # Retry without the arch-specific flags (portability fallback).
+        cmd = [
+            "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            "-fno-exceptions", "-o", str(so_path),
+        ] + [str(s) for s in srcs]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired):
+            return None
     return so_path
 
 
