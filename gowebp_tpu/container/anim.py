@@ -87,10 +87,12 @@ class AnimationEncoder:
 
     def __init__(self, *, loop_count: int = 0,
                  background_color: int = 0xFFFFFFFF,
-                 minimize_size: bool = True):
+                 minimize_size: bool = True,
+                 allow_mixed: bool = False):
         self._mux = Mux(loop_count=loop_count,
                         background_color=background_color)
         self._minimize = minimize_size
+        self._allow_mixed = allow_mixed
         self._canvas: np.ndarray | None = None
 
     def add_frame(self, rgba: np.ndarray, duration_ms: int, *,
@@ -118,18 +120,28 @@ class AnimationEncoder:
                 # ANMF offsets must be even; sizes stay within canvas.
                 x0 &= ~1
                 y0 &= ~1
-                # Only lossless sub-frames are exactly compositable.
-                if lossless:
-                    x, y = x0, y0
-                    sub = rgba[y0:y1, x0:x1]
+                # Change-rect sub-frames composite exactly for lossless;
+                # for lossy the error is confined to the changed rect
+                # (unchanged pixels keep the previous canvas), matching
+                # the reference's lossy sub-rectangle candidates
+                # (anim_encode.go ComparePixelsLossy path).
+                x, y = x0, y0
+                sub = rgba[y0:y1, x0:x1]
         self._canvas = rgba.copy()
 
         from ..config import EncoderConfig
         from ..container.riff import parse_riff
         from ..encode import encode_rgba
 
-        cfg = EncoderConfig(lossless=lossless, quality=quality)
-        data = encode_rgba(np.ascontiguousarray(sub), config=cfg)
+        # Candidate trial (reference PickBestCandidate): with allow_mixed
+        # both codecs are tried and the smaller sub-frame wins.
+        modes = [lossless] if not self._allow_mixed else [True, False]
+        data = None
+        for ll in modes:
+            cfg = EncoderConfig(lossless=ll, quality=quality)
+            cand = encode_rgba(np.ascontiguousarray(sub), config=cfg)
+            if data is None or len(cand) < len(data):
+                data = cand
         parsed = parse_riff(data)
         vp8l = parsed.find(b"VP8L")
         vp8 = parsed.find(b"VP8 ")

@@ -125,3 +125,33 @@ class TestDeltaFrames:
         for f in frames:
             enc_full.add_frame(f, 100, lossless=True)
         assert len(data) < len(enc_full.assemble()) // 2
+
+
+def test_allow_mixed_candidates():
+    """allow_mixed tries lossy+lossless per sub-frame, keeps the smaller;
+    the result must composite identically in Pillow and our decoder."""
+    import io
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    base[..., 3] = 255
+    frames = []
+    for i in range(5):
+        f = base.copy()
+        f[10 + i * 5 : 20 + i * 5, 30:60, :3] = rng.integers(0, 256, 3)
+        frames.append(f)
+
+    enc = AnimationEncoder(allow_mixed=True)
+    for f in frames:
+        enc.add_frame(f, 100, quality=80)
+    data = enc.assemble()
+    out, _ = decode_animation(data)
+    assert len(out) == 5
+    im = Image.open(io.BytesIO(data))
+    assert im.n_frames == 5
+    for i in range(5):
+        im.seek(i)
+        ours = out[i][0] if isinstance(out[i], tuple) else out[i].rgba
+        np.testing.assert_array_equal(
+            np.asarray(im.convert("RGBA")), ours)
