@@ -1447,31 +1447,64 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
     if use_predictor is None:
         use_predictor = quality >= 10
     if use_predictor:
-        bits = 4
-        mode_img = _choose_predictors(
-            work, bits, refine_iters=4 if quality >= 75 else 2)
+        # Tile-size trial: the best predictor granularity is content-
+        # dependent (fine tiles suit local structure; coarse tiles let
+        # the shared-tree refinement converge to few modes, which codes
+        # and LZ77-compresses better on smooth content).  Candidates are
+        # scored by LZ77+histogram entropy plus the mode-stream header.
+        if quality >= 90:
+            bit_cands = (3, 4, 5)
+        elif quality >= 50:
+            bit_cands = (4, 5)
+        else:
+            bit_cands = (4,)
+        iters = 4 if quality >= 90 else 2
+        use_cross = quality >= 50
+        cc_bits = 4
+        best = None
+        for bits in bit_cands:
+            mode_img = _choose_predictors(work, bits, refine_iters=iters)
+            res = _apply_predictor_transform(work, bits, mode_img)
+            scratch = BitWriter()
+            _write_image_stream(scratch, mode_img, mode_img.shape[1])
+            phdr = scratch.bit_count
+            # Evaluate with and without cross-color: the interaction
+            # with tile size is real (coarse tiles leave correlated
+            # residuals that cc removes).
+            cc_img = _choose_cross_color(res, cc_bits) if use_cross else None
+            cand = [(None, res, 0)]
+            if cc_img is not None:
+                cc_res = tnp.color_transform_forward(res, cc_img, cc_bits)
+                s2 = BitWriter()
+                _write_image_stream(s2, cc_img, cc_img.shape[1])
+                cand.append((cc_img, cc_res, s2.bit_count + 6))
+            for cimg, cres, chdr in cand:
+                cost = _refs_cost_bits(cres, w, min(quality, 50)) \
+                    + phdr + chdr
+                if best is None or cost < best[0]:
+                    best = (cost, bits, mode_img, cimg, cres)
+        _, bits, mode_img, cc_img, work = best
         bw.put_bits(1, 1)
         bw.put_bits(0, 2)              # PREDICTOR_TRANSFORM
         bw.put_bits(bits - 2, 3)
         _write_image_stream(bw, mode_img, mode_img.shape[1])
-        work = _apply_predictor_transform(work, bits, mode_img)
-
-    # Cross-color transform on the prediction residuals.
-    use_cross = quality >= 50
-    if use_cross:
+        if cc_img is not None:
+            bw.put_bits(1, 1)
+            bw.put_bits(1, 2)          # COLOR_TRANSFORM
+            bw.put_bits(cc_bits - 2, 3)
+            _write_image_stream(bw, cc_img, cc_img.shape[1])
+            if stats is not None:
+                stats.transforms.append("cross-color")
+    elif quality >= 50:
+        # No predictor: cross-color straight on the subtract-green output.
         cc_bits = 4
         cc_img = _choose_cross_color(work, cc_bits)
         if cc_img is not None:
-            # Gate on estimated literal entropy saved vs the header cost
-            # of the multiplier tile stream (written to a scratch writer
-            # so its exact size is known before committing).
             trial = tnp.color_transform_forward(work, cc_img, cc_bits)
             scratch = BitWriter()
             _write_image_stream(scratch, cc_img, cc_img.shape[1])
-            hdr_bits = scratch.bit_count + 6
-            if _refs_cost_bits(trial, w, quality) + hdr_bits < _refs_cost_bits(
-                work, w, quality
-            ):
+            if (_refs_cost_bits(trial, w, quality) + scratch.bit_count + 6
+                    < _refs_cost_bits(work, w, quality)):
                 bw.put_bits(1, 1)
                 bw.put_bits(1, 2)      # COLOR_TRANSFORM
                 bw.put_bits(cc_bits - 2, 3)
