@@ -1439,10 +1439,24 @@ def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
 def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                          use_predictor, stats) -> None:
     w = argb.shape[1]
-    # Photographic path: subtract-green then per-tile predictor.
-    bw.put_bits(1, 1)
-    bw.put_bits(2, 2)                  # SUBTRACT_GREEN
-    work = tnp.subtract_green_forward(argb)
+    # Subtract-green is itself a trial at higher effort: on content with
+    # decorrelated channels it *raises* residual entropy (the reference
+    # gates it by an entropy analysis, vp8l_encoder.go EncoderAnalyze).
+    use_sg = True
+    if quality >= 75:
+        sg_work = tnp.subtract_green_forward(argb)
+        costs = []
+        for cand in (sg_work, argb):
+            m = _choose_predictors(cand, 4, refine_iters=1)
+            r = _apply_predictor_transform(cand, 4, m)
+            costs.append(_refs_cost_bits(r, w, 25))
+        use_sg = costs[0] <= costs[1]
+        work = sg_work if use_sg else argb
+    else:
+        work = tnp.subtract_green_forward(argb)
+    if use_sg:
+        bw.put_bits(1, 1)
+        bw.put_bits(2, 2)              # SUBTRACT_GREEN
 
     if use_predictor is None:
         use_predictor = quality >= 10
@@ -1515,7 +1529,8 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
 
     bw.put_bits(0, 1)  # end of transforms
     if stats is not None:
-        stats.transforms.append("subtract-green")
+        if use_sg:
+            stats.transforms.append("subtract-green")
         if use_predictor:
             stats.transforms.append("predictor")
     _write_spatial_stream(bw, work, w, quality, stats=stats)
