@@ -31,7 +31,9 @@ def test_lossless_stats():
     data = encode_rgba(IMAGES["gradient"], lossless=True, stats=stats)
     assert stats.coded_size == len(data)
     assert stats.lossless_size > 0
-    assert "subtract-green" in stats.transforms
+    # Subtract-green is a gated trial since the q>=75 probe landed; the
+    # predictor transform is the stable marker of the photo path.
+    assert "predictor" in stats.transforms
 
 
 def test_palette_stats():
