@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -fPIC -shared (see native_loader.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -427,6 +428,156 @@ void wtpu_vp8l_predictor_inverse(uint32_t* argb, int width, int height,
       row[x] = add_pixels(row[x], pred);
     }
   }
+}
+
+// ----------------------------------------------------------------------
+// Encoder-side predictor selection (mirror of models/vp8l/encoder.py
+// _choose_predictors): per-tile residual-histogram entropy with a small
+// magnitude bias, then shared-tree refinement iterations against the
+// global byte distribution under the current picks.
+// Encoder context uses ORIGINAL pixels: L/T/TL/TR with 0 fills, plus the
+// mode-independent edge overrides (row 0 → Left, col 0 → Top, origin →
+// black).
+// ----------------------------------------------------------------------
+
+static inline uint32_t enc_pred_at(const uint32_t* a, int w, int y, int x,
+                                   int mode) {
+  if (y == 0) {
+    if (x == 0) return 0xff000000u;
+    return a[x - 1];                        // row 0 → Left
+  }
+  if (x == 0) return a[(size_t)(y - 1) * w]; // col 0 → Top
+  uint32_t l = a[(size_t)y * w + x - 1];
+  uint32_t t = a[(size_t)(y - 1) * w + x];
+  uint32_t tl = a[(size_t)(y - 1) * w + x - 1];
+  uint32_t tr = x + 1 < w ? a[(size_t)(y - 1) * w + x + 1]
+                          : a[(size_t)y * w];   // wrap: row's first pixel
+  return predict(mode, l, t, tl, tr);
+}
+
+static inline uint32_t sub_px(uint32_t x, uint32_t p) {
+  uint32_t lo = ((x | 0x01000100u) - (p & 0x00ff00ffu)) & 0x00ff00ffu;
+  uint32_t hi = (((x >> 8) | 0x01000100u) - ((p >> 8) & 0x00ff00ffu))
+                & 0x00ff00ffu;
+  return lo | (hi << 8);
+}
+
+void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
+                                 int bits, int refine_iters,
+                                 uint8_t* modes_out) {
+  const int tw = (w + (1 << bits) - 1) >> bits;
+  const int th = (h + (1 << bits) - 1) >> bits;
+  const int T = tw * th;
+
+  // Stage 1: per-tile entropy (+0.04*folded magnitude bias) per mode.
+  std::vector<double> best_cost((size_t)T, 1e300);
+  std::vector<uint8_t> modes((size_t)T, 0);
+  std::vector<uint32_t> hist((size_t)T * 1024);
+  std::vector<double> npx((size_t)T, 0.0);
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++)
+      npx[(size_t)(y >> bits) * tw + (x >> bits)] += 1.0;
+  static std::vector<double> log2_lut;
+  if (log2_lut.empty()) {
+    log2_lut.resize(1 << 16);
+    for (int i = 1; i < (1 << 16); i++) log2_lut[i] = std::log2((double)i);
+  }
+  double mag_bias[256];
+  for (int b = 0; b < 256; b++) {
+    int folded = b < 256 - b ? b : 256 - b;
+    if (b == 0) folded = 0;
+    mag_bias[b] = 0.04 * folded;
+  }
+
+  for (int mode = 0; mode < 14; mode++) {
+    std::memset(hist.data(), 0, hist.size() * sizeof(uint32_t));
+    for (int y = 0; y < h; y++) {
+      const uint32_t* row = argb + (size_t)y * w;
+      uint32_t* hrow_base = hist.data() + (size_t)(y >> bits) * tw * 1024;
+      for (int x = 0; x < w; x++) {
+        uint32_t res = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
+        uint32_t* hh = hrow_base + (size_t)(x >> bits) * 1024;
+        hh[(res >> 24) & 0xff]++;
+        hh[256 + ((res >> 16) & 0xff)]++;
+        hh[512 + ((res >> 8) & 0xff)]++;
+        hh[768 + (res & 0xff)]++;
+      }
+    }
+    for (int t = 0; t < T; t++) {
+      const uint32_t* hh = hist.data() + (size_t)t * 1024;
+      double n_log_n = 4.0 * npx[t] * (npx[t] > 0 ? std::log2(npx[t]) : 0.0);
+      double ent = n_log_n;
+      double bias = 0.0;
+      for (int i = 0; i < 1024; i++) {
+        uint32_t c = hh[i];
+        if (c) {
+          ent -= c < (1 << 16) ? c * log2_lut[c]
+                               : (double)c * std::log2((double)c);
+          bias += c * mag_bias[i & 255];
+        }
+      }
+      double cost = ent + bias;
+      if (cost < best_cost[t]) {
+        best_cost[t] = cost;
+        modes[t] = (uint8_t)mode;
+      }
+    }
+  }
+
+  // Stage 2: refinement against the global shared-tree distribution.
+  std::vector<double> cost_acc((size_t)T);
+  for (int it = 0; it < refine_iters; it++) {
+    double glob[4][256];
+    std::memset(glob, 0, sizeof(glob));
+    for (int y = 0; y < h; y++) {
+      const uint32_t* row = argb + (size_t)y * w;
+      const uint8_t* mrow = modes.data() + (size_t)(y >> bits) * tw;
+      for (int x = 0; x < w; x++) {
+        uint32_t res = sub_px(row[x],
+                              enc_pred_at(argb, w, y, x, mrow[x >> bits]));
+        glob[0][(res >> 24) & 0xff] += 1.0;
+        glob[1][(res >> 16) & 0xff] += 1.0;
+        glob[2][(res >> 8) & 0xff] += 1.0;
+        glob[3][res & 0xff] += 1.0;
+      }
+    }
+    double logp[4][256];
+    for (int ch = 0; ch < 4; ch++) {
+      double tot = 0.0;
+      for (int b = 0; b < 256; b++) tot += glob[ch][b];
+      for (int b = 0; b < 256; b++)
+        logp[ch][b] = std::log2((glob[ch][b] + 0.1) / (tot + 25.6));
+    }
+    double mcount[14] = {0};
+    for (int t = 0; t < T; t++) mcount[modes[t]] += 1.0;
+    double mode_cost[14];
+    for (int m = 0; m < 14; m++)
+      mode_cost[m] = -std::log2((mcount[m] + 0.1) / ((double)T + 1.4));
+
+    std::vector<uint8_t> new_modes((size_t)T, 0);
+    std::vector<double> best((size_t)T, 1e300);
+    for (int mode = 0; mode < 14; mode++) {
+      std::fill(cost_acc.begin(), cost_acc.end(), 0.0);
+      for (int y = 0; y < h; y++) {
+        const uint32_t* row = argb + (size_t)y * w;
+        double* crow = cost_acc.data() + (size_t)(y >> bits) * tw;
+        for (int x = 0; x < w; x++) {
+          uint32_t res = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
+          crow[x >> bits] -= logp[0][(res >> 24) & 0xff]
+                             + logp[1][(res >> 16) & 0xff]
+                             + logp[2][(res >> 8) & 0xff]
+                             + logp[3][res & 0xff];
+        }
+      }
+      for (int t = 0; t < T; t++) {
+        double c = cost_acc[t] + mode_cost[mode];
+        if (c < best[t]) { best[t] = c; new_modes[t] = (uint8_t)mode; }
+      }
+    }
+    if (std::memcmp(new_modes.data(), modes.data(), (size_t)T) == 0) break;
+    modes = new_modes;
+  }
+  std::memcpy(modes_out, modes.data(), (size_t)T);
 }
 
 }  // extern "C"

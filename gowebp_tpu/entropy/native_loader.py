@@ -175,6 +175,10 @@ def _configure(lib) -> None:
     lib.wtpu_rgba_to_yuv420.argtypes = [
         u8p, c.c_int, c.c_int, u8p, u8p, u8p,
     ]
+    lib.wtpu_vp8l_choose_predictors.restype = None
+    lib.wtpu_vp8l_choose_predictors.argtypes = [
+        u32p, c.c_int, c.c_int, c.c_int, c.c_int, u8p,
+    ]
     f32p = c.POINTER(c.c_float)
     lib.wtpu_vp8l_optimal_refs.restype = c.c_int64
     lib.wtpu_vp8l_optimal_refs.argtypes = [

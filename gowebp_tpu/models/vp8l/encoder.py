@@ -518,6 +518,23 @@ def _choose_predictors(argb: np.ndarray, bits: int,
     T = th * tw
     tile_sz = 1 << bits
 
+    # Native fast path (same algorithm in C++; ~10x the numpy cost).
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "wtpu_vp8l_choose_predictors"):
+        import ctypes
+
+        flat = np.ascontiguousarray(argb, np.uint32)
+        out = np.empty(T, np.uint8)
+        lib.wtpu_vp8l_choose_predictors(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            h, w, bits, refine_iters,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        modes = out.reshape(th, tw).astype(np.uint32)
+        return (0xFF000000 | (modes << 8)).astype(np.uint32)
+
     # Per-pixel tile id, flattened once.
     ty = np.arange(h) >> bits
     tx = np.arange(w) >> bits
