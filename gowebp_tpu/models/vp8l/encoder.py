@@ -1426,7 +1426,7 @@ def _choose_palette_order(palette: np.ndarray, argb: np.ndarray,
     best = None
     for cand in cands:
         packed = _pack_palette_indices(argb, cand)
-        cost = _refs_cost_bits(packed, packed.shape[1], min(quality, 50))
+        cost = _refs_cost_bits(packed, packed.shape[1], 25)
         if best is None or cost < best[0]:
             best = (cost, cand)
     return best[1]
@@ -1510,7 +1510,7 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                 _write_image_stream(s2, cc_img, cc_img.shape[1])
                 cand.append((cc_img, cc_res, s2.bit_count + 6))
             for cimg, cres, chdr in cand:
-                cost = _refs_cost_bits(cres, w, min(quality, 50)) \
+                cost = _refs_cost_bits(cres, w, 25) \
                     + phdr + chdr
                 if best is None or cost < best[0]:
                     best = (cost, bits, mode_img, cimg, cres)
