@@ -488,35 +488,103 @@ static inline void do_filter6(uint8_t* p, int step) {
 }
 
 // Complex filter along an edge: hstride = step across the edge,
-// vstride = step along it.
+// vstride = step along it.  When the walk is contiguous (vstride == 1,
+// horizontal MB/block edges) a branchless lane-parallel body lets the
+// compiler vectorize: both filter variants are computed and blended by
+// masks, with unconditional stores (this is the scalar-host analog of
+// the SIMD deblocking paths in the reference's dsp layer).
 static void filter_loop26(uint8_t* p, int hstride, int vstride, int n,
                           int thresh, int it, int hev_t) {
   int thresh2 = 2 * thresh + 1;
+  uint8_t* r3 = p - 4 * hstride;
+  uint8_t* r2 = p - 3 * hstride;
+  uint8_t* r1 = p - 2 * hstride;
+  uint8_t* r0 = p - hstride;
+  uint8_t* s0 = p;
+  uint8_t* s1 = p + hstride;
+  uint8_t* s2 = p + 2 * hstride;
+  uint8_t* s3 = p + 3 * hstride;
   for (int i = 0; i < n; i++) {
-    if (needs_filter2(p, hstride, thresh2, it)) {
-      if (hev(p, hstride, hev_t)) do_filter2(p, hstride);
-      else do_filter6(p, hstride);
-    }
-    p += vstride;
+    const int j = i * vstride;
+    int p3 = r3[j], p2 = r2[j], p1 = r1[j], p0 = r0[j];
+    int q0 = s0[j], q1 = s1[j], q2 = s2[j], q3 = s3[j];
+    int nf = (4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2) &
+             (iabs(p3 - p2) <= it) & (iabs(p2 - p1) <= it) &
+             (iabs(p1 - p0) <= it) & (iabs(q3 - q2) <= it) &
+             (iabs(q2 - q1) <= it) & (iabs(q1 - q0) <= it);
+    int hv = (iabs(p1 - p0) > hev_t) | (iabs(q1 - q0) > hev_t);
+    int a2c = 3 * (q0 - p0) + sclip1(p1 - q1);
+    int f2a1 = sclip2((a2c + 4) >> 3);
+    int f2a2 = sclip2((a2c + 3) >> 3);
+    int f2p0 = clip255i(p0 + f2a2), f2q0 = clip255i(q0 - f2a1);
+    int a6 = sclip1(a2c);
+    int b1 = (27 * a6 + 63) >> 7;
+    int b2 = (18 * a6 + 63) >> 7;
+    int b3 = (9 * a6 + 63) >> 7;
+    int f6p2 = clip255i(p2 + b3), f6p1 = clip255i(p1 + b2);
+    int f6p0 = clip255i(p0 + b1), f6q0 = clip255i(q0 - b1);
+    int f6q1 = clip255i(q1 - b2), f6q2 = clip255i(q2 - b3);
+    r2[j] = (uint8_t)(nf ? (hv ? p2 : f6p2) : p2);
+    r1[j] = (uint8_t)(nf ? (hv ? p1 : f6p1) : p1);
+    r0[j] = (uint8_t)(nf ? (hv ? f2p0 : f6p0) : p0);
+    s0[j] = (uint8_t)(nf ? (hv ? f2q0 : f6q0) : q0);
+    s1[j] = (uint8_t)(nf ? (hv ? q1 : f6q1) : q1);
+    s2[j] = (uint8_t)(nf ? (hv ? q2 : f6q2) : q2);
   }
 }
 static void filter_loop24(uint8_t* p, int hstride, int vstride, int n,
                           int thresh, int it, int hev_t) {
   int thresh2 = 2 * thresh + 1;
+  uint8_t* r3 = p - 4 * hstride;
+  uint8_t* r2 = p - 3 * hstride;
+  uint8_t* r1 = p - 2 * hstride;
+  uint8_t* r0 = p - hstride;
+  uint8_t* s0 = p;
+  uint8_t* s1 = p + hstride;
+  uint8_t* s2 = p + 2 * hstride;
+  uint8_t* s3 = p + 3 * hstride;
   for (int i = 0; i < n; i++) {
-    if (needs_filter2(p, hstride, thresh2, it)) {
-      if (hev(p, hstride, hev_t)) do_filter2(p, hstride);
-      else do_filter4(p, hstride);
-    }
-    p += vstride;
+    const int j = i * vstride;
+    int p3 = r3[j], p2 = r2[j], p1 = r1[j], p0 = r0[j];
+    int q0 = s0[j], q1 = s1[j], q2 = s2[j], q3 = s3[j];
+    int nf = (4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2) &
+             (iabs(p3 - p2) <= it) & (iabs(p2 - p1) <= it) &
+             (iabs(p1 - p0) <= it) & (iabs(q3 - q2) <= it) &
+             (iabs(q2 - q1) <= it) & (iabs(q1 - q0) <= it);
+    int hv = (iabs(p1 - p0) > hev_t) | (iabs(q1 - q0) > hev_t);
+    int a2c = 3 * (q0 - p0) + sclip1(p1 - q1);
+    int f2a1 = sclip2((a2c + 4) >> 3);
+    int f2a2 = sclip2((a2c + 3) >> 3);
+    int f2p0 = clip255i(p0 + f2a2), f2q0 = clip255i(q0 - f2a1);
+    int a4 = 3 * (q0 - p0);
+    int f4a1 = sclip2((a4 + 4) >> 3);
+    int f4a2 = sclip2((a4 + 3) >> 3);
+    int f4a3 = (f4a1 + 1) >> 1;
+    int f4p1 = clip255i(p1 + f4a3), f4p0 = clip255i(p0 + f4a2);
+    int f4q0 = clip255i(q0 - f4a1), f4q1 = clip255i(q1 - f4a3);
+    r1[j] = (uint8_t)(nf ? (hv ? p1 : f4p1) : p1);
+    r0[j] = (uint8_t)(nf ? (hv ? f2p0 : f4p0) : p0);
+    s0[j] = (uint8_t)(nf ? (hv ? f2q0 : f4q0) : q0);
+    s1[j] = (uint8_t)(nf ? (hv ? q1 : f4q1) : q1);
   }
 }
 static void filter_simple(uint8_t* p, int hstride, int vstride, int n,
                           int thresh) {
   int thresh2 = 2 * thresh + 1;
+  uint8_t* r1 = p - 2 * hstride;
+  uint8_t* r0 = p - hstride;
+  uint8_t* s0 = p;
+  uint8_t* s1 = p + hstride;
   for (int i = 0; i < n; i++) {
-    if (needs_filter(p, hstride, thresh2)) do_filter2(p, hstride);
-    p += vstride;
+    const int j = i * vstride;
+    int p1 = r1[j], p0 = r0[j], q0 = s0[j], q1 = s1[j];
+    int nf = 4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2;
+    int a = 3 * (q0 - p0) + sclip1(p1 - q1);
+    int a1 = sclip2((a + 4) >> 3);
+    int a2 = sclip2((a + 3) >> 3);
+    int fp0 = clip255i(p0 + a2), fq0 = clip255i(q0 - a1);
+    r0[j] = (uint8_t)(nf ? fp0 : p0);
+    s0[j] = (uint8_t)(nf ? fq0 : q0);
   }
 }
 
