@@ -21,13 +21,59 @@ _MODE_PERMUTE = {
     "RGB": (0, 1, 2),
     "BGR": (2, 1, 0),
 }
+# Premultiplied variants (reference MODE_rgbA/bgrA/Argb) share the
+# channel orders; the premultiply runs first.
+_MODE_PREMULT = {"rgbA": "RGBA", "bgrA": "BGRA", "Argb": "ARGB",
+                 "rgbA_4444": "RGBA_4444"}
+_MODE_PACKED = ("RGB_565", "RGBA_4444")
+
+
+def _premultiply(rgba: np.ndarray) -> np.ndarray:
+    """8-bit approximate premultiply: (c * a * 32897) >> 23.
+
+    Matches the reference's alpha_processing MULTIPLIER idiom
+    (alpha_processing.go:100-163) rather than exact c*a/255.
+    """
+    out = rgba.copy()
+    a = rgba[..., 3].astype(np.uint32)
+    for c in range(3):
+        out[..., c] = ((rgba[..., c].astype(np.uint32) * a * 32897)
+                       >> 23).astype(np.uint8)
+    return out
+
+
+def _pack_16bit(rgba: np.ndarray, mode: str) -> np.ndarray:
+    """(H, W, 4) → (H, W, 2) uint8 packed rows (reference MODE_RGB_565 /
+    MODE_RGBA_4444 byte order)."""
+    r = rgba[..., 0].astype(np.uint16)
+    g = rgba[..., 1].astype(np.uint16)
+    b = rgba[..., 2].astype(np.uint16)
+    out = np.empty(rgba.shape[:2] + (2,), np.uint8)
+    if mode == "RGB_565":
+        out[..., 0] = ((r & 0xF8) | (g >> 5)).astype(np.uint8)
+        out[..., 1] = (((g << 3) & 0xE0) | (b >> 3)).astype(np.uint8)
+    else:  # RGBA_4444
+        a = rgba[..., 3].astype(np.uint16)
+        out[..., 0] = ((r & 0xF0) | (g >> 4)).astype(np.uint8)
+        out[..., 1] = ((b & 0xF0) | (a >> 4)).astype(np.uint8)
+    return out
 
 
 def decode(data: bytes, config: DecoderConfig | None = None,
            mode: str = "RGBA") -> np.ndarray:
-    """Decode a .webp file with options → (H, W, C) uint8 array."""
-    if mode not in _MODE_PERMUTE:
-        raise ValueError(f"bad mode {mode!r} (use {sorted(_MODE_PERMUTE)})")
+    """Decode a .webp file with options → (H, W, C) uint8 array.
+
+    ``mode`` accepts the reference's colorspace set: RGBA/BGRA/ARGB/
+    RGB/BGR, premultiplied rgbA/bgrA/Argb/rgbA_4444, and the packed
+    RGB_565/RGBA_4444 (returned as (H, W, 2) byte pairs).
+    """
+    premult = mode in _MODE_PREMULT
+    if premult:
+        mode = _MODE_PREMULT[mode]
+    if mode not in _MODE_PERMUTE and mode not in _MODE_PACKED:
+        raise ValueError(
+            f"bad mode {mode!r} (use {sorted(_MODE_PERMUTE) + list(_MODE_PACKED) + sorted(_MODE_PREMULT)})"
+        )
     config = config or DecoderConfig()
     parsed = parse_riff(data)
     vp8l = parsed.find(CHUNK_VP8L)
@@ -54,6 +100,10 @@ def decode(data: bytes, config: DecoderConfig | None = None,
             dithering_strength=config.dithering_strength,
         )
     rgba = apply_output_options(rgba, config)
+    if premult:
+        rgba = _premultiply(rgba)
+    if mode in _MODE_PACKED:
+        return _pack_16bit(rgba, mode)
     perm = _MODE_PERMUTE[mode]
     if perm == tuple(range(rgba.shape[2])):
         return rgba          # identity permute: no copy

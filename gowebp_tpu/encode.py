@@ -37,6 +37,9 @@ def encode_rgba(
     rgba = np.asarray(rgba)
     if rgba.dtype != np.uint8:
         raise EncodeError("expected uint8 pixels")
+    if (not config.exact and rgba.ndim == 3 and rgba.shape[2] == 4
+            and bool((rgba[..., 3] == 0).any())):
+        rgba = _cleanup_transparent_area(rgba)
 
     _progress(config, 0)
     if config.lossless:
@@ -213,6 +216,36 @@ def encode_rgba_batch(
         return [emit_one(b) for b in range(B)]
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         return list(pool.map(emit_one, range(B)))
+
+
+def _cleanup_transparent_area(rgba: np.ndarray) -> np.ndarray:
+    """Flatten RGB under fully-transparent pixels for compressibility.
+
+    Reference WebPCleanupTransparentArea (picture_tools_enc.c.go,
+    SURVEY.md §2.5): unless ``exact`` is set, invisible pixels are free
+    — per 16x16 block, partially-transparent blocks replace invisible
+    RGB with the block's visible average; fully-transparent blocks
+    propagate the previous flat color so runs compress to nothing.
+    """
+    out = rgba.copy()
+    h, w = rgba.shape[:2]
+    alpha = rgba[..., 3]
+    flat = np.zeros(3, np.uint8)
+    for by in range(0, h, 16):
+        for bx in range(0, w, 16):
+            a = alpha[by : by + 16, bx : bx + 16]
+            vis = a > 0
+            n_vis = int(vis.sum())
+            blk = out[by : by + 16, bx : bx + 16, :3]
+            if n_vis == 0:
+                blk[:] = flat
+            elif n_vis < a.size:
+                mean = blk[vis].mean(axis=0).astype(np.uint8)
+                blk[~vis] = mean
+                flat = mean
+            else:
+                flat = blk[-1, -1]
+    return out
 
 
 def _progress(config: EncoderConfig, percent: int) -> None:

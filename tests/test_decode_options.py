@@ -174,3 +174,43 @@ class TestEncodeYUV:
         out = decode_rgba(data)
         assert out.shape == (h, w, 4)
         np.testing.assert_array_equal(out[..., 3], a)
+
+
+class TestOutputModesExtended:
+    def test_premultiplied_and_packed(self):
+        from gowebp_tpu import decode
+        from gowebp_tpu.config import EncoderConfig
+        from gowebp_tpu.encode import encode_rgba
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+        data = encode_rgba(
+            arr, config=EncoderConfig(lossless=True, exact=True))
+        base = decode_rgba(data)
+        pm = decode(data, mode="rgbA")
+        a = base[..., 3].astype(np.uint32)
+        for c in range(3):
+            exp = ((base[..., c].astype(np.uint32) * a * 32897) >> 23)
+            np.testing.assert_array_equal(pm[..., c], exp.astype(np.uint8))
+        np.testing.assert_array_equal(pm[..., 3], base[..., 3])
+        assert decode(data, mode="RGB_565").shape == (24, 32, 2)
+        assert decode(data, mode="RGBA_4444").shape == (24, 32, 2)
+
+    def test_cleanup_transparent_area(self):
+        """exact=False (default) flattens RGB under alpha=0 like the
+        reference; visible pixels stay exact for lossless."""
+        from gowebp_tpu.config import EncoderConfig
+        from gowebp_tpu.encode import encode_rgba
+
+        rng = np.random.default_rng(6)
+        arr = rng.integers(0, 256, (48, 48, 4), dtype=np.uint8)
+        arr[..., 3] = rng.choice([0, 255], (48, 48))
+        d_clean = encode_rgba(arr, lossless=True)
+        d_exact = encode_rgba(
+            arr, config=EncoderConfig(lossless=True, exact=True))
+        assert len(d_clean) < len(d_exact)
+        out = decode_rgba(d_clean)
+        vis = arr[..., 3] > 0
+        np.testing.assert_array_equal(out[vis], arr[vis])
+        np.testing.assert_array_equal(out[..., 3], arr[..., 3])
+        np.testing.assert_array_equal(decode_rgba(d_exact), arr)

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from gowebp_tpu import decode_rgba
+from gowebp_tpu.config import EncoderConfig
 from gowebp_tpu.encode import encode_rgba
 
 from util import make_test_images, pil_decode_rgba
@@ -22,7 +23,7 @@ def _rgba(img):
 @pytest.mark.parametrize("name", list(IMAGES.keys()))
 def test_roundtrip_and_oracle(name):
     img = _rgba(IMAGES[name])
-    data = encode_rgba(img, lossless=True)
+    data = encode_rgba(img, lossless=True, config=EncoderConfig(lossless=True, exact=True))
     # Our own decoder round-trips bit-exactly.
     np.testing.assert_array_equal(decode_rgba(data), img)
     # libwebp (independent decoder) agrees.
@@ -31,7 +32,7 @@ def test_roundtrip_and_oracle(name):
 
 def test_rgb_input():
     img = IMAGES["gradient"][..., :3].copy()
-    data = encode_rgba(img, lossless=True)
+    data = encode_rgba(img, lossless=True, config=EncoderConfig(lossless=True, exact=True))
     out = decode_rgba(data)
     np.testing.assert_array_equal(out[..., :3], img)
     assert (out[..., 3] == 255).all()
@@ -39,7 +40,7 @@ def test_rgb_input():
 
 def test_single_pixel():
     img = np.array([[[12, 34, 56, 78]]], np.uint8)
-    data = encode_rgba(img, lossless=True)
+    data = encode_rgba(img, lossless=True, config=EncoderConfig(lossless=True, exact=True))
     np.testing.assert_array_equal(decode_rgba(data), img)
     np.testing.assert_array_equal(pil_decode_rgba(data), img)
 
@@ -49,7 +50,7 @@ def test_single_row_and_column():
     row = rng.integers(0, 256, (1, 77, 4), dtype=np.uint8)
     col = rng.integers(0, 256, (63, 1, 4), dtype=np.uint8)
     for img in (row, col):
-        data = encode_rgba(img, lossless=True)
+        data = encode_rgba(img, lossless=True, config=EncoderConfig(lossless=True, exact=True))
         np.testing.assert_array_equal(decode_rgba(data), img)
         np.testing.assert_array_equal(pil_decode_rgba(data), img)
 
@@ -60,6 +61,6 @@ def test_palette_sizes():
         colors = rng.integers(0, 256, (ncolors, 4), dtype=np.uint8)
         idx = rng.integers(0, ncolors, (37, 41))
         img = colors[idx]
-        data = encode_rgba(img, lossless=True)
+        data = encode_rgba(img, lossless=True, config=EncoderConfig(lossless=True, exact=True))
         np.testing.assert_array_equal(decode_rgba(data), img)
         np.testing.assert_array_equal(pil_decode_rgba(data), img)
