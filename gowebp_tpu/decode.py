@@ -99,6 +99,19 @@ def decode(data: bytes, config: DecoderConfig | None = None,
             bypass_filtering=config.bypass_filtering,
             dithering_strength=config.dithering_strength,
         )
+    if (config.alpha_dithering_strength > 0 and rgba.shape[2] == 4
+            and bool((rgba[..., 3] != 255).any())):
+        # Alpha dithering (reference alpha_dithering_strength option):
+        # deterministic triangular dither over the smoothed alpha plane.
+        amp = 8 * config.alpha_dithering_strength // 100
+        if amp > 0:
+            rng = np.random.default_rng(0xA1FA)
+            sh = rgba.shape[:2]
+            noise = (rng.integers(0, amp + 1, sh)
+                     + rng.integers(0, amp + 1, sh) - amp).astype(np.int32)
+            a = np.clip(rgba[..., 3].astype(np.int32) + noise // 2, 0, 255)
+            rgba = rgba.copy()
+            rgba[..., 3] = a.astype(np.uint8)
     rgba = apply_output_options(rgba, config)
     if premult:
         rgba = _premultiply(rgba)

@@ -70,6 +70,10 @@ class IncrementalDecoder:
                 self._output = decode_vp8l(vp8l.payload)
                 self.state = STATE_DONE
                 return
+            if parsed.find(CHUNK_VP8) is None:
+                # RIFF parsed but the image chunk hasn't arrived yet
+                # (e.g. header + partial chunk header): keep waiting.
+                return
             from .decode import decode_rgba
 
             self._output = decode_rgba(data)
