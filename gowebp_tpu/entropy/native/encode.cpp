@@ -478,7 +478,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
       int l = match_len(pos - width, pos);
       if (l > best_len) { best_len = l; best_dist = width; }
     }
-    if (pos + 1 < n) {
+    if (pos + 1 < n && best_len < MAX_LEN) {
       int32_t cand = head[hash_at(pos)];
       int tries = depth;
       while (cand >= 0 && tries-- > 0) {
@@ -490,6 +490,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
           if (l > best_len || (l == best_len && d < best_dist)) {
             best_len = l;
             best_dist = d;
+            if (best_len >= MAX_LEN) break;
           }
         }
         cand = prev[cand];
@@ -838,6 +839,16 @@ int64_t wtpu_vp8l_optimal_refs(
   std::vector<int32_t> from_dist(n + 1, 0);
   cost[0] = 0.0f;
 
+  // O(1) per-position match lengths for the trivial distances (the DP
+  // visits every pixel, so per-position match_len scans of long
+  // constant runs would be quadratic).
+  std::vector<int32_t> run1(n + 1, 0), runw(n + 1, 0);
+  for (int64_t i = n - 1; i >= 1; i--)
+    run1[i] = flat[i] == flat[i - 1] ? run1[i + 1] + 1 : 0;
+  if (width < n)
+    for (int64_t i = n - 1; i >= width; i--)
+      runw[i] = flat[i] == flat[i - width] ? runw[i + 1] + 1 : 0;
+
   for (int64_t i = 0; i < n; i++) {
     const float c0 = cost[i];
     // Literal edge.
@@ -851,14 +862,19 @@ int64_t wtpu_vp8l_optimal_refs(
     int cand_l[3];
     int n_cand = 0;
     if (i >= 1) {
-      int l = match_len(i - 1, i);
+      int l = run1[i] > MAX_LEN ? MAX_LEN : run1[i];
       if (l >= 2) { cand_d[n_cand] = 1; cand_l[n_cand++] = l; }
     }
     if (i >= width) {
-      int l = match_len(i - width, i);
+      int l = runw[i] > MAX_LEN ? MAX_LEN : runw[i];
       if (l >= 2) { cand_d[n_cand] = width; cand_l[n_cand++] = l; }
     }
-    if (i + 1 < n) {
+    // Skip the chain when a trivial candidate already hit the cap
+    // (constant runs would otherwise rescan ~MAX_LEN pixels per chain
+    // entry at every position).
+    int have_max = (n_cand > 0 && cand_l[0] >= MAX_LEN) ||
+                   (n_cand > 1 && cand_l[1] >= MAX_LEN);
+    if (i + 1 < n && !have_max) {
       int32_t c = head[hash_at(i)];
       int tries = depth;
       int best_len = 0;
@@ -872,6 +888,7 @@ int64_t wtpu_vp8l_optimal_refs(
           if (l > best_len || (l == best_len && d < best_dist)) {
             best_len = l;
             best_dist = d;
+            if (best_len >= MAX_LEN) break;
           }
         }
         c = prev[c];

@@ -1456,65 +1456,78 @@ def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
 def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                          use_predictor, stats) -> None:
     w = argb.shape[1]
-    # Subtract-green is itself a trial at higher effort: on content with
-    # decorrelated channels it *raises* residual entropy (the reference
-    # gates it by an entropy analysis, vp8l_encoder.go EncoderAnalyze).
-    use_sg = True
-    if quality >= 75:
-        sg_work = tnp.subtract_green_forward(argb)
-        costs = []
-        for cand in (sg_work, argb):
-            m = _choose_predictors(cand, 4, refine_iters=1)
-            r = _apply_predictor_transform(cand, 4, m)
-            costs.append(_refs_cost_bits(r, w, 25))
-        use_sg = costs[0] <= costs[1]
-        work = sg_work if use_sg else argb
-    else:
-        work = tnp.subtract_green_forward(argb)
-    if use_sg:
-        bw.put_bits(1, 1)
-        bw.put_bits(2, 2)              # SUBTRACT_GREEN
+    h = argb.shape[0]
 
     if use_predictor is None:
         use_predictor = quality >= 10
     if use_predictor:
-        # Tile-size trial: the best predictor granularity is content-
-        # dependent (fine tiles suit local structure; coarse tiles let
-        # the shared-tree refinement converge to few modes, which codes
-        # and LZ77-compresses better on smooth content).  Candidates are
-        # scored by LZ77+histogram entropy plus the mode-stream header.
+        # Joint trial over {subtract-green} × {predictor candidates} ×
+        # {cross-color}, scored by LZ77+histogram entropy plus the
+        # actual tile-stream headers.  Predictor candidates are the
+        # per-tile entropy chooser at several tile sizes PLUS forced
+        # globally-uniform TOP/LEFT modes: mod-256 arithmetic makes a
+        # coherent single-mode residual exactly periodic on synthetic
+        # gradients — something the per-tile entropy metric (which sees
+        # "few symbols" either way) cannot distinguish from clamped
+        # modes whose wrap seams break long LZ77 matches.
         if quality >= 90:
             bit_cands = (3, 4, 5)
         elif quality >= 50:
             bit_cands = (4, 5)
         else:
             bit_cands = (4,)
+        sg_opts = (True, False) if quality >= 75 else (True,)
         iters = 4 if quality >= 90 else 2
         use_cross = quality >= 50
         cc_bits = 4
-        best = None
-        for bits in bit_cands:
-            mode_img = _choose_predictors(work, bits, refine_iters=iters)
-            res = _apply_predictor_transform(work, bits, mode_img)
-            scratch = BitWriter()
-            _write_image_stream(scratch, mode_img, mode_img.shape[1])
-            phdr = scratch.bit_count
-            # Evaluate with and without cross-color: the interaction
-            # with tile size is real (coarse tiles leave correlated
-            # residuals that cc removes).
-            cc_img = _choose_cross_color(res, cc_bits) if use_cross else None
-            cand = [(None, res, 0)]
-            if cc_img is not None:
-                cc_res = tnp.color_transform_forward(res, cc_img, cc_bits)
-                s2 = BitWriter()
-                _write_image_stream(s2, cc_img, cc_img.shape[1])
-                cand.append((cc_img, cc_res, s2.bit_count + 6))
-            for cimg, cres, chdr in cand:
-                cost = _refs_cost_bits(cres, w, 25) \
-                    + phdr + chdr
-                if best is None or cost < best[0]:
-                    best = (cost, bits, mode_img, cimg, cres)
-        _, bits, mode_img, cc_img, work = best
+        entries = []
+        for sg in sg_opts:
+            base = tnp.subtract_green_forward(argb) if sg else argb
+            cand_imgs = [
+                (bits, _choose_predictors(base, bits, refine_iters=iters))
+                for bits in bit_cands
+            ]
+            if quality >= 50:
+                th5 = tnp.subsample_size(h, 5)
+                tw5 = tnp.subsample_size(w, 5)
+                for um in (2, 1):      # uniform TOP, uniform LEFT
+                    uni = np.full((th5, tw5),
+                                  0xFF000000 | (um << 8), np.uint32)
+                    cand_imgs.append((5, uni))
+            for bits, mode_img in cand_imgs:
+                res = _apply_predictor_transform(base, bits, mode_img)
+                scratch = BitWriter()
+                _write_image_stream(scratch, mode_img, mode_img.shape[1])
+                phdr = scratch.bit_count
+                cc_img = (_choose_cross_color(res, cc_bits)
+                          if use_cross else None)
+                cand = [(None, res, 0)]
+                if cc_img is not None:
+                    cc_res = tnp.color_transform_forward(res, cc_img, cc_bits)
+                    s2 = BitWriter()
+                    _write_image_stream(s2, cc_img, cc_img.shape[1])
+                    cand.append((cc_img, cc_res, s2.bit_count + 6))
+                for cimg, cres, chdr in cand:
+                    cost = _refs_cost_bits(cres, w, 25) + phdr + chdr
+                    entries.append((cost, sg, bits, mode_img, cimg, cres))
+        entries.sort(key=lambda e: e[0])
+        if quality >= 75 and len(entries) > 1:
+            # The LZ77+single-histogram estimate ignores color-cache and
+            # meta-huffman effects; rescore the two closest candidates
+            # with a full scratch emission of the spatial stream.
+            rescored = []
+            for e in entries[:3]:
+                sbw = BitWriter()
+                _write_spatial_stream(sbw, e[5], w, quality)
+                rescored.append((sbw.bit_count, e))
+            rescored.sort(key=lambda t: t[0])
+            best = rescored[0][1]
+        else:
+            best = entries[0]
+        _, use_sg, bits, mode_img, cc_img, work = best
+        if use_sg:
+            bw.put_bits(1, 1)
+            bw.put_bits(2, 2)          # SUBTRACT_GREEN
         bw.put_bits(1, 1)
         bw.put_bits(0, 2)              # PREDICTOR_TRANSFORM
         bw.put_bits(bits - 2, 3)
@@ -1527,7 +1540,11 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             if stats is not None:
                 stats.transforms.append("cross-color")
     elif quality >= 50:
-        # No predictor: cross-color straight on the subtract-green output.
+        # No predictor: subtract-green always, then gated cross-color.
+        use_sg = True
+        work = tnp.subtract_green_forward(argb)
+        bw.put_bits(1, 1)
+        bw.put_bits(2, 2)              # SUBTRACT_GREEN
         cc_bits = 4
         cc_img = _choose_cross_color(work, cc_bits)
         if cc_img is not None:
@@ -1543,6 +1560,11 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                 work = trial
                 if stats is not None:
                     stats.transforms.append("cross-color")
+    else:
+        use_sg = True
+        work = tnp.subtract_green_forward(argb)
+        bw.put_bits(1, 1)
+        bw.put_bits(2, 2)              # SUBTRACT_GREEN
 
     bw.put_bits(0, 1)  # end of transforms
     if stats is not None:
