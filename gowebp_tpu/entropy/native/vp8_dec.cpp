@@ -9,6 +9,9 @@
 // Written from RFC 6386; the Python reference (models/vp8/decoder.py,
 // bit-exact vs libwebp) is the correctness oracle.
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -487,27 +490,198 @@ static inline void do_filter6(uint8_t* p, int step) {
   p[2 * step] = (uint8_t)clip255i(q2 - a3);
 }
 
-// Complex filter along an edge: hstride = step across the edge,
-// vstride = step along it.  When the walk is contiguous (vstride == 1,
-// horizontal MB/block edges) a branchless lane-parallel body lets the
-// compiler vectorize: both filter variants are computed and blended by
-// masks, with unconditional stores (this is the scalar-host analog of
-// the SIMD deblocking paths in the reference's dsp layer).
-static void filter_loop26(uint8_t* p, int hstride, int vstride, int n,
-                          int thresh, int it, int hev_t) {
-  int thresh2 = 2 * thresh + 1;
-  uint8_t* r3 = p - 4 * hstride;
-  uint8_t* r2 = p - 3 * hstride;
-  uint8_t* r1 = p - 2 * hstride;
-  uint8_t* r0 = p - hstride;
-  uint8_t* s0 = p;
-  uint8_t* s1 = p + hstride;
-  uint8_t* s2 = p + 2 * hstride;
-  uint8_t* s3 = p + 3 * hstride;
-  for (int i = 0; i < n; i++) {
-    const int j = i * vstride;
-    int p3 = r3[j], p2 = r2[j], p1 = r1[j], p0 = r0[j];
-    int q0 = s0[j], q1 = s1[j], q2 = s2[j], q3 = s3[j];
+// Edge filtering runs lane-parallel: the 8 pixels across the edge
+// (p3..q3) for all 16 lanes along it are gathered into a contiguous
+// local buffer, a fixed-trip branchless core processes the 16 lanes
+// (int16 arithmetic, mask-blended stores — the scalar-host analog of
+// the SIMD deblocking paths in the reference's dsp layer), and the
+// touched rows are scattered back.  Chroma edges (8 lanes each) are
+// paired: U in lanes 0-7, V in lanes 8-15, one core call for both.
+typedef uint8_t EdgeBuf[8][16];
+
+static inline void edge_gather(const uint8_t* p, int hstride, int vstride,
+                               int n, int lane0, EdgeBuf b) {
+  if (vstride == 1) {  // lanes contiguous (horizontal edges)
+    for (int r = 0; r < 8; r++)
+      std::memcpy(&b[r][lane0], p + (std::ptrdiff_t)(r - 4) * hstride, n);
+    return;
+  }
+  for (int r = 0; r < 8; r++) {
+    const uint8_t* src = p + (std::ptrdiff_t)(r - 4) * hstride;
+    for (int j = 0; j < n; j++) b[r][lane0 + j] = src[(std::ptrdiff_t)j * vstride];
+  }
+}
+static inline void edge_scatter(uint8_t* p, int hstride, int vstride, int n,
+                                int lane0, const EdgeBuf b, int r0, int r1) {
+  if (vstride == 1) {
+    for (int r = r0; r <= r1; r++)
+      std::memcpy(p + (std::ptrdiff_t)(r - 4) * hstride, &b[r][lane0], n);
+    return;
+  }
+  for (int r = r0; r <= r1; r++) {
+    uint8_t* dst = p + (std::ptrdiff_t)(r - 4) * hstride;
+    for (int j = 0; j < n; j++) dst[(std::ptrdiff_t)j * vstride] = b[r][lane0 + j];
+  }
+}
+
+#if defined(__SSE2__)
+// Vertical edges: each lane's 8 pixels across the edge are contiguous.
+// Load 16 rows x 8 bytes and byte-transpose into the 8x16 lane buffer
+// (and back).  rows[j] points at pixel p3 of lane j.
+static inline void tr_gather(const uint8_t* const rows[16], EdgeBuf b) {
+  __m128i t[8];
+  for (int k = 0; k < 8; k++) {
+    __m128i a = _mm_loadl_epi64((const __m128i*)rows[2 * k]);
+    __m128i c = _mm_loadl_epi64((const __m128i*)rows[2 * k + 1]);
+    t[k] = _mm_unpacklo_epi8(a, c);  // col c of rows (2k,2k+1) at u16 slot c
+  }
+  __m128i w[4][2];  // [row group of 4][cols 0-3 | 4-7]
+  for (int m = 0; m < 4; m++) {
+    w[m][0] = _mm_unpacklo_epi16(t[2 * m], t[2 * m + 1]);
+    w[m][1] = _mm_unpackhi_epi16(t[2 * m], t[2 * m + 1]);
+  }
+  for (int h = 0; h < 2; h++) {
+    __m128i a01 = _mm_unpacklo_epi32(w[0][h], w[1][h]);  // cols 4h+0,4h+1 rows0-7
+    __m128i b01 = _mm_unpackhi_epi32(w[0][h], w[1][h]);  // cols 4h+2,4h+3 rows0-7
+    __m128i a23 = _mm_unpacklo_epi32(w[2][h], w[3][h]);  // rows8-15
+    __m128i b23 = _mm_unpackhi_epi32(w[2][h], w[3][h]);
+    _mm_storeu_si128((__m128i*)b[4 * h + 0], _mm_unpacklo_epi64(a01, a23));
+    _mm_storeu_si128((__m128i*)b[4 * h + 1], _mm_unpackhi_epi64(a01, a23));
+    _mm_storeu_si128((__m128i*)b[4 * h + 2], _mm_unpacklo_epi64(b01, b23));
+    _mm_storeu_si128((__m128i*)b[4 * h + 3], _mm_unpackhi_epi64(b01, b23));
+  }
+}
+static inline void tr_scatter(const EdgeBuf b, uint8_t* const rows[16]) {
+  __m128i y[8];
+  for (int r = 0; r < 8; r++) y[r] = _mm_loadu_si128((const __m128i*)b[r]);
+  for (int half = 0; half < 2; half++) {
+    __m128i t[4];  // rows (2k,2k+1) interleaved, lanes 8*half..8*half+7
+    for (int k = 0; k < 4; k++)
+      t[k] = half ? _mm_unpackhi_epi8(y[2 * k], y[2 * k + 1])
+                  : _mm_unpacklo_epi8(y[2 * k], y[2 * k + 1]);
+    __m128i ua = _mm_unpacklo_epi16(t[0], t[1]);  // lanes +0..3, rows0-3
+    __m128i ub = _mm_unpackhi_epi16(t[0], t[1]);  // lanes +4..7, rows0-3
+    __m128i uc = _mm_unpacklo_epi16(t[2], t[3]);  // lanes +0..3, rows4-7
+    __m128i ud = _mm_unpackhi_epi16(t[2], t[3]);  // lanes +4..7, rows4-7
+    __m128i v0 = _mm_unpacklo_epi32(ua, uc);      // lanes +0,+1 full
+    __m128i v1 = _mm_unpackhi_epi32(ua, uc);      // lanes +2,+3
+    __m128i v2 = _mm_unpacklo_epi32(ub, ud);      // lanes +4,+5
+    __m128i v3 = _mm_unpackhi_epi32(ub, ud);      // lanes +6,+7
+    uint8_t* const* rr = rows + 8 * half;
+    _mm_storel_epi64((__m128i*)rr[0], v0);
+    _mm_storel_epi64((__m128i*)rr[1], _mm_srli_si128(v0, 8));
+    _mm_storel_epi64((__m128i*)rr[2], v1);
+    _mm_storel_epi64((__m128i*)rr[3], _mm_srli_si128(v1, 8));
+    _mm_storel_epi64((__m128i*)rr[4], v2);
+    _mm_storel_epi64((__m128i*)rr[5], _mm_srli_si128(v2, 8));
+    _mm_storel_epi64((__m128i*)rr[6], v3);
+    _mm_storel_epi64((__m128i*)rr[7], _mm_srli_si128(v3, 8));
+  }
+}
+#endif  // __SSE2__
+
+#if defined(__AVX2__)
+// 16 filter lanes as one 16x int16 vector (exact same arithmetic as the
+// portable loop below; all intermediates fit in int16).
+static inline __m256i lf_load(const uint8_t* p) {
+  return _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)p));
+}
+static inline void lf_store(uint8_t* p, __m256i x) {
+  __m128i lo = _mm256_castsi256_si128(x);
+  __m128i hi = _mm256_extracti128_si256(x, 1);
+  _mm_storeu_si128((__m128i*)p, _mm_packus_epi16(lo, hi));
+}
+static inline __m256i lf_sclip1(__m256i x) {
+  return _mm256_max_epi16(_mm256_min_epi16(x, _mm256_set1_epi16(127)),
+                          _mm256_set1_epi16(-128));
+}
+static inline __m256i lf_sclip2(__m256i x) {
+  return _mm256_max_epi16(_mm256_min_epi16(x, _mm256_set1_epi16(15)),
+                          _mm256_set1_epi16(-16));
+}
+static inline __m256i lf_clip255(__m256i x) {
+  return _mm256_max_epi16(_mm256_min_epi16(x, _mm256_set1_epi16(255)),
+                          _mm256_setzero_si256());
+}
+static inline __m256i lf_ad(__m256i a, __m256i b) {  // |a-b| (epi16)
+  return _mm256_abs_epi16(_mm256_sub_epi16(a, b));
+}
+static inline __m256i lf_le(__m256i a, __m256i b) {  // a <= b (epi16 mask)
+  return _mm256_cmpeq_epi16(_mm256_cmpgt_epi16(a, b),
+                            _mm256_setzero_si256());
+}
+// Shared mask + f2 computation: nf (needs_filter2), hv (high edge
+// variance), and the 2-tap filter outputs applied to p0/q0 under hev.
+struct LfCommon {
+  __m256i nf, hv, a2c, f2p0, f2q0;
+};
+static inline LfCommon lf_common(__m256i p3, __m256i p2, __m256i p1,
+                                 __m256i p0, __m256i q0, __m256i q1,
+                                 __m256i q2, __m256i q3, int thresh2,
+                                 int it, int hev_t) {
+  LfCommon c;
+  const __m256i vit = _mm256_set1_epi16((short)it);
+  __m256i sum = _mm256_add_epi16(
+      _mm256_slli_epi16(lf_ad(p0, q0), 2), lf_ad(p1, q1));
+  c.nf = lf_le(sum, _mm256_set1_epi16((short)thresh2));
+  c.nf = _mm256_and_si256(c.nf, lf_le(lf_ad(p3, p2), vit));
+  c.nf = _mm256_and_si256(c.nf, lf_le(lf_ad(p2, p1), vit));
+  c.nf = _mm256_and_si256(c.nf, lf_le(lf_ad(p1, p0), vit));
+  c.nf = _mm256_and_si256(c.nf, lf_le(lf_ad(q3, q2), vit));
+  c.nf = _mm256_and_si256(c.nf, lf_le(lf_ad(q2, q1), vit));
+  c.nf = _mm256_and_si256(c.nf, lf_le(lf_ad(q1, q0), vit));
+  const __m256i vhev = _mm256_set1_epi16((short)hev_t);
+  c.hv = _mm256_or_si256(_mm256_cmpgt_epi16(lf_ad(p1, p0), vhev),
+                         _mm256_cmpgt_epi16(lf_ad(q1, q0), vhev));
+  __m256i d = _mm256_sub_epi16(q0, p0);
+  c.a2c = _mm256_add_epi16(
+      _mm256_add_epi16(d, _mm256_add_epi16(d, d)),
+      lf_sclip1(_mm256_sub_epi16(p1, q1)));
+  __m256i f2a1 = lf_sclip2(_mm256_srai_epi16(
+      _mm256_add_epi16(c.a2c, _mm256_set1_epi16(4)), 3));
+  __m256i f2a2 = lf_sclip2(_mm256_srai_epi16(
+      _mm256_add_epi16(c.a2c, _mm256_set1_epi16(3)), 3));
+  c.f2p0 = lf_clip255(_mm256_add_epi16(p0, f2a2));
+  c.f2q0 = lf_clip255(_mm256_sub_epi16(q0, f2a1));
+  return c;
+}
+static inline __m256i lf_sel(__m256i nf, __m256i hv, __m256i orig,
+                             __m256i on_hev, __m256i on_nohev) {
+  __m256i inner = _mm256_blendv_epi8(on_nohev, on_hev, hv);
+  return _mm256_blendv_epi8(orig, inner, nf);
+}
+#endif  // __AVX2__
+
+static void lane_core26(EdgeBuf b, int thresh2, int it, int hev_t) {
+#if defined(__AVX2__)
+  __m256i p3 = lf_load(b[0]), p2 = lf_load(b[1]), p1 = lf_load(b[2]),
+          p0 = lf_load(b[3]), q0 = lf_load(b[4]), q1 = lf_load(b[5]),
+          q2 = lf_load(b[6]), q3 = lf_load(b[7]);
+  LfCommon c = lf_common(p3, p2, p1, p0, q0, q1, q2, q3, thresh2, it, hev_t);
+  __m256i a6 = lf_sclip1(c.a2c);
+  const __m256i v63 = _mm256_set1_epi16(63);
+  __m256i b1 = _mm256_srai_epi16(
+      _mm256_add_epi16(_mm256_mullo_epi16(a6, _mm256_set1_epi16(27)), v63), 7);
+  __m256i b2 = _mm256_srai_epi16(
+      _mm256_add_epi16(_mm256_mullo_epi16(a6, _mm256_set1_epi16(18)), v63), 7);
+  __m256i b3 = _mm256_srai_epi16(
+      _mm256_add_epi16(_mm256_mullo_epi16(a6, _mm256_set1_epi16(9)), v63), 7);
+  lf_store(b[1], lf_sel(c.nf, c.hv, p2, p2,
+                        lf_clip255(_mm256_add_epi16(p2, b3))));
+  lf_store(b[2], lf_sel(c.nf, c.hv, p1, p1,
+                        lf_clip255(_mm256_add_epi16(p1, b2))));
+  lf_store(b[3], lf_sel(c.nf, c.hv, p0, c.f2p0,
+                        lf_clip255(_mm256_add_epi16(p0, b1))));
+  lf_store(b[4], lf_sel(c.nf, c.hv, q0, c.f2q0,
+                        lf_clip255(_mm256_sub_epi16(q0, b1))));
+  lf_store(b[5], lf_sel(c.nf, c.hv, q1, q1,
+                        lf_clip255(_mm256_sub_epi16(q1, b2))));
+  lf_store(b[6], lf_sel(c.nf, c.hv, q2, q2,
+                        lf_clip255(_mm256_sub_epi16(q2, b3))));
+#else
+  for (int j = 0; j < 16; j++) {
+    int p3 = b[0][j], p2 = b[1][j], p1 = b[2][j], p0 = b[3][j];
+    int q0 = b[4][j], q1 = b[5][j], q2 = b[6][j], q3 = b[7][j];
     int nf = (4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2) &
              (iabs(p3 - p2) <= it) & (iabs(p2 - p1) <= it) &
              (iabs(p1 - p0) <= it) & (iabs(q3 - q2) <= it) &
@@ -524,29 +698,41 @@ static void filter_loop26(uint8_t* p, int hstride, int vstride, int n,
     int f6p2 = clip255i(p2 + b3), f6p1 = clip255i(p1 + b2);
     int f6p0 = clip255i(p0 + b1), f6q0 = clip255i(q0 - b1);
     int f6q1 = clip255i(q1 - b2), f6q2 = clip255i(q2 - b3);
-    r2[j] = (uint8_t)(nf ? (hv ? p2 : f6p2) : p2);
-    r1[j] = (uint8_t)(nf ? (hv ? p1 : f6p1) : p1);
-    r0[j] = (uint8_t)(nf ? (hv ? f2p0 : f6p0) : p0);
-    s0[j] = (uint8_t)(nf ? (hv ? f2q0 : f6q0) : q0);
-    s1[j] = (uint8_t)(nf ? (hv ? q1 : f6q1) : q1);
-    s2[j] = (uint8_t)(nf ? (hv ? q2 : f6q2) : q2);
+    b[1][j] = (uint8_t)(nf ? (hv ? p2 : f6p2) : p2);
+    b[2][j] = (uint8_t)(nf ? (hv ? p1 : f6p1) : p1);
+    b[3][j] = (uint8_t)(nf ? (hv ? f2p0 : f6p0) : p0);
+    b[4][j] = (uint8_t)(nf ? (hv ? f2q0 : f6q0) : q0);
+    b[5][j] = (uint8_t)(nf ? (hv ? q1 : f6q1) : q1);
+    b[6][j] = (uint8_t)(nf ? (hv ? q2 : f6q2) : q2);
   }
+#endif
 }
-static void filter_loop24(uint8_t* p, int hstride, int vstride, int n,
-                          int thresh, int it, int hev_t) {
-  int thresh2 = 2 * thresh + 1;
-  uint8_t* r3 = p - 4 * hstride;
-  uint8_t* r2 = p - 3 * hstride;
-  uint8_t* r1 = p - 2 * hstride;
-  uint8_t* r0 = p - hstride;
-  uint8_t* s0 = p;
-  uint8_t* s1 = p + hstride;
-  uint8_t* s2 = p + 2 * hstride;
-  uint8_t* s3 = p + 3 * hstride;
-  for (int i = 0; i < n; i++) {
-    const int j = i * vstride;
-    int p3 = r3[j], p2 = r2[j], p1 = r1[j], p0 = r0[j];
-    int q0 = s0[j], q1 = s1[j], q2 = s2[j], q3 = s3[j];
+static void lane_core24(EdgeBuf b, int thresh2, int it, int hev_t) {
+#if defined(__AVX2__)
+  __m256i p3 = lf_load(b[0]), p2 = lf_load(b[1]), p1 = lf_load(b[2]),
+          p0 = lf_load(b[3]), q0 = lf_load(b[4]), q1 = lf_load(b[5]),
+          q2 = lf_load(b[6]), q3 = lf_load(b[7]);
+  LfCommon c = lf_common(p3, p2, p1, p0, q0, q1, q2, q3, thresh2, it, hev_t);
+  __m256i d = _mm256_sub_epi16(q0, p0);
+  __m256i a4 = _mm256_add_epi16(d, _mm256_add_epi16(d, d));
+  __m256i f4a1 = lf_sclip2(_mm256_srai_epi16(
+      _mm256_add_epi16(a4, _mm256_set1_epi16(4)), 3));
+  __m256i f4a2 = lf_sclip2(_mm256_srai_epi16(
+      _mm256_add_epi16(a4, _mm256_set1_epi16(3)), 3));
+  __m256i f4a3 = _mm256_srai_epi16(
+      _mm256_add_epi16(f4a1, _mm256_set1_epi16(1)), 1);
+  lf_store(b[2], lf_sel(c.nf, c.hv, p1, p1,
+                        lf_clip255(_mm256_add_epi16(p1, f4a3))));
+  lf_store(b[3], lf_sel(c.nf, c.hv, p0, c.f2p0,
+                        lf_clip255(_mm256_add_epi16(p0, f4a2))));
+  lf_store(b[4], lf_sel(c.nf, c.hv, q0, c.f2q0,
+                        lf_clip255(_mm256_sub_epi16(q0, f4a1))));
+  lf_store(b[5], lf_sel(c.nf, c.hv, q1, q1,
+                        lf_clip255(_mm256_sub_epi16(q1, f4a3))));
+#else
+  for (int j = 0; j < 16; j++) {
+    int p3 = b[0][j], p2 = b[1][j], p1 = b[2][j], p0 = b[3][j];
+    int q0 = b[4][j], q1 = b[5][j], q2 = b[6][j], q3 = b[7][j];
     int nf = (4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2) &
              (iabs(p3 - p2) <= it) & (iabs(p2 - p1) <= it) &
              (iabs(p1 - p0) <= it) & (iabs(q3 - q2) <= it) &
@@ -562,29 +748,122 @@ static void filter_loop24(uint8_t* p, int hstride, int vstride, int n,
     int f4a3 = (f4a1 + 1) >> 1;
     int f4p1 = clip255i(p1 + f4a3), f4p0 = clip255i(p0 + f4a2);
     int f4q0 = clip255i(q0 - f4a1), f4q1 = clip255i(q1 - f4a3);
-    r1[j] = (uint8_t)(nf ? (hv ? p1 : f4p1) : p1);
-    r0[j] = (uint8_t)(nf ? (hv ? f2p0 : f4p0) : p0);
-    s0[j] = (uint8_t)(nf ? (hv ? f2q0 : f4q0) : q0);
-    s1[j] = (uint8_t)(nf ? (hv ? q1 : f4q1) : q1);
+    b[2][j] = (uint8_t)(nf ? (hv ? p1 : f4p1) : p1);
+    b[3][j] = (uint8_t)(nf ? (hv ? f2p0 : f4p0) : p0);
+    b[4][j] = (uint8_t)(nf ? (hv ? f2q0 : f4q0) : q0);
+    b[5][j] = (uint8_t)(nf ? (hv ? q1 : f4q1) : q1);
   }
+#endif
+}
+
+// Luma edge (16 lanes).  For vertical edges (hstride == 1) the lanes'
+// across-edge pixels are contiguous: SIMD-transpose in and out.
+static void filter_loop26(uint8_t* p, int hstride, int vstride, int n,
+                          int thresh, int it, int hev_t) {
+  EdgeBuf b;
+#if defined(__SSE2__)
+  if (hstride == 1 && n == 16) {
+    uint8_t* rows[16];
+    for (int j = 0; j < 16; j++)
+      rows[j] = p + (std::ptrdiff_t)j * vstride - 4;
+    tr_gather(rows, b);
+    lane_core26(b, 2 * thresh + 1, it, hev_t);
+    tr_scatter(b, rows);
+    return;
+  }
+#endif
+  edge_gather(p, hstride, vstride, n, 0, b);
+  if (n < 16)  // lone chroma edge (fallback callers): mirror into top lanes
+    edge_gather(p, hstride, vstride, n, 16 - n, b);
+  lane_core26(b, 2 * thresh + 1, it, hev_t);
+  edge_scatter(p, hstride, vstride, n, 0, b, 1, 6);
+}
+static void filter_loop24(uint8_t* p, int hstride, int vstride, int n,
+                          int thresh, int it, int hev_t) {
+  EdgeBuf b;
+#if defined(__SSE2__)
+  if (hstride == 1 && n == 16) {
+    uint8_t* rows[16];
+    for (int j = 0; j < 16; j++)
+      rows[j] = p + (std::ptrdiff_t)j * vstride - 4;
+    tr_gather(rows, b);
+    lane_core24(b, 2 * thresh + 1, it, hev_t);
+    tr_scatter(b, rows);
+    return;
+  }
+#endif
+  edge_gather(p, hstride, vstride, n, 0, b);
+  if (n < 16)
+    edge_gather(p, hstride, vstride, n, 16 - n, b);
+  lane_core24(b, 2 * thresh + 1, it, hev_t);
+  edge_scatter(p, hstride, vstride, n, 0, b, 2, 5);
+}
+// Paired chroma edge: U lanes 0-7, V lanes 8-15, one core call.
+static void filter_loop26_uv(uint8_t* up, uint8_t* vp, int hstride,
+                             int vstride, int thresh, int it, int hev_t) {
+  EdgeBuf b;
+#if defined(__SSE2__)
+  if (hstride == 1) {
+    uint8_t* rows[16];
+    for (int j = 0; j < 8; j++) {
+      rows[j] = up + (std::ptrdiff_t)j * vstride - 4;
+      rows[8 + j] = vp + (std::ptrdiff_t)j * vstride - 4;
+    }
+    tr_gather(rows, b);
+    lane_core26(b, 2 * thresh + 1, it, hev_t);
+    tr_scatter(b, rows);
+    return;
+  }
+#endif
+  edge_gather(up, hstride, vstride, 8, 0, b);
+  edge_gather(vp, hstride, vstride, 8, 8, b);
+  lane_core26(b, 2 * thresh + 1, it, hev_t);
+  edge_scatter(up, hstride, vstride, 8, 0, b, 1, 6);
+  edge_scatter(vp, hstride, vstride, 8, 8, b, 1, 6);
+}
+static void filter_loop24_uv(uint8_t* up, uint8_t* vp, int hstride,
+                             int vstride, int thresh, int it, int hev_t) {
+  EdgeBuf b;
+#if defined(__SSE2__)
+  if (hstride == 1) {
+    uint8_t* rows[16];
+    for (int j = 0; j < 8; j++) {
+      rows[j] = up + (std::ptrdiff_t)j * vstride - 4;
+      rows[8 + j] = vp + (std::ptrdiff_t)j * vstride - 4;
+    }
+    tr_gather(rows, b);
+    lane_core24(b, 2 * thresh + 1, it, hev_t);
+    tr_scatter(b, rows);
+    return;
+  }
+#endif
+  edge_gather(up, hstride, vstride, 8, 0, b);
+  edge_gather(vp, hstride, vstride, 8, 8, b);
+  lane_core24(b, 2 * thresh + 1, it, hev_t);
+  edge_scatter(up, hstride, vstride, 8, 0, b, 2, 5);
+  edge_scatter(vp, hstride, vstride, 8, 8, b, 2, 5);
 }
 static void filter_simple(uint8_t* p, int hstride, int vstride, int n,
                           int thresh) {
   int thresh2 = 2 * thresh + 1;
-  uint8_t* r1 = p - 2 * hstride;
-  uint8_t* r0 = p - hstride;
-  uint8_t* s0 = p;
-  uint8_t* s1 = p + hstride;
-  for (int i = 0; i < n; i++) {
-    const int j = i * vstride;
-    int p1 = r1[j], p0 = r0[j], q0 = s0[j], q1 = s1[j];
+  uint8_t lanes[4][16];
+  for (int r = 0; r < 4; r++) {
+    const uint8_t* src = p + (std::ptrdiff_t)(r - 2) * hstride;
+    for (int j = 0; j < n; j++) lanes[r][j] = src[(std::ptrdiff_t)j * vstride];
+  }
+  for (int j = 0; j < 16; j++) {
+    int p1 = lanes[0][j], p0 = lanes[1][j], q0 = lanes[2][j], q1 = lanes[3][j];
     int nf = 4 * iabs(p0 - q0) + iabs(p1 - q1) <= thresh2;
     int a = 3 * (q0 - p0) + sclip1(p1 - q1);
     int a1 = sclip2((a + 4) >> 3);
     int a2 = sclip2((a + 3) >> 3);
     int fp0 = clip255i(p0 + a2), fq0 = clip255i(q0 - a1);
-    r0[j] = (uint8_t)(nf ? fp0 : p0);
-    s0[j] = (uint8_t)(nf ? fq0 : q0);
+    lanes[1][j] = (uint8_t)(nf ? fp0 : p0);
+    lanes[2][j] = (uint8_t)(nf ? fq0 : q0);
+  }
+  for (int r = 1; r < 3; r++) {
+    uint8_t* dst = p + (std::ptrdiff_t)(r - 2) * hstride;
+    for (int j = 0; j < n; j++) dst[(std::ptrdiff_t)j * vstride] = lanes[r][j];
   }
 }
 
@@ -848,25 +1127,22 @@ int wtpu_vp8_decode_frame(
           uint8_t* vp = v_out + (size_t)mb_y * 8 * cs + mb_x * 8;
           if (mb_x > 0) {
             filter_loop26(yp, 1, ys, 16, limit + 4, il, hv);
-            filter_loop26(up, 1, cs, 8, limit + 4, il, hv);
-            filter_loop26(vp, 1, cs, 8, limit + 4, il, hv);
+            filter_loop26_uv(up, vp, 1, cs, limit + 4, il, hv);
           }
           if (inner) {
             for (int dx = 4; dx <= 12; dx += 4)
               filter_loop24(yp + dx, 1, ys, 16, limit, il, hv);
-            filter_loop24(up + 4, 1, cs, 8, limit, il, hv);
-            filter_loop24(vp + 4, 1, cs, 8, limit, il, hv);
+            filter_loop24_uv(up + 4, vp + 4, 1, cs, limit, il, hv);
           }
           if (mb_y > 0) {
             filter_loop26(yp, ys, 1, 16, limit + 4, il, hv);
-            filter_loop26(up, cs, 1, 8, limit + 4, il, hv);
-            filter_loop26(vp, cs, 1, 8, limit + 4, il, hv);
+            filter_loop26_uv(up, vp, cs, 1, limit + 4, il, hv);
           }
           if (inner) {
             for (int dy = 4; dy <= 12; dy += 4)
               filter_loop24(yp + (size_t)dy * ys, ys, 1, 16, limit, il, hv);
-            filter_loop24(up + (size_t)4 * cs, cs, 1, 8, limit, il, hv);
-            filter_loop24(vp + (size_t)4 * cs, cs, 1, 8, limit, il, hv);
+            filter_loop24_uv(up + (size_t)4 * cs, vp + (size_t)4 * cs,
+                             cs, 1, limit, il, hv);
           }
         }
       }
