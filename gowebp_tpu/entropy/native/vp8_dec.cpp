@@ -1170,12 +1170,47 @@ static inline void yuv2rgba_px(int y, int u, int v, uint8_t* o) {
 }
 
 // One interpolated chroma row pair: T = chroma row k, B = row k+1.
+// Note 2*i < width always holds for 1 <= i < w2 (w2 = ceil(width/2)),
+// so the pairwise writes are unconditional and the loop is
+// lane-parallel over i; an AVX2 path computes 16 i's per step.
 static void fancy_row(const uint8_t* T, const uint8_t* B, int w2, int width,
                       uint8_t* out_top /* len width */, bool is_top) {
   // is_top: produce the "top" output row of the pair, else the bottom.
   if (is_top) out_top[0] = (uint8_t)((3 * T[0] + B[0] + 2) >> 2);
   else out_top[0] = (uint8_t)((3 * B[0] + T[0] + 2) >> 2);
-  for (int i = 1; i < w2; i++) {
+  int i = 1;
+#if defined(__AVX2__)
+  for (; i + 16 <= w2; i += 16) {
+    const __m256i tl = lf_load(T + i - 1), t = lf_load(T + i);
+    const __m256i l = lf_load(B + i - 1), c = lf_load(B + i);
+    const __m256i avg = _mm256_add_epi16(
+        _mm256_add_epi16(_mm256_add_epi16(tl, t), _mm256_add_epi16(l, c)),
+        _mm256_set1_epi16(8));
+    const __m256i d12 = _mm256_srai_epi16(
+        _mm256_add_epi16(avg, _mm256_slli_epi16(_mm256_add_epi16(t, l), 1)),
+        3);
+    const __m256i d03 = _mm256_srai_epi16(
+        _mm256_add_epi16(avg, _mm256_slli_epi16(_mm256_add_epi16(tl, c), 1)),
+        3);
+    __m256i odd, evn;  // out[2i-1], out[2i]
+    if (is_top) {
+      odd = _mm256_srai_epi16(_mm256_add_epi16(d12, tl), 1);
+      evn = _mm256_srai_epi16(_mm256_add_epi16(d03, t), 1);
+    } else {
+      odd = _mm256_srai_epi16(_mm256_add_epi16(d03, l), 1);
+      evn = _mm256_srai_epi16(_mm256_add_epi16(d12, c), 1);
+    }
+    const __m128i o8 = _mm_packus_epi16(_mm256_castsi256_si128(odd),
+                                        _mm256_extracti128_si256(odd, 1));
+    const __m128i e8 = _mm_packus_epi16(_mm256_castsi256_si128(evn),
+                                        _mm256_extracti128_si256(evn, 1));
+    _mm_storeu_si128((__m128i*)(out_top + 2 * i - 1),
+                     _mm_unpacklo_epi8(o8, e8));
+    _mm_storeu_si128((__m128i*)(out_top + 2 * i + 15),
+                     _mm_unpackhi_epi8(o8, e8));
+  }
+#endif
+  for (; i < w2; i++) {
     const int tl = T[i - 1], t = T[i], l = B[i - 1], c = B[i];
     const int avg = tl + t + l + c + 8;
     const int d12 = (avg + 2 * (t + l)) >> 3;
@@ -1195,6 +1230,61 @@ static void fancy_row(const uint8_t* T, const uint8_t* B, int w2, int width,
       out_top[width - 1] = (uint8_t)((3 * B[w2 - 1] + T[w2 - 1] + 2) >> 2);
   }
 }
+
+#if defined(__AVX2__)
+// 16 pixels of BT.601 YUV→RGBA per step, exact same fixed-point math as
+// yuv2rgba_px: (x*k)>>8 == mulhi_epu16(x<<8, k); the one sum that can
+// exceed int16 (yy + ub) saturates at 32767 which the >>6 clamp to
+// 16383 makes exact.
+static void yuv2rgba_row_avx2(const uint8_t* y, const uint8_t* u,
+                              const uint8_t* v, int width, uint8_t* o) {
+  const __m256i k19077 = _mm256_set1_epi16(19077);
+  const __m256i k26149 = _mm256_set1_epi16((short)26149);
+  const __m256i k6419 = _mm256_set1_epi16(6419);
+  const __m256i k13320 = _mm256_set1_epi16(13320);
+  const __m256i k33050 = _mm256_set1_epi16((short)33050);
+  const __m256i c14234 = _mm256_set1_epi16(14234);
+  const __m256i c8708 = _mm256_set1_epi16(8708);
+  const __m256i c17685 = _mm256_set1_epi16(17685);
+  const __m256i vmax = _mm256_set1_epi16((256 << 6) - 1);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m128i a8 = _mm_set1_epi8((char)255);
+  int x = 0;
+  for (; x + 16 <= width; x += 16) {
+    const __m256i y8 = _mm256_slli_epi16(lf_load(y + x), 8);
+    const __m256i u8v = _mm256_slli_epi16(lf_load(u + x), 8);
+    const __m256i v8v = _mm256_slli_epi16(lf_load(v + x), 8);
+    const __m256i yy = _mm256_mulhi_epu16(y8, k19077);
+    __m256i rr = _mm256_adds_epi16(
+        yy, _mm256_sub_epi16(_mm256_mulhi_epu16(v8v, k26149), c14234));
+    __m256i gg = _mm256_sub_epi16(
+        _mm256_sub_epi16(_mm256_add_epi16(yy, c8708),
+                         _mm256_mulhi_epu16(u8v, k6419)),
+        _mm256_mulhi_epu16(v8v, k13320));
+    __m256i bb = _mm256_adds_epi16(
+        yy, _mm256_sub_epi16(_mm256_mulhi_epu16(u8v, k33050), c17685));
+    rr = _mm256_srai_epi16(_mm256_max_epi16(_mm256_min_epi16(rr, vmax), zero), 6);
+    gg = _mm256_srai_epi16(_mm256_max_epi16(_mm256_min_epi16(gg, vmax), zero), 6);
+    bb = _mm256_srai_epi16(_mm256_max_epi16(_mm256_min_epi16(bb, vmax), zero), 6);
+    const __m128i r8 = _mm_packus_epi16(_mm256_castsi256_si128(rr),
+                                        _mm256_extracti128_si256(rr, 1));
+    const __m128i g8 = _mm_packus_epi16(_mm256_castsi256_si128(gg),
+                                        _mm256_extracti128_si256(gg, 1));
+    const __m128i b8 = _mm_packus_epi16(_mm256_castsi256_si128(bb),
+                                        _mm256_extracti128_si256(bb, 1));
+    const __m128i rg0 = _mm_unpacklo_epi8(r8, g8);
+    const __m128i rg1 = _mm_unpackhi_epi8(r8, g8);
+    const __m128i ba0 = _mm_unpacklo_epi8(b8, a8);
+    const __m128i ba1 = _mm_unpackhi_epi8(b8, a8);
+    uint8_t* op = o + 4 * (size_t)x;
+    _mm_storeu_si128((__m128i*)(op + 0), _mm_unpacklo_epi16(rg0, ba0));
+    _mm_storeu_si128((__m128i*)(op + 16), _mm_unpackhi_epi16(rg0, ba0));
+    _mm_storeu_si128((__m128i*)(op + 32), _mm_unpacklo_epi16(rg1, ba1));
+    _mm_storeu_si128((__m128i*)(op + 48), _mm_unpackhi_epi16(rg1, ba1));
+  }
+  for (; x < width; x++) yuv2rgba_px(y[x], u[x], v[x], o + 4 * (size_t)x);
+}
+#endif  // __AVX2__
 
 // Fused RGBA→YUV420 import (reference ImportYUVAFromRGBA fixed-point
 // math, picture conversions.go): per-pixel Y, 2x2-accumulated chroma
@@ -1248,8 +1338,12 @@ void wtpu_yuv_to_rgba_fancy(const uint8_t* yp, const uint8_t* up,
   auto emit_row = [&](int r) {
     const uint8_t* y = yp + (int64_t)r * y_stride;
     uint8_t* o = out + (int64_t)r * width * 4;
+#if defined(__AVX2__)
+    yuv2rgba_row_avx2(y, urow.data(), vrow.data(), width, o);
+#else
     for (int x = 0; x < width; x++)
       yuv2rgba_px(y[x], urow[x], vrow[x], o + 4 * x);
+#endif
   };
 
   // Row 0: self-pair of chroma row 0.
