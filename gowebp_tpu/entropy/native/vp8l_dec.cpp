@@ -9,6 +9,9 @@
 //
 // Build: g++ -O3 -fPIC -shared (see native_loader.py).
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -17,28 +20,41 @@
 namespace {
 
 // ----------------------------------------------------------------------
-// LSB-first bit reader with 64-bit prefetch.
+// LSB-first bit reader with a cached 64-bit window: one unaligned load
+// per ~40 consumed bits instead of one per peek.  The refill invariant
+// guarantees >= 20 valid window bits before any decode step (max single
+// read is a 15-bit Huffman code or 19 extra bits).
 // ----------------------------------------------------------------------
 struct BitReader {
   const uint8_t* data;
   uint64_t size;
   uint64_t bit_pos;
+  uint64_t window = 0;
+  int avail = 0;
 
-  inline uint32_t peek(int n) const {
+  void refill() {
     uint64_t byte_pos = bit_pos >> 3;
-    int off = (int)(bit_pos & 7);
     uint64_t chunk = 0;
     if (byte_pos + 8 <= size) {
       std::memcpy(&chunk, data + byte_pos, 8);
-    } else {
-      int avail = (int)(size - byte_pos);
-      if (avail > 0) std::memcpy(&chunk, data + byte_pos, avail);
+    } else if (byte_pos < size) {
+      std::memcpy(&chunk, data + byte_pos, size - byte_pos);
     }
-    return (uint32_t)((chunk >> off) & ((1ull << n) - 1));
+    window = chunk >> (bit_pos & 7);
+    avail = 64 - (int)(bit_pos & 7);
+  }
+  inline uint32_t peek(int n) const {
+    return (uint32_t)(window & ((1ull << n) - 1));
+  }
+  inline void consume(int n) {
+    window >>= n;
+    avail -= n;
+    bit_pos += n;
+    if (avail < 20) refill();
   }
   inline uint32_t read(int n) {
     uint32_t v = peek(n);
-    bit_pos += n;
+    consume(n);
     return v;
   }
   inline bool overrun() const { return bit_pos > size * 8; }
@@ -68,7 +84,7 @@ struct HuffTable {
     uint32_t key = br.peek(ROOT_BITS);
     const HuffEntry& e = root[key];
     if (e.len) {
-      br.bit_pos += e.len;
+      br.consume(e.len);
       return e.sym;
     }
     // Subtable.
@@ -76,7 +92,7 @@ struct HuffTable {
     uint32_t hi = key2 >> ROOT_BITS;
     int32_t off = sub_off[key];
     const HuffEntry& s = sub[off + (hi & ((1u << sub_bits[key]) - 1))];
-    br.bit_pos += s.len;
+    br.consume(s.len);
     return s.sym;
   }
 };
@@ -196,37 +212,17 @@ static inline int prefix_decode(BitReader& br, int code) {
   return offset + (int)br.read(extra) + 1;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode the pixel stream.  Group tables are described by concatenated
-// code-length arrays: for group g, code c (0..4), lengths are at
-// code_lengths[code_offsets[g*5+c] .. +alphabet_sizes[c]-1].
-// Returns 0 on success; fills *bit_pos_out.
-int wtpu_vp8l_decode_pixels(
-    const uint8_t* data, uint64_t data_size, uint64_t bit_pos_in,
-    int width, int height, int num_groups,
-    const int32_t* alphabet_sizes, const int32_t* code_lengths,
-    const int32_t* code_offsets,
-    const int32_t* huffman_image, int huffman_bits, int meta_w,
-    int cache_bits,
-    uint32_t* out_pixels, uint64_t* bit_pos_out) {
-  init_dist_map();
-  BitReader br{data, data_size, bit_pos_in};
-
-  std::vector<HuffTable> tables((size_t)num_groups * 5);
-  for (int g = 0; g < num_groups; g++) {
-    for (int c = 0; c < 5; c++) {
-      if (!build_table(code_lengths + code_offsets[g * 5 + c],
-                       alphabet_sizes[c], &tables[g * 5 + c]))
-        return 1;
-    }
-  }
-
-  const int cache_size = cache_bits > 0 ? (1 << cache_bits) : 0;
-  std::vector<uint32_t> cache(cache_size, 0);
-  const int cache_shift = cache_bits > 0 ? 32 - cache_bits : 0;
+// Main symbol loop, specialized on meta-huffman / color-cache presence
+// so the per-pixel branches compile away.
+template <bool META, bool CACHE>
+static int decode_pixels_loop(BitReader& br, int width, int height,
+                              const std::vector<HuffTable>& tables,
+                              int num_groups, const int32_t* huffman_image,
+                              int huffman_bits, int meta_w, int cache_bits,
+                              uint32_t* out_pixels) {
+  const int cache_size = CACHE ? (1 << cache_bits) : 0;
+  std::vector<uint32_t> cache((size_t)cache_size, 0);
+  const int cache_shift = CACHE ? 32 - cache_bits : 0;
   const int cache_limit = 256 + 24;
 
   int64_t npix = (int64_t)width * height;
@@ -240,7 +236,7 @@ int wtpu_vp8l_decode_pixels(
   int last_key = -1;
 
   while (pos < npix) {
-    if (huffman_image) {
+    if (META) {
       int key = (y >> huffman_bits) * meta_w + (x >> huffman_bits);
       if (key != last_key) {
         int g = huffman_image[key];
@@ -261,7 +257,7 @@ int wtpu_vp8l_decode_pixels(
       uint32_t alpha = g_alpha->decode(br);
       uint32_t argb = (alpha << 24) | (red << 16) | ((uint32_t)sym << 8) | blue;
       out_pixels[pos++] = argb;
-      if (cache_size) cache[(uint32_t)(0x1e35a7bdu * argb) >> cache_shift] = argb;
+      if (CACHE) cache[(uint32_t)(0x1e35a7bdu * argb) >> cache_shift] = argb;
       if (++x >= width) { x = 0; y++; }
     } else if (sym < cache_limit) {
       int length = prefix_decode(br, sym - 256);
@@ -271,21 +267,26 @@ int wtpu_vp8l_decode_pixels(
       if (dist > pos || pos + length > npix) return 4;
       const uint32_t* src = out_pixels + pos - dist;
       uint32_t* dst = out_pixels + pos;
-      if (cache_size) {
+      if (CACHE) {
         for (int k = 0; k < length; k++) {
           uint32_t argb = src[k];
           dst[k] = argb;
           cache[(uint32_t)(0x1e35a7bdu * argb) >> cache_shift] = argb;
         }
-      } else {
+      } else if (dist >= length) {
+        std::memcpy(dst, src, (size_t)length * 4);
+      } else {  // overlapping pattern copy
         for (int k = 0; k < length; k++) dst[k] = src[k];
       }
       pos += length;
-      x = (int)(pos % width);
-      y = (int)(pos / width);
-      last_key = -1;
+      x += length;
+      if (x >= width) {
+        y += x / width;
+        x %= width;
+      }
+      if (META) last_key = -1;
     } else {
-      if (!cache_size) return 5;
+      if (!CACHE) return 5;
       int idx = sym - cache_limit;
       if (idx >= cache_size) return 5;
       uint32_t argb = cache[idx];
@@ -294,6 +295,58 @@ int wtpu_vp8l_decode_pixels(
     }
   }
   if (br.overrun()) return 3;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode the pixel stream.  Group tables are described by concatenated
+// code-length arrays: for group g, code c (0..4), lengths are at
+// code_lengths[code_offsets[g*5+c] .. +alphabet_sizes[c]-1].
+// Returns 0 on success; fills *bit_pos_out.
+int wtpu_vp8l_decode_pixels(
+    const uint8_t* data, uint64_t data_size, uint64_t bit_pos_in,
+    int width, int height, int num_groups,
+    const int32_t* alphabet_sizes, const int32_t* code_lengths,
+    const int32_t* code_offsets,
+    const int32_t* huffman_image, int huffman_bits, int meta_w,
+    int cache_bits,
+    uint32_t* out_pixels, uint64_t* bit_pos_out) {
+  init_dist_map();
+  BitReader br{data, data_size, bit_pos_in};
+  br.refill();
+
+  std::vector<HuffTable> tables((size_t)num_groups * 5);
+  for (int g = 0; g < num_groups; g++) {
+    for (int c = 0; c < 5; c++) {
+      if (!build_table(code_lengths + code_offsets[g * 5 + c],
+                       alphabet_sizes[c], &tables[g * 5 + c]))
+        return 1;
+    }
+  }
+
+  const bool meta = huffman_image != nullptr;
+  const bool cache = cache_bits > 0;
+  int rc;
+  if (meta && cache)
+    rc = decode_pixels_loop<true, true>(br, width, height, tables, num_groups,
+                                        huffman_image, huffman_bits, meta_w,
+                                        cache_bits, out_pixels);
+  else if (meta)
+    rc = decode_pixels_loop<true, false>(br, width, height, tables, num_groups,
+                                         huffman_image, huffman_bits, meta_w,
+                                         cache_bits, out_pixels);
+  else if (cache)
+    rc = decode_pixels_loop<false, true>(br, width, height, tables, num_groups,
+                                         huffman_image, huffman_bits, meta_w,
+                                         cache_bits, out_pixels);
+  else
+    rc = decode_pixels_loop<false, false>(br, width, height, tables, num_groups,
+                                          huffman_image, huffman_bits, meta_w,
+                                          cache_bits, out_pixels);
+  if (rc) return rc;
   *bit_pos_out = br.bit_pos;
   return 0;
 }
@@ -381,18 +434,52 @@ void wtpu_vp8l_color_inverse(uint32_t* argb, int width, int height,
   for (int y = 0; y < height; y++) {
     uint32_t* row = argb + (int64_t)y * width;
     const uint32_t* trow = timg + (int64_t)(y >> bits) * tiles_per_row;
-    for (int x = 0; x < width; x++) {
-      uint32_t t = trow[x >> bits];
-      int g2r = (int8_t)(t & 0xff);
-      int g2b = (int8_t)((t >> 8) & 0xff);
-      int r2b = (int8_t)((t >> 16) & 0xff);
-      uint32_t v = row[x];
-      int g = (int8_t)((v >> 8) & 0xff);
-      int r = (int)((v >> 16) & 0xff);
-      int b = (int)(v & 0xff);
-      r = (r + ((g2r * g) >> 5)) & 0xff;
-      b = (b + ((g2b * g) >> 5) + ((r2b * (int)(int8_t)(uint8_t)r) >> 5)) & 0xff;
-      row[x] = (v & 0xff00ff00u) | ((uint32_t)r << 16) | (uint32_t)b;
+    int x = 0;
+    while (x < width) {
+      const int tx = x >> bits;
+      int x1 = (tx + 1) << bits;
+      if (x1 > width) x1 = width;
+      const uint32_t t = trow[tx];
+      const int g2r = (int8_t)(t & 0xff);
+      const int g2b = (int8_t)((t >> 8) & 0xff);
+      const int r2b = (int8_t)((t >> 16) & 0xff);
+#if defined(__AVX2__)
+      const __m256i vg2r = _mm256_set1_epi32(g2r);
+      const __m256i vg2b = _mm256_set1_epi32(g2b);
+      const __m256i vr2b = _mm256_set1_epi32(r2b);
+      const __m256i m255 = _mm256_set1_epi32(0xff);
+      const __m256i keep = _mm256_set1_epi32((int)0xff00ff00u);
+      for (; x + 8 <= x1; x += 8) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(row + x));
+        __m256i g = _mm256_srai_epi32(_mm256_slli_epi32(v, 16), 24);
+        __m256i r = _mm256_and_si256(_mm256_srli_epi32(v, 16), m255);
+        __m256i b = _mm256_and_si256(v, m255);
+        r = _mm256_and_si256(
+            _mm256_add_epi32(
+                r, _mm256_srai_epi32(_mm256_mullo_epi32(vg2r, g), 5)),
+            m255);
+        __m256i rs = _mm256_srai_epi32(_mm256_slli_epi32(r, 24), 24);
+        b = _mm256_and_si256(
+            _mm256_add_epi32(
+                _mm256_add_epi32(
+                    b, _mm256_srai_epi32(_mm256_mullo_epi32(vg2b, g), 5)),
+                _mm256_srai_epi32(_mm256_mullo_epi32(vr2b, rs), 5)),
+            m255);
+        v = _mm256_or_si256(_mm256_and_si256(v, keep),
+                            _mm256_or_si256(_mm256_slli_epi32(r, 16), b));
+        _mm256_storeu_si256((__m256i*)(row + x), v);
+      }
+#endif
+      for (; x < x1; x++) {
+        uint32_t v = row[x];
+        int g = (int8_t)((v >> 8) & 0xff);
+        int r = (int)((v >> 16) & 0xff);
+        int b = (int)(v & 0xff);
+        r = (r + ((g2r * g) >> 5)) & 0xff;
+        b = (b + ((g2b * g) >> 5) + ((r2b * (int)(int8_t)(uint8_t)r) >> 5)) &
+            0xff;
+        row[x] = (v & 0xff00ff00u) | ((uint32_t)r << 16) | (uint32_t)b;
+      }
     }
   }
 }
@@ -407,25 +494,55 @@ void wtpu_argb_to_rgba(const uint32_t* argb, uint8_t* out, int64_t n) {
   }
 }
 
+// One constant-mode row segment; with MODE a compile-time constant the
+// predictor inlines, and the modes that don't read the left neighbor
+// (0/2/3/4/8/9) lose the loop-carried dependency and auto-vectorize.
+extern "C++" {
+template <int MODE>
+static void pred_inv_seg(uint32_t* row, const uint32_t* above, int x0,
+                         int x1, int width) {
+  for (int x = x0; x < x1; x++) {
+    uint32_t tr = x + 1 < width ? above[x + 1] : row[0];
+    uint32_t pred = predict(MODE, row[x - 1], above[x], above[x - 1], tr);
+    row[x] = add_pixels(row[x], pred);
+  }
+}
+}  // extern "C++"
+
 void wtpu_vp8l_predictor_inverse(uint32_t* argb, int width, int height,
                                  const uint32_t* mode_img, int bits,
                                  int tiles_per_row) {
-  for (int y = 0; y < height; y++) {
+  // Row 0: Left chain with black at the origin.
+  argb[0] = add_pixels(argb[0], 0xff000000u);
+  for (int x = 1; x < width; x++) argb[x] = add_pixels(argb[x], argb[x - 1]);
+  for (int y = 1; y < height; y++) {
     uint32_t* row = argb + (int64_t)y * width;
     const uint32_t* above = row - width;
     const uint32_t* modes = mode_img + (int64_t)(y >> bits) * tiles_per_row;
-    for (int x = 0; x < width; x++) {
-      uint32_t pred;
-      if (y == 0) {
-        pred = x == 0 ? 0xff000000u : row[x - 1];
-      } else if (x == 0) {
-        pred = above[0];
-      } else {
-        int mode = (int)((modes[x >> bits] >> 8) & 0xff);
-        uint32_t tr = x + 1 < width ? above[x + 1] : row[0];
-        pred = predict(mode, row[x - 1], above[x], above[x - 1], tr);
+    row[0] = add_pixels(row[0], above[0]);  // col 0 -> Top
+    int x = 1;
+    while (x < width) {
+      int tx = x >> bits;
+      int x1 = (tx + 1) << bits;
+      if (x1 > width) x1 = width;
+      switch ((int)((modes[tx] >> 8) & 0xff)) {
+        case 0: pred_inv_seg<0>(row, above, x, x1, width); break;
+        case 1: pred_inv_seg<1>(row, above, x, x1, width); break;
+        case 2: pred_inv_seg<2>(row, above, x, x1, width); break;
+        case 3: pred_inv_seg<3>(row, above, x, x1, width); break;
+        case 4: pred_inv_seg<4>(row, above, x, x1, width); break;
+        case 5: pred_inv_seg<5>(row, above, x, x1, width); break;
+        case 6: pred_inv_seg<6>(row, above, x, x1, width); break;
+        case 7: pred_inv_seg<7>(row, above, x, x1, width); break;
+        case 8: pred_inv_seg<8>(row, above, x, x1, width); break;
+        case 9: pred_inv_seg<9>(row, above, x, x1, width); break;
+        case 10: pred_inv_seg<10>(row, above, x, x1, width); break;
+        case 11: pred_inv_seg<11>(row, above, x, x1, width); break;
+        case 12: pred_inv_seg<12>(row, above, x, x1, width); break;
+        case 13: pred_inv_seg<13>(row, above, x, x1, width); break;
+        default: pred_inv_seg<0>(row, above, x, x1, width); break;
       }
-      row[x] = add_pixels(row[x], pred);
+      x = x1;
     }
   }
 }
