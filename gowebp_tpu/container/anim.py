@@ -2,8 +2,9 @@
 
 Feature parity target: /root/reference/pkg/libwebp/demux/anim_decode.go
 (dispose/blend canvas compositing) and mux/anim_encode.go
-(WebPAnimEncoderAdd/Assemble; delta-frame optimization is a later stage —
-this encoder emits full-canvas frames, which every decoder accepts).
+(WebPAnimEncoderAdd/Assemble: change-rect minimization, candidate
+trials, identical-pixel blanking, duration merging, kmin/kmax keyframe
+policy, single-frame optimization).
 """
 
 from __future__ import annotations
@@ -75,25 +76,92 @@ def decode_animation(data: bytes) -> tuple[list[AnimFrame], Demuxer]:
     return out, d
 
 
+def _encode_candidate(sub: np.ndarray, lossless: bool,
+                      quality: float) -> bytes:
+    from ..config import EncoderConfig
+    from ..encode import encode_rgba
+
+    cfg = EncoderConfig(lossless=lossless, quality=quality)
+    return encode_rgba(np.ascontiguousarray(sub), config=cfg)
+
+
+def _payloads(data: bytes) -> MuxFrame:
+    from ..container.riff import parse_riff
+
+    parsed = parse_riff(data)
+    vp8l = parsed.find(b"VP8L")
+    vp8 = parsed.find(b"VP8 ")
+    alpha = parsed.find(b"ALPH")
+    if vp8l is not None:
+        return MuxFrame(vp8l.payload, True, None)
+    if vp8 is not None:
+        return MuxFrame(vp8.payload, False, alpha.payload if alpha else None)
+    raise WebPError("internal: no image chunk produced")
+
+
 class AnimationEncoder:
     """Accumulate frames, then assemble an animated WebP.
 
-    Delta optimization (reference anim_encode.go: change-rect
-    minimization + duration merging): identical frames extend the
-    previous frame's duration; changed frames encode only the even-
-    aligned bounding rectangle of the change, placed at (x, y) with
-    overwrite blending.
+    Reference behaviors re-expressed (mux/anim_encode.go):
+    - identical frames extend the previous frame's duration
+      (IncreasePreviousDuration);
+    - changed frames encode only the even-aligned change rectangle
+      (MinimizeChangeRectangle), overwrite compositing;
+    - for lossless sub-frames whose changed pixels are all opaque, a
+      second candidate blanks the unchanged pixels to transparent and
+      composites with blending (CopyIdenticalPixels) — smaller wins;
+    - with ``allow_mixed``, lossy and lossless candidates are both tried
+      per sub-frame (PickBestCandidate);
+    - ``kmax``/``kmin`` keyframe policy: after ``kmax`` delta frames a
+      full-canvas keyframe is forced; between ``kmin`` and ``kmax`` the
+      keyframe is taken greedily when it is no larger than the delta
+      (the reference defers the choice with a penalty heuristic;
+      greedy-by-size is our equivalent). ``kmax=0`` disables forced
+      keyframes, ``kmax=1`` makes every frame a keyframe.
     """
 
     def __init__(self, *, loop_count: int = 0,
                  background_color: int = 0xFFFFFFFF,
                  minimize_size: bool = True,
-                 allow_mixed: bool = False):
+                 allow_mixed: bool = False,
+                 kmin: int = 0, kmax: int = 0):
         self._mux = Mux(loop_count=loop_count,
                         background_color=background_color)
         self._minimize = minimize_size
         self._allow_mixed = allow_mixed
+        if kmax == 1:
+            kmin, kmax = 0, 1
+        elif kmax > 1 and kmin >= kmax:
+            kmin = kmax - 1
+        self._kmin, self._kmax = kmin, kmax
+        self._since_key = 0
+        self._last_blend = False
         self._canvas: np.ndarray | None = None
+
+    def _candidates(self, sub: np.ndarray, changed: np.ndarray | None,
+                    lossless: bool, quality: float) -> bytes:
+        """Encode all compositing/codec candidates, return smallest file.
+
+        ``changed`` is the boolean change mask for ``sub`` (None for a
+        keyframe / first frame).
+        """
+        modes = [True, False] if self._allow_mixed else [lossless]
+        best: tuple[bytes, bool] | None = None
+        for ll in modes:
+            data = _encode_candidate(sub, ll, quality)
+            if best is None or len(data) < len(best[0]):
+                best = (data, False)
+            # Blanking candidate: only exact for lossless and only when
+            # every changed pixel is opaque (src-over == overwrite then).
+            if (ll and changed is not None and not changed.all()
+                    and bool(sub[changed][:, 3].min(initial=255) == 255)):
+                blanked = sub.copy()
+                blanked[~changed] = 0
+                data2 = _encode_candidate(blanked, True, quality)
+                if len(data2) < len(best[0]):
+                    best = (data2, True)
+        self._last_blend = best[1]
+        return best[0]
 
     def add_frame(self, rgba: np.ndarray, duration_ms: int, *,
                   lossless: bool = True, quality: float = 75.0) -> None:
@@ -104,62 +172,52 @@ class AnimationEncoder:
             )
         x = y = 0
         sub = rgba
+        changed = None
+        force_key = (self._kmax == 1
+                     or (self._kmax > 1 and self._since_key >= self._kmax))
+        try_key = (self._kmax > 1 and self._since_key >= self._kmin)
         if self._minimize and self._canvas is not None \
                 and self._canvas.shape == rgba.shape:
             diff = (rgba != self._canvas).any(axis=-1)
             if not diff.any():
-                # Identical frame: merge into the previous duration.
+                # Identical frame: merge into the previous duration
+                # (before any keyframe policy — no new frame is emitted).
                 if self._mux.frames:
                     self._mux.frames[-1].duration_ms += duration_ms
                     self._canvas = rgba.copy()
                     return
-            else:
+            elif not force_key:
                 ys, xs = np.nonzero(diff)
                 y0, y1 = int(ys.min()), int(ys.max()) + 1
                 x0, x1 = int(xs.min()), int(xs.max()) + 1
                 # ANMF offsets must be even; sizes stay within canvas.
                 x0 &= ~1
                 y0 &= ~1
-                # Change-rect sub-frames composite exactly for lossless;
-                # for lossy the error is confined to the changed rect
-                # (unchanged pixels keep the previous canvas), matching
-                # the reference's lossy sub-rectangle candidates
-                # (anim_encode.go ComparePixelsLossy path).
                 x, y = x0, y0
                 sub = rgba[y0:y1, x0:x1]
+                changed = diff[y0:y1, x0:x1]
         self._canvas = rgba.copy()
 
-        from ..config import EncoderConfig
-        from ..container.riff import parse_riff
-        from ..encode import encode_rgba
+        data = self._candidates(sub, changed, lossless, quality)
+        blend = self._last_blend
+        is_delta = sub.shape[:2] != rgba.shape[:2] or blend
+        if is_delta and try_key:
+            key_data = _encode_candidate(rgba, lossless, quality)
+            if len(key_data) <= len(data):
+                data, blend, x, y, is_delta = key_data, False, 0, 0, False
 
-        # Candidate trial (reference PickBestCandidate): with allow_mixed
-        # both codecs are tried and the smaller sub-frame wins.
-        modes = [lossless] if not self._allow_mixed else [True, False]
-        data = None
-        for ll in modes:
-            cfg = EncoderConfig(lossless=ll, quality=quality)
-            cand = encode_rgba(np.ascontiguousarray(sub), config=cfg)
-            if data is None or len(cand) < len(data):
-                data = cand
-        parsed = parse_riff(data)
-        vp8l = parsed.find(b"VP8L")
-        vp8 = parsed.find(b"VP8 ")
-        alpha = parsed.find(b"ALPH")
-        if vp8l is not None:
-            frame = MuxFrame(vp8l.payload, True, None)
-        elif vp8 is not None:
-            frame = MuxFrame(vp8.payload, False,
-                             alpha.payload if alpha else None)
-        else:
-            raise WebPError("internal: no image chunk produced")
+        frame = _payloads(data)
         frame.duration_ms = duration_ms
-        frame.blend = False           # overwrite compositing
+        frame.blend = blend
         frame.x = x
         frame.y = y
         self._mux.push_frame(frame)
+        self._since_key = self._since_key + 1 if is_delta else 1
 
     def assemble(self) -> bytes:
+        # Single-frame animation collapses to a still image (reference
+        # OptimizeSingleFrame): Mux already emits the simple container
+        # when it holds exactly one full-canvas frame.
         return self._mux.assemble()
 
 

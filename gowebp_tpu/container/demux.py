@@ -55,6 +55,10 @@ class Demuxer:
     iccp: bytes | None = None
     exif: bytes | None = None
     xmp: bytes | None = None
+    # Non-standard chunks, preserved in file order (reference demux.go
+    # keeps every chunk's byte range; we keep the payloads).
+    unknown_chunks: list[Chunk] = field(default_factory=list)
+    is_partial: bool = False  # tolerant parse dropped a truncated tail
 
     @property
     def num_frames(self) -> int:
@@ -85,9 +89,15 @@ def _split_subchunks(data: bytes) -> list[Chunk]:
     return out
 
 
-def demux(data: bytes) -> Demuxer:
-    parsed = parse_riff(data)
-    d = Demuxer()
+def demux(data: bytes, *, partial: bool = False) -> Demuxer:
+    """Pull-parse a container.
+
+    With ``partial=True`` a truncated file is accepted: every complete
+    frame is returned and ``is_partial`` is set (reference demux.go
+    WebPDemuxPartial — iteration over the fully-received prefix).
+    """
+    parsed = parse_riff(data, tolerant=partial)
+    d = Demuxer(is_partial=parsed.truncated)
     d.canvas_width = parsed.canvas_width
     d.canvas_height = parsed.canvas_height
     d.has_alpha = bool(parsed.vp8x_flags & VP8X_FLAG_ALPHA)
@@ -95,6 +105,11 @@ def demux(data: bytes) -> Demuxer:
 
     pending_alpha: bytes | None = None
     for c in parsed.chunks:
+        if c.truncated:
+            # Tolerant mode: drop the incomplete tail chunk but keep
+            # everything decoded so far.
+            d.is_partial = True
+            break
         if c.tag == CHUNK_ANIM:
             if len(c.payload) >= 6:
                 d.background_color, d.loop_count = struct.unpack_from(
@@ -130,6 +145,8 @@ def demux(data: bytes) -> Demuxer:
             )
             d.frames.append(f)
             pending_alpha = None
+        elif c.tag != b"VP8X":
+            d.unknown_chunks.append(Chunk(c.tag, c.payload))
 
     if not parsed.has_vp8x and d.frames:
         # Simple file: canvas = frame dims.

@@ -50,6 +50,9 @@ class MuxFrame:
         return False
 
 
+_META_TAGS = {CHUNK_ICCP: "iccp", CHUNK_EXIF: "exif", CHUNK_XMP: "xmp"}
+
+
 @dataclass
 class Mux:
     """Chunk-level editor; assemble() produces the final byte string."""
@@ -62,6 +65,37 @@ class Mux:
     background_color: int = 0xFFFFFFFF
     canvas_width: int = 0     # 0 = deduce from frames
     canvas_height: int = 0
+    # Non-standard chunks carried through verbatim (reference muxedit.go
+    # WebPMuxSetChunk accepts arbitrary fourccs).
+    unknown_chunks: list[Chunk] = field(default_factory=list)
+
+    # -- WebPMuxCreate equivalent -------------------------------------
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Mux":
+        """Parse an existing .webp into an editable Mux.
+
+        Reference: mux/muxread.c.go WebPMuxCreateInternal (chunk verify +
+        image grouping); round-trips metadata, animation params, and
+        unknown chunks.
+        """
+        from .demux import demux
+
+        d = demux(data)
+        m = cls(
+            iccp=d.iccp, exif=d.exif, xmp=d.xmp,
+            loop_count=d.loop_count, background_color=d.background_color,
+        )
+        if d.has_animation:
+            m.canvas_width = d.canvas_width
+            m.canvas_height = d.canvas_height
+        for f in d.frames:
+            m.frames.append(MuxFrame(
+                f.image_payload, f.is_lossless, f.alpha_payload,
+                x=f.x, y=f.y, duration_ms=f.duration_ms,
+                dispose_background=f.dispose_background, blend=f.blend,
+            ))
+        m.unknown_chunks = list(d.unknown_chunks)
+        return m
 
     def set_image(self, image_payload: bytes, is_lossless: bool,
                   alpha_payload: bytes | None = None) -> None:
@@ -72,6 +106,56 @@ class Mux:
 
     def delete_frame(self, index: int) -> None:
         del self.frames[index]
+
+    # -- WebPMuxSetChunk / GetChunk / DeleteChunk ----------------------
+    def set_chunk(self, fourcc: bytes | str, payload: bytes) -> None:
+        """Set a metadata chunk by fourcc; replaces any existing one."""
+        tag = fourcc.encode("ascii") if isinstance(fourcc, str) else fourcc
+        if len(tag) != 4:
+            raise WebPError("chunk fourcc must be 4 bytes")
+        if tag in _META_TAGS:
+            setattr(self, _META_TAGS[tag], payload)
+            return
+        if tag in (CHUNK_VP8, CHUNK_VP8L, CHUNK_ALPHA, CHUNK_ANIM, CHUNK_ANMF):
+            raise WebPError(f"use the image/frame API for {tag!r} chunks")
+        self.delete_chunk(tag)
+        self.unknown_chunks.append(Chunk(tag, payload))
+
+    def get_chunk(self, fourcc: bytes | str) -> bytes | None:
+        tag = fourcc.encode("ascii") if isinstance(fourcc, str) else fourcc
+        if tag in _META_TAGS:
+            return getattr(self, _META_TAGS[tag])
+        for c in self.unknown_chunks:
+            if c.tag == tag:
+                return c.payload
+        return None
+
+    def delete_chunk(self, fourcc: bytes | str) -> None:
+        tag = fourcc.encode("ascii") if isinstance(fourcc, str) else fourcc
+        if tag in _META_TAGS:
+            setattr(self, _META_TAGS[tag], None)
+            return
+        self.unknown_chunks = [c for c in self.unknown_chunks if c.tag != tag]
+
+    # -- WebPMuxSetAnimationParams / SetCanvasSize ---------------------
+    def set_animation_params(self, *, background_color: int | None = None,
+                             loop_count: int | None = None) -> None:
+        if background_color is not None:
+            self.background_color = background_color & 0xFFFFFFFF
+        if loop_count is not None:
+            if not 0 <= loop_count < (1 << 16):
+                raise WebPError("loop_count out of range")
+            self.loop_count = loop_count
+
+    def set_canvas_size(self, width: int, height: int) -> None:
+        """Explicit canvas; frames must fit (reference WebPMuxSetCanvasSize)."""
+        if width < 0 or height < 0 or width > 1 << 24 or height > 1 << 24:
+            raise WebPError("bad canvas size")
+        for f in self.frames:
+            fw, fh = f.dims()
+            if width and (f.x + fw > width or f.y + fh > height):
+                raise WebPError("canvas smaller than a frame")
+        self.canvas_width, self.canvas_height = width, height
 
     def _canvas(self) -> tuple[int, int]:
         if self.canvas_width and self.canvas_height:
@@ -144,6 +228,7 @@ class Mux:
             chunks.append(Chunk(CHUNK_EXIF, self.exif))
         if self.xmp is not None:
             chunks.append(Chunk(CHUNK_XMP, self.xmp))
+        chunks.extend(self.unknown_chunks)
         return assemble(chunks)
 
 

@@ -42,6 +42,7 @@ class Chunk:
 
     tag: bytes
     payload: bytes
+    truncated: bool = False  # tolerant parse: payload shorter than header said
 
     @property
     def padded_size(self) -> int:
@@ -73,6 +74,7 @@ class ParsedWebP:
     canvas_height: int = 0
     vp8x_flags: int = 0
     has_vp8x: bool = False
+    truncated: bool = False  # tolerant parse: data ends before RIFF size
     chunks: list[Chunk] = field(default_factory=list)
 
     def find(self, tag: bytes) -> Chunk | None:
@@ -108,9 +110,11 @@ def parse_riff(data: bytes, tolerant: bool = False) -> ParsedWebP:
         raise BitstreamError("RIFF size too small")
     # Tolerate files whose RIFF size under/over-reports slightly, but never
     # read past the buffer.
+    if not tolerant and len(data) < 8 + riff_size:
+        raise NotEnoughData("file shorter than RIFF size field declares")
     end = min(len(data), 8 + riff_size)
 
-    parsed = ParsedWebP()
+    parsed = ParsedWebP(truncated=len(data) < 8 + riff_size)
     pos = RIFF_HEADER_SIZE
     while pos + CHUNK_HEADER_SIZE <= end:
         tag = data[pos : pos + 4]
@@ -119,7 +123,7 @@ def parse_riff(data: bytes, tolerant: bool = False) -> ParsedWebP:
         if payload_start + size > end:
             if not tolerant:
                 raise NotEnoughData(f"chunk {tag!r} truncated")
-            parsed.chunks.append(Chunk(tag, data[payload_start:end]))
+            parsed.chunks.append(Chunk(tag, data[payload_start:end], truncated=True))
             break
         payload = data[payload_start : payload_start + size]
         parsed.chunks.append(Chunk(tag, payload))

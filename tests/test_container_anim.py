@@ -155,3 +155,143 @@ def test_allow_mixed_candidates():
         ours = out[i][0] if isinstance(out[i], tuple) else out[i].rgba
         np.testing.assert_array_equal(
             np.asarray(im.convert("RGBA")), ours)
+
+
+class TestMuxEditing:
+    """WebPMuxSetChunk/GetChunk/DeleteChunk, anim params, from_bytes."""
+
+    def test_chunk_api_and_from_bytes(self):
+        frames = _frames()
+        data = _pil_animation(frames, [100, 100, 100])
+        m = Mux.from_bytes(data)
+        assert len(m.frames) == 3 and m.loop_count == 2
+
+        m.set_chunk("EXIF", b"exif-bytes")
+        m.set_chunk(b"XMP ", b"<xmp/>")
+        m.set_chunk("ABCD", b"custom-payload")
+        m.set_animation_params(loop_count=7, background_color=0x80FF0000)
+        out = m.assemble()
+
+        d = demux(out)
+        assert d.exif == b"exif-bytes"
+        assert d.xmp == b"<xmp/>"
+        assert d.loop_count == 7
+        assert d.background_color == 0x80FF0000
+        assert [c.payload for c in d.unknown_chunks
+                if c.tag == b"ABCD"] == [b"custom-payload"]
+        # Frames survive the round trip bit-for-bit.
+        orig = demux(data)
+        for a, b in zip(orig.frames, d.frames):
+            assert a.image_payload == b.image_payload
+
+        m2 = Mux.from_bytes(out)
+        assert m2.get_chunk("ABCD") == b"custom-payload"
+        m2.delete_chunk("ABCD")
+        m2.delete_chunk("EXIF")
+        assert m2.get_chunk("ABCD") is None
+        d2 = demux(m2.assemble())
+        assert d2.exif is None and not d2.unknown_chunks
+
+    def test_set_canvas_size_validates(self):
+        import pytest
+
+        frames = _frames()
+        m = Mux.from_bytes(_pil_animation(frames, [100, 100, 100]))
+        from gowebp_tpu.errors import WebPError
+        with pytest.raises(WebPError):
+            m.set_canvas_size(8, 8)
+        m.set_canvas_size(64, 48)
+        d = demux(m.assemble())
+        assert (d.canvas_width, d.canvas_height) == (64, 48)
+
+
+class TestPartialDemux:
+    def test_truncated_animation(self):
+        import pytest
+
+        frames = _frames(4)
+        data = _pil_animation(frames, [100] * 4)
+        cut = data[: int(len(data) * 0.6)]
+        from gowebp_tpu.errors import NotEnoughData
+        with pytest.raises(NotEnoughData):
+            demux(cut)
+        d = demux(cut, partial=True)
+        assert d.is_partial
+        assert 1 <= d.num_frames < 4
+        # Every returned frame is fully decodable.
+        out, _ = decode_animation_partial_ok(cut)
+        assert len(out) == d.num_frames
+
+
+def decode_animation_partial_ok(data):
+    from gowebp_tpu.container.anim import AnimFrame, _blend_nonpremult, _decode_frame_rgba
+
+    d = demux(data, partial=True)
+    W, H = d.canvas_width, d.canvas_height
+    canvas = np.zeros((H, W, 4), np.uint8)
+    out = []
+    for f in d.frames:
+        rgba = _decode_frame_rgba(f)
+        fh, fw = rgba.shape[:2]
+        region = canvas[f.y : f.y + fh, f.x : f.x + fw]
+        region[:] = _blend_nonpremult(rgba, region) if f.blend else rgba
+        out.append(AnimFrame(canvas.copy(), f.duration_ms))
+    return out, d
+
+
+class TestKeyframesAndBlanking:
+    def test_kmax_forces_keyframes(self):
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, (40, 64, 4), dtype=np.uint8)
+        base[..., 3] = 255
+        frames = [base]
+        for i in range(7):
+            f = frames[-1].copy()
+            f[4 * i : 4 * i + 4, 8 : 16] = (i * 30, 255 - i * 30, 0, 255)
+            frames.append(f)
+
+        enc = AnimationEncoder(kmax=3, kmin=1)
+        for f in frames:
+            enc.add_frame(f, 50, lossless=True)
+        data = enc.assemble()
+        d = demux(data)
+        # Forced keyframes: full-canvas frames at (0,0) with no blending
+        # appear at least every 3 frames.
+        full = [
+            (f.x, f.y) == (0, 0)
+            and (f.width, f.height) == (d.canvas_width, d.canvas_height)
+            and not f.blend
+            for f in d.frames
+        ]
+        run = 0
+        for is_key in full:
+            run = 0 if is_key else run + 1
+            assert run < 3
+        # Output still composites exactly.
+        out, _ = decode_animation(data)
+        for got, want in zip(out, frames):
+            np.testing.assert_array_equal(got.rgba, want)
+
+    def test_blanking_candidate_shrinks_and_is_exact(self):
+        rng = np.random.default_rng(12)
+        base = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+        base[..., 3] = 255
+        f2 = base.copy()
+        # Sparse scattered change inside a large rect: blanking should win.
+        for i in range(6):
+            f2[8 * (i % 5) + 2, 10 * i + 1] = (255, 0, 0, 255)
+        enc = AnimationEncoder()
+        enc.add_frame(base, 100, lossless=True)
+        enc.add_frame(f2, 100, lossless=True)
+        data = enc.assemble()
+        out, d = decode_animation(data)
+        np.testing.assert_array_equal(out[0].rgba, base)
+        np.testing.assert_array_equal(out[1].rgba, f2)
+        # The second frame used blend compositing (blanked candidate).
+        assert d.frames[1].blend
+
+        import io as _io
+        from PIL import Image as _Image
+        im = _Image.open(_io.BytesIO(data))
+        im.seek(1)
+        np.testing.assert_array_equal(np.asarray(im.convert("RGBA")), f2)
