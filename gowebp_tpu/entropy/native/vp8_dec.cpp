@@ -146,10 +146,63 @@ struct MB {
   uint8_t is_i4;
   uint8_t ymode;
   uint8_t uvmode;
+  uint8_t dither;     // 1 = flat chroma (no uv AC), eligible for dithering
   uint8_t imodes[16];
   uint8_t has_nz[24];         // per 4x4 block: any dequantized coeff != 0
   int16_t coeffs[25][16];     // dequantized, raster order within block
 };
+
+// ----------------------------------------------------------------------
+// Chroma dithering (reference decoder/frame_dec.c.go VP8InitDithering/
+// DitherRow + pkg/vp8/random.go VP8Random — Knuth's subtractive lagged
+// Fibonacci generator; table is libwebp's published constant set,
+// required for bit-exact output parity).
+// ----------------------------------------------------------------------
+static const uint32_t kRandomTable[55] = {
+    0x0de15230, 0x03b31886, 0x775faccb, 0x1c88626a, 0x68385c55, 0x14b3b828,
+    0x4a85fef8, 0x49ddb84b, 0x64fcf397, 0x5c550289, 0x4a290000, 0x0d7ec1da,
+    0x5940b7ab, 0x5492577d, 0x4e19ca72, 0x38d38c69, 0x0c01ee65, 0x32a1755f,
+    0x5437f652, 0x5abb2c32, 0x0faa57b1, 0x73f533e7, 0x685feeda, 0x7563cce2,
+    0x6e990e83, 0x4730a7ed, 0x4fc0d9c6, 0x496b153c, 0x4f1403fa, 0x541afb0c,
+    0x73990b32, 0x26d7cb1c, 0x6fcc3706, 0x2cbb77d8, 0x75762f2a, 0x6425ccdd,
+    0x24b35461, 0x0a7d8715, 0x220414a8, 0x141ebf67, 0x56b41583, 0x73e502e3,
+    0x44cab16f, 0x28264d42, 0x73baaefb, 0x0a50ebed, 0x1d6ab6fb, 0x0d3ad40b,
+    0x35db3b68, 0x2b081e83, 0x77ce6b95, 0x5181e5f0, 0x78853bbc, 0x009f9494,
+    0x27e5ed3c};
+
+struct VP8Random {
+  uint32_t tab[55];
+  int i1 = 0, i2 = 31;
+  VP8Random() { std::memcpy(tab, kRandomTable, sizeof(tab)); }
+  // Centered pseudo-random with num_bits amplitude, amp in 8-bit fixpoint.
+  int bits2(int num_bits, int amp) {
+    int32_t diff = (int32_t)tab[i1] - (int32_t)tab[i2];
+    if (diff < 0) diff += (int32_t)1 << 31;
+    tab[i1] = (uint32_t)diff;
+    if (++i1 == 55) i1 = 0;
+    if (++i2 == 55) i2 = 0;
+    diff = (int32_t)((uint32_t)diff << 1) >> (32 - num_bits);
+    diff = (diff * amp) >> 8;     // restrict range
+    diff += 1 << (num_bits - 1);  // shift back to 0.5-center
+    return diff;
+  }
+};
+
+// 8x8 dither of one chroma block: draw 64 values, combine with
+// descale 4 (reference dsp/dec.c.go DitherCombine8x8_C).
+static void dither8x8(VP8Random& rg, uint8_t* dst, int stride, int amp) {
+  uint8_t dither[64];
+  for (int i = 0; i < 64; i++) dither[i] = (uint8_t)rg.bits2(8, amp);
+  for (int j = 0; j < 8; j++) {
+    for (int i = 0; i < 8; i++) {
+      const int delta0 = dither[8 * j + i] - 128;
+      const int delta1 = (delta0 + 8) >> 4;
+      const int v = dst[(std::ptrdiff_t)j * stride + i] + delta1;
+      dst[(std::ptrdiff_t)j * stride + i] =
+          (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+}
 
 struct Ctx {
   uint32_t nz = 0;
@@ -882,7 +935,8 @@ int wtpu_vp8_decode_frame(
     const int32_t* quants,               // [4][6]
     int filter_type,
     const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
-    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
+    const int32_t* dither_amps /* [4] per-segment, NULL = off */) {
   BoolDec bd;
   bd.data = p0; bd.size = p0_size; bd.pos = p0_pos;
   bd.value = p0_value; bd.range = p0_range; bd.bit_count = (int)p0_bitcount;
@@ -952,6 +1006,7 @@ int wtpu_vp8_decode_frame(
         ctx_left.nz = 0;
         if (!mb.is_i4) { above.nz_dc = 0; ctx_left.nz_dc = 0; }
         mb.skip = 1;
+        mb.dither = 0;  // explicitly skipped MBs are never dithered
       } else {
         const uint8_t* probs0 = coeff_probs + 0 * 8 * 3 * 11;
         const uint8_t* probs1 = coeff_probs + 1 * 8 * 3 * 11;
@@ -999,6 +1054,7 @@ int wtpu_vp8_decode_frame(
           lnz = (lnz >> 1) | (l << 7);
         }
         uint32_t out_t = tnz, out_l = lnz >> 4;
+        bool uv_ac = false;  // any chroma block with a coeff beyond index 0
         for (int ch = 0; ch < 4; ch += 2) {
           tnz = (above.nz >> (4 + ch)) & 0xff;
           lnz = (ctx_left.nz >> (4 + ch)) & 0xff;
@@ -1014,6 +1070,7 @@ int wtpu_vp8_decode_frame(
               tnz = (tnz >> 1) | (l << 3);
               mb.has_nz[bi] = nz > 0;
               any_nz |= (uint32_t)(nz > 0);
+              uv_ac |= nz > 1;
             }
             tnz >>= 2;
             lnz = (lnz >> 1) | (l << 5);
@@ -1024,6 +1081,8 @@ int wtpu_vp8_decode_frame(
         above.nz = out_t;
         ctx_left.nz = out_l;
         mb.skip = !any_nz;
+        // Reference vp8_dec.go:693-699: dither only flat-chroma MBs.
+        mb.dither = uv_ac ? 0 : 1;
         if (tb.exhausted()) return 1;
       }
     }
@@ -1144,6 +1203,25 @@ int wtpu_vp8_decode_frame(
             filter_loop24_uv(up + (size_t)4 * cs, vp + (size_t)4 * cs,
                              cs, 1, limit, il, hv);
           }
+        }
+      }
+    }
+  }
+
+  // --- chroma dithering (after filtering, raster order; reference
+  // frame_dec.c.go FinishRow: FilterRow then DitherRow) ---
+  if (dither_amps != nullptr &&
+      (dither_amps[0] | dither_amps[1] | dither_amps[2] | dither_amps[3])) {
+    VP8Random rg;
+    for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+      for (int mb_x = 0; mb_x < mb_w; mb_x++) {
+        const MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
+        const int amp = mb.dither ? dither_amps[mb.segment] : 0;
+        if (amp >= 4) {  // MIN_DITHER_AMP
+          uint8_t* up = u_out + (size_t)mb_y * 8 * cs + mb_x * 8;
+          uint8_t* vp = v_out + (size_t)mb_y * 8 * cs + mb_x * 8;
+          dither8x8(rg, up, cs, amp);
+          dither8x8(rg, vp, cs, amp);
         }
       }
     }

@@ -214,6 +214,7 @@ def _configure(lib) -> None:
         u8p, i32p,                            # coeff_probs, quants
         c.c_int, i32p,                        # filter_type, finfo
         u8p, u8p, u8p,                        # y, u, v out
+        i32p,                                 # dither_amps[4]
     ]
 
 

@@ -72,6 +72,7 @@ class QuantMatrix:
     y2_ac: int = 0
     uv_dc: int = 0
     uv_ac: int = 0
+    uv_quant: int = 0   # unclamped uv AC index, for dithering strength
 
 
 @dataclass
@@ -193,6 +194,7 @@ def parse_frame_header(payload: bytes) -> tuple[FrameState, BoolDecoder]:
         m.y2_ac = max(8, (int(AC_QUANT[_clip(q + dqy2_ac, 127)]) * 101581) >> 16)
         m.uv_dc = int(DC_QUANT[_clip(q + dquv_dc, 117)])
         m.uv_ac = int(AC_QUANT[_clip(q + dquv_ac, 127)])
+        m.uv_quant = q + dquv_ac
         st.dqm.append(m)
 
     # Probability updates (RFC 9.8-9.11).
@@ -322,6 +324,7 @@ class MBData:
     coeffs: np.ndarray | None = None     # (25, 16) int32, dequantized
     non_zero_y: int = 0
     non_zero_uv: int = 0
+    dither: int = 0                      # 1 = flat chroma, dither-eligible
 
 
 def _parse_residuals(bd: BoolDecoder, st: FrameState, mb: MBData,
@@ -397,6 +400,9 @@ def _parse_residuals(bd: BoolDecoder, st: FrameState, mb: MBData,
     mb.coeffs = coeffs
     mb.non_zero_y = non_zero_y
     mb.non_zero_uv = non_zero_uv
+    # Dither only flat-chroma MBs: no uv block with coeffs beyond the
+    # first (reference vp8_dec.go:693-699, mask 0xAAAA = code>=2 bits).
+    mb.dither = 0 if (non_zero_uv & 0xAAAA) else 1
     return (non_zero_y | non_zero_uv) == 0
 
 
@@ -661,7 +667,8 @@ def _loop_filter(st: FrameState, mbs, Y, U, V):
 # ---------------------------------------------------------------------------
 
 
-def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder):
+def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder,
+                           dither_amps=None):
     """C++ full-frame decode (symbols + recon + filter); None if unavailable."""
     import ctypes
 
@@ -717,6 +724,8 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder):
         st.filter_type,
         finfo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         u8p(Y), u8p(U), u8p(V),
+        np.asarray(dither_amps or [0, 0, 0, 0], np.int32)
+        .ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:
         raise BitstreamError(f"native vp8 decode failed (code {rc})")
@@ -729,7 +738,8 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder):
 
 
 def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
-                   filter_level_override: int | None = None):
+                   filter_level_override: int | None = None,
+                   dithering_strength: int = 0):
     """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped)."""
     st, bd = parse_frame_header(payload)
     if filter_level_override is not None:
@@ -739,7 +749,8 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
         )
     if bypass_filtering:
         st.filter_type = 0
-    native = _decode_vp8_yuv_native(st, bd)
+    dither_amps = _dither_amps(st, dithering_strength)
+    native = _decode_vp8_yuv_native(st, bd, dither_amps)
     if native is not None:
         return native
     mb_w, mb_h = st.mb_w, st.mb_h
@@ -778,6 +789,8 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
 
     Y, U, V = _reconstruct(st, mbs)
     _loop_filter(st, mbs, Y, U, V)
+    if any(dither_amps):
+        _apply_dithering(st, mbs, U, V, dither_amps)
 
     W, H = st.width, st.height
     y = Y[:H, :W].astype(np.uint8)
@@ -791,9 +804,8 @@ def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
                     bypass_filtering: bool = False,
                     dithering_strength: int = 0) -> np.ndarray:
     """Decode VP8 (+optional ALPH) → (H, W, 4) uint8 RGBA."""
-    y, u, v = decode_vp8_yuv(payload, bypass_filtering=bypass_filtering)
-    if dithering_strength > 0:
-        u, v = _dither_chroma(payload, u, v, dithering_strength)
+    y, u, v = decode_vp8_yuv(payload, bypass_filtering=bypass_filtering,
+                             dithering_strength=dithering_strength)
     H, W = y.shape
     out = None
     if fancy_upsampling:
@@ -835,23 +847,84 @@ def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
     return out
 
 
-def _dither_chroma(payload: bytes, u, v, strength: int):
-    """Chroma dithering for flat blocks (reference VP8InitDithering/
-    DitherRow, frame_dec.c.go:323,364 — here a deterministic triangular
-    dither scaled by the UV quantizer; a display enhancement only)."""
-    st, _ = parse_frame_header(payload)
-    amp = min(st.dqm[0].uv_ac, 12) * strength // 100
-    if amp <= 0:
-        return u, v
-    rng = np.random.default_rng(0xD17E)
-    out = []
-    for plane in (u, v):
-        noise = (rng.integers(0, amp + 1, plane.shape)
-                 + rng.integers(0, amp + 1, plane.shape)
-                 - amp).astype(np.int32)
-        out.append(np.clip(plane.astype(np.int32) + noise // 2, 0, 255)
-                   .astype(np.uint8))
-    return out[0], out[1]
+# ---------------------------------------------------------------------------
+# Chroma dithering — bit-exact re-expression of the reference
+# (frame_dec.c.go VP8InitDithering:323/DitherRow:364, pkg/vp8/random.go).
+# ---------------------------------------------------------------------------
+
+# Per-uv-quant dither amplitude (reference decoder/constants.go
+# kQuantToDitherAmp — "roughly dqm.uv_mat[1]").
+_QUANT_TO_DITHER_AMP = (8, 7, 6, 4, 4, 2, 2, 2, 1, 1, 1, 1)
+_MIN_DITHER_AMP = 4
+
+# libwebp's published VP8Random seed table (31-bit values); a format-
+# behavior constant needed for bit-exact dithered output.
+_RANDOM_TABLE = (
+    0x0de15230, 0x03b31886, 0x775faccb, 0x1c88626a, 0x68385c55, 0x14b3b828,
+    0x4a85fef8, 0x49ddb84b, 0x64fcf397, 0x5c550289, 0x4a290000, 0x0d7ec1da,
+    0x5940b7ab, 0x5492577d, 0x4e19ca72, 0x38d38c69, 0x0c01ee65, 0x32a1755f,
+    0x5437f652, 0x5abb2c32, 0x0faa57b1, 0x73f533e7, 0x685feeda, 0x7563cce2,
+    0x6e990e83, 0x4730a7ed, 0x4fc0d9c6, 0x496b153c, 0x4f1403fa, 0x541afb0c,
+    0x73990b32, 0x26d7cb1c, 0x6fcc3706, 0x2cbb77d8, 0x75762f2a, 0x6425ccdd,
+    0x24b35461, 0x0a7d8715, 0x220414a8, 0x141ebf67, 0x56b41583, 0x73e502e3,
+    0x44cab16f, 0x28264d42, 0x73baaefb, 0x0a50ebed, 0x1d6ab6fb, 0x0d3ad40b,
+    0x35db3b68, 0x2b081e83, 0x77ce6b95, 0x5181e5f0, 0x78853bbc, 0x009f9494,
+    0x27e5ed3c,
+)
+
+
+class VP8Random:
+    """Knuth's subtractive lagged-Fibonacci generator (random.go)."""
+
+    def __init__(self):
+        self.tab = list(_RANDOM_TABLE)
+        self.i1, self.i2 = 0, 31
+
+    def bits2(self, num_bits: int, amp: int) -> int:
+        diff = self.tab[self.i1] - self.tab[self.i2]
+        if diff < 0:
+            diff += 1 << 31
+        self.tab[self.i1] = diff
+        self.i1 = (self.i1 + 1) % 55
+        self.i2 = (self.i2 + 1) % 55
+        # sign-extend after <<1 (31-bit value in a 32-bit register)
+        diff = (diff << 1) & 0xFFFFFFFF
+        if diff & 0x80000000:
+            diff -= 1 << 32
+        diff >>= 32 - num_bits
+        diff = (diff * amp) >> 8        # restrict range
+        diff += 1 << (num_bits - 1)     # recenter
+        return diff
+
+
+def _dither_amps(st: FrameState, strength: int) -> list:
+    """Per-segment dither amplitudes (VP8InitDithering)."""
+    f = 0 if strength < 0 else (255 if strength > 100 else
+                                strength * 255 // 100)
+    amps = [0, 0, 0, 0]
+    if f > 0:
+        for s, m in enumerate(st.dqm):
+            if m.uv_quant < len(_QUANT_TO_DITHER_AMP):
+                idx = max(m.uv_quant, 0)
+                amps[s] = (f * _QUANT_TO_DITHER_AMP[idx]) >> 3
+    return amps
+
+
+def _apply_dithering(st: FrameState, mbs, U, V, amps) -> None:
+    """Raster-order 8x8 dither of flat-chroma MBs on the filtered planes."""
+    rg = VP8Random()
+    for mb_y in range(st.mb_h):
+        for mb_x in range(st.mb_w):
+            mb = mbs[mb_y][mb_x]
+            amp = amps[mb.segment] if mb.dither else 0
+            if amp < _MIN_DITHER_AMP:
+                continue
+            for plane in (U, V):
+                blk = plane[8 * mb_y : 8 * mb_y + 8, 8 * mb_x : 8 * mb_x + 8]
+                noise = np.array([rg.bits2(8, amp) for _ in range(64)],
+                                 np.int32).reshape(8, 8)
+                delta = (noise - 128 + 8) >> 4
+                blk[:] = np.clip(blk + delta, 0, 255)
 
 
 __all__ = ["decode_vp8_yuv", "decode_vp8_rgba", "parse_frame_header"]

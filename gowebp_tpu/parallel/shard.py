@@ -18,7 +18,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.encode_plane_jax import encode_plane_core_v2
 
@@ -63,8 +67,12 @@ def sharded_encode_plane_step(mesh: Mesh, y, u, v, *, quants):
         "y2_levels": P("data", None, "tile", None),
         "uv_levels": P("data", None, "tile", None, None),
     }
-    fn = shard_map(step, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
-                   check_rep=False)
+    try:
+        fn = shard_map(step, mesh=mesh, in_specs=specs_in,
+                       out_specs=specs_out, check_vma=False)
+    except TypeError:  # pragma: no cover - pre-0.8 jax kwarg
+        fn = shard_map(step, mesh=mesh, in_specs=specs_in,
+                       out_specs=specs_out, check_rep=False)
     return jax.jit(fn)(y, u, v)
 
 

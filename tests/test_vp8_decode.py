@@ -40,3 +40,67 @@ def test_alpha_lossy():
 
 def test_noise_low_quality():
     check(IMAGES["noise"][..., :3].copy(), quality=20)
+
+
+class TestDithering:
+    """Exact VP8Random chroma dithering (reference VP8InitDithering/
+    DitherRow + random.go): C++ and pure-Python paths must agree."""
+
+    def _decode_both(self, data, strength):
+        import gowebp_tpu.models.vp8.decoder as dec
+        from gowebp_tpu.container.riff import parse_riff
+
+        payload = parse_riff(data).find(b"VP8 ").payload
+        native = dec.decode_vp8_yuv(payload, dithering_strength=strength)
+        orig = dec._decode_vp8_yuv_native
+        try:
+            dec._decode_vp8_yuv_native = lambda *a, **k: None
+            pure = dec.decode_vp8_yuv(payload, dithering_strength=strength)
+        finally:
+            dec._decode_vp8_yuv_native = orig
+        return native, pure
+
+    def test_native_matches_python_and_only_flat_blocks_change(self):
+        rng = np.random.default_rng(5)
+        # Flat background (ditherable) + a noisy patch (has chroma AC).
+        # Dithering only engages when uv_quant < 12, i.e. high quality.
+        arr = np.full((64, 80, 3), 90, np.uint8)
+        arr[16:48, 16:48] = rng.integers(0, 256, (32, 32, 3))
+        data = pil_encode_lossy(arr, quality=98)
+
+        (yn, un, vn), (yp, up, vp) = self._decode_both(data, 100)
+        np.testing.assert_array_equal(yn, yp)
+        np.testing.assert_array_equal(un, up)
+        np.testing.assert_array_equal(vn, vp)
+
+        base_y, base_u, base_v = self._decode_both(data, 0)[0]
+        # Luma is never dithered.
+        np.testing.assert_array_equal(yn, base_y)
+        # Dithering nudged some flat chroma, by at most the descaled amp.
+        du = un.astype(int) - base_u.astype(int)
+        assert np.abs(du).max() <= 8
+        assert (du != 0).any()
+
+    def test_zero_strength_is_identity(self):
+        arr = np.full((32, 32, 3), 128, np.uint8)
+        data = pil_encode_lossy(arr, quality=60)
+        from gowebp_tpu.models.vp8.decoder import decode_vp8_yuv
+        from gowebp_tpu.container.riff import parse_riff
+        payload = parse_riff(data).find(b"VP8 ").payload
+        a = decode_vp8_yuv(payload)
+        b = decode_vp8_yuv(payload, dithering_strength=0)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_rng_reference_vector(self):
+        """First draws of VP8Random against hand-computed values."""
+        from gowebp_tpu.models.vp8.decoder import VP8Random, _RANDOM_TABLE
+
+        rg = VP8Random()
+        d0 = _RANDOM_TABLE[0] - _RANDOM_TABLE[31]
+        if d0 < 0:
+            d0 += 1 << 31
+        v = (d0 << 1) & 0xFFFFFFFF
+        v = v - (1 << 32) if v & 0x80000000 else v
+        expect = ((v >> 24) * 255 >> 8) + 128
+        assert rg.bits2(8, 255) == expect
