@@ -737,10 +737,21 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder,
     )
 
 
+def _bitpos(bd: BoolDecoder) -> int:
+    """Monotone consumed-bits proxy for the boolean decoder."""
+    return 8 * bd.pos + bd.bit_count
+
+
 def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
                    filter_level_override: int | None = None,
-                   dithering_strength: int = 0):
-    """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped)."""
+                   dithering_strength: int = 0,
+                   trace: dict | None = None):
+    """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped).
+
+    With ``trace`` (a dict), per-syntax-class bit counts are accumulated
+    into it (the reference's BITTRACE facility, SURVEY.md §5.1); tracing
+    runs the instrumented pure-Python path.
+    """
     st, bd = parse_frame_header(payload)
     if filter_level_override is not None:
         st.filter_hdr.level = filter_level_override
@@ -750,9 +761,14 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
     if bypass_filtering:
         st.filter_type = 0
     dither_amps = _dither_amps(st, dithering_strength)
-    native = _decode_vp8_yuv_native(st, bd, dither_amps)
-    if native is not None:
-        return native
+    if trace is None:
+        native = _decode_vp8_yuv_native(st, bd, dither_amps)
+        if native is not None:
+            return native
+    else:
+        trace["frame_header"] = _bitpos(bd)
+        trace["intra_modes"] = 0
+        trace["residuals"] = [0] * len(st.partitions)
     mb_w, mb_h = st.mb_w, st.mb_h
 
     # Mode/nz context arrays.
@@ -763,11 +779,16 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
     for mb_y in range(mb_h):
         intra_l = np.full(4, B_DC, np.int32)
         ctx_left = [0, 0]
-        token_bd = st.partitions[mb_y & (len(st.partitions) - 1)]
+        part_idx = mb_y & (len(st.partitions) - 1)
+        token_bd = st.partitions[part_idx]
+        if trace is not None:
+            t0, p0 = _bitpos(bd), _bitpos(token_bd)
         for mb_x in range(mb_w):
             mb = mbs[mb_y][mb_x]
             (mb.segment, mb.skip, mb.is_i4, mb.imodes, mb.uvmode) = \
                 _parse_intra_mode(bd, st, intra_t[4 * mb_x : 4 * mb_x + 4], intra_l)
+        if trace is not None:
+            trace["intra_modes"] += _bitpos(bd) - t0
         for mb_x in range(mb_w):
             mb = mbs[mb_y][mb_x]
             skip = mb.skip if st.use_skip_proba else 0
@@ -786,6 +807,8 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
                 mb.skip = 1
             if token_bd.exhausted():
                 raise BitstreamError("truncated token partition")
+        if trace is not None:
+            trace["residuals"][part_idx] += _bitpos(token_bd) - p0
 
     Y, U, V = _reconstruct(st, mbs)
     _loop_filter(st, mbs, Y, U, V)

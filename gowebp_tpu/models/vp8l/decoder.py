@@ -380,18 +380,27 @@ class _StreamHeader:
 
 
 def _parse_stream_header(br: BitReader, xsize: int, ysize: int, *,
-                         top_level: bool) -> _StreamHeader:
-    """Everything before the pixel loop (reference VP8LDecodeHeader)."""
+                         top_level: bool,
+                         trace: dict | None = None) -> _StreamHeader:
+    """Everything before the pixel loop (reference VP8LDecodeHeader).
+
+    ``trace`` (optional dict) collects per-syntax-class bit counts —
+    the BITTRACE facility (SURVEY.md §5.1).
+    """
     hdr = _StreamHeader()
     transforms: list[Transform] = []
     seen: set[int] = set()
     cur_xsize = xsize
+    p0 = br.bit_pos
     if top_level:
         while br.read_bit():
             t, cur_xsize = _read_transform(br, cur_xsize, ysize, seen)
             transforms.append(t)
             if len(transforms) > 4:
                 raise BitstreamError("too many transforms")
+    if trace is not None:
+        trace["transforms"] = br.bit_pos - p0
+        p0 = br.bit_pos
 
     cache_bits = 0
     if br.read_bit():
@@ -409,6 +418,9 @@ def _parse_stream_header(br: BitReader, xsize: int, ysize: int, *,
         raw = _decode_image_stream(br, hw, hh, top_level=False)
         huffman_image = ((raw >> 8) & 0xFFFF).astype(np.int32)
         num_groups = int(huffman_image.max()) + 1
+    if trace is not None:
+        trace["meta_huffman"] = br.bit_pos - p0
+        p0 = br.bit_pos
 
     hdr.transforms = transforms
     hdr.cur_xsize = cur_xsize
@@ -416,6 +428,8 @@ def _parse_stream_header(br: BitReader, xsize: int, ysize: int, *,
     hdr.huffman_image = huffman_image
     hdr.huffman_bits = huffman_bits
     hdr.groups = _read_prefix_groups(br, num_groups, cache_bits)
+    if trace is not None:
+        trace["huffman_codes"] = br.bit_pos - p0
     return hdr
 
 

@@ -53,3 +53,38 @@ def test_progress_hook_runs_and_aborts():
     cfg2 = EncoderConfig(lossless=True, progress_hook=lambda p: False)
     with pytest.raises(EncodeError, match="abort"):
         encode_rgba(IMAGES["solid"], config=cfg2)
+
+
+class TestBitAccounting:
+    """BITTRACE analog (SURVEY.md §5.1): per-syntax-class bit counts."""
+
+    def test_lossy_classes_cover_stream(self):
+        import io
+        import numpy as np
+        from PIL import Image
+        from gowebp_tpu.utils.bittrace import bit_accounting
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "WEBP", quality=60)
+        r = bit_accounting(b.getvalue())
+        assert r["format"] == "lossy"
+        c = r["classes"]
+        assert c["residuals"] > c["intra_modes"] > 0
+        assert 0 < sum(c.values()) <= r["total_bits"]
+        assert sum(r["residuals_per_partition"]) == c["residuals"]
+
+    def test_lossless_classes_cover_stream(self):
+        import numpy as np
+        from gowebp_tpu import encode_rgba
+        from gowebp_tpu.utils.bittrace import bit_accounting
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 4, (40, 56, 4), dtype=np.uint8) * 80
+        arr[..., 3] = 255
+        r = bit_accounting(encode_rgba(arr, lossless=True))
+        assert r["format"] == "lossless"
+        c = r["classes"]
+        assert c["pixel_data"] > 0 and c["huffman_codes"] > 0
+        assert 0 < sum(c.values()) <= r["total_bits"]
