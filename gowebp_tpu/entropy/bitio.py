@@ -93,5 +93,17 @@ class BitWriter:
         w._used = self._used
         return w
 
+    def append_writer(self, other: "BitWriter") -> None:
+        """Splice another writer's bits onto this one (56-bit chunks)."""
+        data = bytes(other._buf)
+        n7 = len(data) - (len(data) % 7)
+        for i in range(0, n7, 7):
+            self.put_bits(int.from_bytes(data[i : i + 7], "little"), 56)
+        if n7 != len(data):
+            rest = data[n7:]
+            self.put_bits(int.from_bytes(rest, "little"), 8 * len(rest))
+        if other._used:
+            self.put_bits(other._acc, other._used)
+
 
 __all__ = ["BitReader", "BitWriter"]

@@ -532,8 +532,9 @@ def finalize_probas(stats: np.ndarray):
     def cost(prob):
         p = prob / 256.0
         with np.errstate(divide="ignore", invalid="ignore"):
-            c = -n0 * np.log2(np.maximum(p, 1e-9)) \
-                - n1 * np.log2(np.maximum(1.0 - p, 1e-9))
+            inv_ln2 = 1.4426950408889634
+            c = (-n0 * np.log(p + 1e-9)
+                 - n1 * np.log(1.0 - p + 1e-9)) * inv_ln2
         return c
 
     old_cost = cost(old)

@@ -36,6 +36,19 @@ from . import transforms_np as tnp
 # ---------------------------------------------------------------------------
 
 
+
+_INV_LN2 = 1.0 / np.log(2.0)
+
+
+def _log2f(x):
+    """np.log2 replacement: this numpy build's log2 ufunc lacks the SIMD
+    path and is ~90x slower than log; glibc's log() additionally takes a
+    ~35x slow branch on inputs equal to exactly 1.0, so callers bias
+    count/probability arrays by a tiny epsilon.  Cost estimates don't
+    need exactly-rounded-at-powers-of-two semantics."""
+    return np.log(x) * _INV_LN2
+
+
 def prefix_encode(value: int) -> tuple[int, int, int]:
     """1-based value → (code, extra_bits_count, extra_bits_value)."""
     u = value - 1
@@ -544,7 +557,7 @@ def _choose_predictors(argb: np.ndarray, bits: int,
 
     # Per-tile per-channel pixel counts (edge tiles are smaller).
     npx = np.bincount(tile_id, minlength=T).astype(np.float64)
-    n_log_n = 4.0 * npx * np.log2(np.maximum(npx, 1.0))
+    n_log_n = 4.0 * npx * _log2f(npx + 1e-9)
 
     folded = np.minimum(np.arange(256), np.arange(256)[::-1] + 1)
     mag_bias = (0.04 * folded).astype(np.float64)
@@ -559,7 +572,7 @@ def _choose_predictors(argb: np.ndarray, bits: int,
             hist += np.bincount(base + ch * 256 + b, minlength=T * 1024)
         hh = hist.reshape(T, 1024).astype(np.float64)
         # Shannon: 4*N*log2(N) - sum n_i*log2(n_i), channels disjoint bins.
-        ent = n_log_n - (hh * np.log2(np.maximum(hh, 1.0))).sum(axis=1)
+        ent = n_log_n - (hh * _log2f(hh + 1e-9)).sum(axis=1)
         bias = hh @ np.tile(mag_bias, 4)
         costs[mode] = ent + bias
 
@@ -602,9 +615,9 @@ def _choose_predictors(argb: np.ndarray, bits: int,
                 for ch, shift in enumerate((24, 16, 8, 0)):
                     glob[ch] += np.bincount((res >> shift) & 0xFF,
                                             minlength=256)
-        logp = np.log2((glob + 0.1) / (glob.sum(axis=1, keepdims=True) + 25.6))
+        logp = _log2f((glob + 0.1) / (glob.sum(axis=1, keepdims=True) + 25.6))
         mcount = np.bincount(modes.ravel(), minlength=14).astype(np.float64)
-        mode_cost = -np.log2((mcount + 0.1) / (mcount.sum() + 1.4))
+        mode_cost = -_log2f((mcount + 0.1) / (mcount.sum() + 1.4))
 
         new_costs = np.empty((14, T), np.float64)
         for mode in range(14):
@@ -898,7 +911,7 @@ def _symbol_costs(h: np.ndarray) -> np.ndarray:
     if tot <= 0:
         return np.full(len(h), 8.0, np.float32)
     p = (h.astype(np.float64) + 0.2) / (tot + 0.2 * len(h))
-    return (-np.log2(p)).astype(np.float32)
+    return (-_log2f(p + 1e-12)).astype(np.float32)
 
 
 def build_refs_optimal(argb: np.ndarray, width: int, quality: int,
@@ -955,7 +968,7 @@ def _entropy_bits(hists) -> float:
         if tot == 0:
             continue
         nz = h[h > 0].astype(np.float64)
-        total_bits += float((nz * (np.log2(tot) - np.log2(nz))).sum())
+        total_bits += float((nz * (np.log2(tot) - _log2f(nz + 1e-9))).sum())
         # Rough header cost per used symbol.
         total_bits += 6.0 * len(nz)
     return total_bits
@@ -1033,7 +1046,7 @@ def _entropy_of_rows(H: np.ndarray, slices) -> np.ndarray:
         tot = sub.sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             p = sub / np.maximum(tot[:, None], 1)
-            bits = -np.where(sub > 0, sub * np.log2(np.maximum(p, 1e-12)), 0.0)
+            bits = -np.where(sub > 0, sub * _log2f(p + 1e-12), 0.0)
         out += bits.sum(axis=1)
     return out
 
@@ -1045,8 +1058,8 @@ def _tree_entropy(H: np.ndarray, a: int, b: int) -> np.ndarray:
     """Shannon bits of one tree's sub-histogram per row."""
     sub = H[:, a:b].astype(np.float64)
     tot = sub.sum(axis=1)
-    n_log_n = tot * np.log2(np.maximum(tot, 1.0))
-    return n_log_n - (sub * np.log2(np.maximum(sub, 1.0))).sum(axis=1)
+    n_log_n = tot * _log2f(tot + 1e-9)
+    return n_log_n - (sub * _log2f(sub + 1e-9)).sum(axis=1)
 
 
 def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 48,
@@ -1131,7 +1144,7 @@ def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 48,
         logp = np.empty(rows.shape, np.float64)
         for a, b in slices:
             sub = rows[:, a:b].astype(np.float64) + 0.04
-            logp[:, a:b] = np.log2(sub / sub.sum(axis=1, keepdims=True))
+            logp[:, a:b] = _log2f(sub / sub.sum(axis=1, keepdims=True) + 1e-12)
         bits = -(H @ logp.T)            # (T, G) cross-entropy bits
         new_assign = bits.argmin(axis=1)
         if np.array_equal(new_assign, group_of):
@@ -1197,24 +1210,33 @@ def _emit_refs_grouped_native(bw, refs, codes_flat, groups_per_op, width,
 
 
 def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
-                          quality: int = 75, stats=None) -> None:
+                          quality: int = 75, stats=None,
+                          method: int = 4) -> None:
     """Top-level spatially-coded image body (after transform headers)."""
     height = argb.shape[0]
     lut = _build_dist_code_lut(width)
     best = None
     if quality >= 20:
-        candidates = (0, 6, 8, 10) if quality >= 90 else (0, 8)
+        candidates = ((0, 6, 8, 10) if quality >= 90 and method >= 5
+                      else (0, 8))
+        # Pick cache-bits with the cheap greedy parse, then spend the
+        # cost-model optimal parse only on the winner (the reference's
+        # CalculateBestCacheSize is likewise an estimate-only pre-pass,
+        # backward_references_enc.c.go:696).
         for cb in candidates:
-            refs = (build_refs_optimal(argb, width, quality, cb)
-                    if quality >= 65 else None)
-            if refs is None:
-                refs = build_refs_lz77(argb, width, quality, cb)
+            refs = build_refs_lz77(argb, width, quality, cb)
             if refs is None:
                 break
             hists = _build_histograms(refs, width, lut, cb)
             cost = _entropy_bits(hists)
             if best is None or cost < best[0]:
                 best = (cost, cb, refs, hists)
+        if best is not None and quality >= 65:
+            cb = best[1]
+            refs = build_refs_optimal(argb, width, quality, cb)
+            if refs is not None:
+                hists = _build_histograms(refs, width, lut, cb)
+                best = (_entropy_bits(hists), cb, refs, hists)
     if best is None:
         refs = build_backward_refs(argb, width)
         best = (0.0, 0, refs, _build_histograms(refs, width, lut, 0))
@@ -1351,6 +1373,7 @@ def _pack_palette_indices(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 
 
 def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
+                       method: int = 4,
                        use_predictor: bool | None = None,
                        bw: BitWriter | None = None, stats=None) -> BitWriter:
     """Encode the image-stream portion (after the 5-byte header).
@@ -1358,7 +1381,8 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
     Crunch choice (reference EncoderAnalyze/CrunchConfig,
     vp8l_encoder.go:220-320): paletted images normally take the
     color-indexing path, but mid/large palettes also try the photo path
-    (subtract-green/predictor) and the smaller stream wins.
+    (subtract-green/predictor) and the smaller stream wins.  ``method``
+    scales trial effort like the reference's method→crunch mapping.
     """
     h, w = argb.shape
     if bw is None:
@@ -1370,15 +1394,20 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
             pal_bw = BitWriter()
             _encode_stream_palette(pal_bw, argb, palette, quality, None)
             photo_bw = BitWriter()
-            _encode_stream_photo(photo_bw, argb, quality, use_predictor, None)
-            if pal_bw.bit_count <= photo_bw.bit_count:
+            _encode_stream_photo(photo_bw, argb, quality, method,
+                                 use_predictor, None)
+            if stats is None:
+                bw.append_writer(pal_bw if pal_bw.bit_count
+                                 <= photo_bw.bit_count else photo_bw)
+            elif pal_bw.bit_count <= photo_bw.bit_count:
                 _encode_stream_palette(bw, argb, palette, quality, stats)
             else:
-                _encode_stream_photo(bw, argb, quality, use_predictor, stats)
+                _encode_stream_photo(bw, argb, quality, method,
+                                     use_predictor, stats)
         else:
             _encode_stream_palette(bw, argb, palette, quality, stats)
     else:
-        _encode_stream_photo(bw, argb, quality, use_predictor, stats)
+        _encode_stream_photo(bw, argb, quality, method, use_predictor, stats)
     return bw
 
 
@@ -1454,7 +1483,7 @@ def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
 
 
 def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
-                         use_predictor, stats) -> None:
+                         method: int, use_predictor, stats) -> None:
     w = argb.shape[1]
     h = argb.shape[0]
 
@@ -1470,14 +1499,18 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         # gradients — something the per-tile entropy metric (which sees
         # "few symbols" either way) cannot distinguish from clamped
         # modes whose wrap seams break long LZ77 matches.
-        if quality >= 90:
+        # Trial breadth follows the reference's method→crunch mapping
+        # (vp8l_encoder.go EncoderAnalyze: one config at the default
+        # method, wide trials only for method 5/6).
+        if method >= 6 and quality >= 90:
             bit_cands = (3, 4, 5)
-        elif quality >= 50:
+        elif method >= 5 and quality >= 50:
             bit_cands = (4, 5)
         else:
             bit_cands = (4,)
-        sg_opts = (True, False) if quality >= 75 else (True,)
-        iters = 4 if quality >= 90 else 2
+        sg_opts = ((True, False) if quality >= 75 and method >= 5
+                   else (True,))
+        iters = 4 if method >= 6 and quality >= 90 else 2
         use_cross = quality >= 50
         cc_bits = 4
         entries = []
@@ -1511,17 +1544,21 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                     cost = _refs_cost_bits(cres, w, 25) + phdr + chdr
                     entries.append((cost, sg, bits, mode_img, cimg, cres))
         entries.sort(key=lambda e: e[0])
-        if quality >= 75 and len(entries) > 1:
+        emitted = None
+        if quality >= 75 and method >= 5 and len(entries) > 1:
             # The LZ77+single-histogram estimate ignores color-cache and
-            # meta-huffman effects; rescore the two closest candidates
-            # with a full scratch emission of the spatial stream.
+            # meta-huffman effects; rescore the closest candidates with
+            # a full scratch emission of the spatial stream (kept and
+            # spliced below so the winner is not re-encoded).
             rescored = []
-            for e in entries[:3]:
+            for e in entries[: 3 if method >= 6 else 2]:
                 sbw = BitWriter()
-                _write_spatial_stream(sbw, e[5], w, quality)
-                rescored.append((sbw.bit_count, e))
+                _write_spatial_stream(sbw, e[5], w, quality, method=method)
+                rescored.append((sbw.bit_count, sbw, e))
             rescored.sort(key=lambda t: t[0])
-            best = rescored[0][1]
+            best = rescored[0][2]
+            if stats is None:
+                emitted = rescored[0][1]
         else:
             best = entries[0]
         _, use_sg, bits, mode_img, cc_img, work = best
@@ -1572,7 +1609,11 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             stats.transforms.append("subtract-green")
         if use_predictor:
             stats.transforms.append("predictor")
-    _write_spatial_stream(bw, work, w, quality, stats=stats)
+    if use_predictor and emitted is not None:
+        bw.append_writer(emitted)
+    else:
+        _write_spatial_stream(bw, work, w, quality, stats=stats,
+                              method=method)
 
 
 def _sub_scalar(pixel: int, pred: int) -> int:
@@ -1582,7 +1623,8 @@ def _sub_scalar(pixel: int, pred: int) -> int:
     return out
 
 
-def encode_vp8l(rgba: np.ndarray, *, quality: int = 75, stats=None) -> bytes:
+def encode_vp8l(rgba: np.ndarray, *, quality: int = 75, method: int = 4,
+                stats=None) -> bytes:
     """(H, W, 4) uint8 RGBA → VP8L chunk payload."""
     if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
         raise EncodeError("expected (H, W, 3|4) array")
@@ -1602,7 +1644,8 @@ def encode_vp8l(rgba: np.ndarray, *, quality: int = 75, stats=None) -> bytes:
     bw.put_bits(h - 1, 14)
     bw.put_bits(1 if has_alpha else 0, 1)
     bw.put_bits(0, 3)  # version
-    encode_vp8l_stream(argb, quality=quality, bw=bw, stats=stats)
+    encode_vp8l_stream(argb, quality=quality, method=method, bw=bw,
+                       stats=stats)
     return bw.getvalue()
 
 
