@@ -390,13 +390,32 @@ def encode_plane_core_v2(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac,
 
 @partial(jax.jit, static_argnames=("y1_dc", "y1_ac", "y2_dc", "y2_ac",
                                    "uv_dc", "uv_ac"))
-def encode_plane_step(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
-    """Single-device jitted entry (see encode_plane_core_v2)."""
+def _encode_plane_step_xla(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac,
+                           uv_dc, uv_ac):
     return encode_plane_core_v2(
         y, u, v,
         y1_dc=y1_dc, y1_ac=y1_ac, y2_dc=y2_dc, y2_ac=y2_ac,
         uv_dc=uv_dc, uv_ac=uv_ac,
     )
+
+
+def encode_plane_step(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
+    """Single-device jitted entry (see encode_plane_core_v2).
+
+    With GOWEBP_PALLAS=1 on a TPU backend, dispatches to the fused
+    Pallas kernels (ops/pallas/encode_plane.py — bit-identical outputs);
+    otherwise runs the pure-XLA plane engine.
+    """
+    import os
+
+    kwargs = dict(y1_dc=y1_dc, y1_ac=y1_ac, y2_dc=y2_dc, y2_ac=y2_ac,
+                  uv_dc=uv_dc, uv_ac=uv_ac)
+    if (os.environ.get("GOWEBP_PALLAS") == "1"
+            and jax.default_backend() == "tpu"):
+        from .pallas.encode_plane import encode_plane_step_pallas
+
+        return encode_plane_step_pallas(y, u, v, **kwargs)
+    return _encode_plane_step_xla(y, u, v, **kwargs)
 
 
 __all__ = ["encode_plane_step", "encode_plane_core", "encode_plane_core_v2"]
