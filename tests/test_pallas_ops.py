@@ -45,3 +45,28 @@ def test_pallas_other_quants():
     for k in ref:
         np.testing.assert_array_equal(
             np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
+
+
+class TestDecodePost:
+    def _check(self, b, h, w, with_alpha=False):
+        from gowebp_tpu.ops.pallas.decode_post import yuv420_to_rgba_pallas
+        from gowebp_tpu.ops.yuv_jax import batch_yuv_to_rgba
+
+        y = jnp.array(RNG.integers(0, 256, (b, h, w)), jnp.int32)
+        u = jnp.array(RNG.integers(0, 256, (b, h // 2, w // 2)), jnp.int32)
+        v = jnp.array(RNG.integers(0, 256, (b, h // 2, w // 2)), jnp.int32)
+        ref = np.asarray(batch_yuv_to_rgba(y, u, v))
+        alpha = None
+        if with_alpha:
+            alpha = jnp.array(RNG.integers(0, 256, (b, h, w)), jnp.int32)
+            ref = ref.copy()
+            ref[..., 3] = np.asarray(alpha, np.uint8)
+        got = np.asarray(yuv420_to_rgba_pallas(y, u, v, alpha, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("shape", [(1, 16, 16), (2, 32, 64), (1, 48, 10)])
+    def test_matches_xla(self, shape):
+        self._check(*shape)
+
+    def test_alpha_plane(self):
+        self._check(1, 32, 32, with_alpha=True)
