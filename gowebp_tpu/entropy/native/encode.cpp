@@ -6,10 +6,15 @@
 // same token tree); the Python emitter (models/vp8/encoder.py) is the
 // correctness oracle.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+
+extern "C" {
+static void prefix_encode_c(int value, int* code, int* nbits, int* bits);
+}
 
 #include "vp8_tables.h"
 
@@ -466,6 +471,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
 
   int64_t n_ops = 0;
   int64_t pos = 0;
+  int64_t last_match = 0;
   while (pos < n) {
     int best_len = 0;
     int64_t best_dist = 0;
@@ -478,9 +484,15 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
       int l = match_len(pos - width, pos);
       if (l > best_len) { best_len = l; best_dist = width; }
     }
-    if (pos + 1 < n && best_len < MAX_LEN) {
+    if (pos + 1 < n && best_len < 64) {
+      // 64 = "good enough" cutoff: beyond it the copy already spans a
+      // whole length-prefix bucket and further chain walking buys
+      // little (the cost-model DP refines the parse at q>=65 anyway).
+      // Long match droughts (noisy photographic content) decay the
+      // chain-walk budget — the reference's quality-scaled iteration
+      // budget, made adaptive.
       int32_t cand = head[hash_at(pos)];
-      int tries = depth;
+      int tries = pos - last_match > 4096 ? (depth < 4 ? depth : 4) : depth;
       while (cand >= 0 && tries-- > 0) {
         int64_t d = pos - cand;
         if (d > WINDOW) break;
@@ -490,7 +502,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
           if (l > best_len || (l == best_len && d < best_dist)) {
             best_len = l;
             best_dist = d;
-            if (best_len >= MAX_LEN) break;
+            if (best_len >= 64) break;
           }
         }
         cand = prev[cand];
@@ -499,7 +511,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
     if (best_len >= 4) {
       // Lazy matching: if starting one pixel later yields a clearly
       // longer match, emit a literal instead and take it next round.
-      if (best_len < 128 && pos + 2 < n) {
+      if (best_len < 32 && pos + 2 < n) {
         int32_t cand = head[hash_at(pos + 1)];
         int tries = depth >> 1;
         int next_best = 0;
@@ -546,6 +558,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
       lengths[n_ops] = best_len;
       dists[n_ops] = (int32_t)best_dist;
       n_ops++;
+      last_match = pos;
       // Insert hashes for covered positions (sparse for long matches).
       int64_t end = pos + best_len;
       int step = best_len > 64 ? 4 : 1;
@@ -585,6 +598,128 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
     }
   }
   return n_ops;
+}
+
+// Estimated body bits per color-cache size, from one cache-less greedy
+// parse (the reference's CalculateBestCacheSize strategy: simulate every
+// cache size in a single pass over the refs instead of re-parsing,
+// backward_references_enc.c.go:696).  out_bits[k] = estimated bits with
+// cache_bits=k, for k in 0..max_bits.
+void wtpu_vp8l_cache_score(const uint8_t* ops, const uint32_t* argbs,
+                           const int32_t* lengths, int64_t n_ops,
+                           const uint32_t* flat, int max_bits,
+                           double* out_bits) {
+  const int K = max_bits + 1;
+  // Per-k histograms: literal green/r/b/a (256 each) + cache hits (2^k).
+  std::vector<uint32_t> lit((size_t)K * 4 * 256, 0);
+  std::vector<std::vector<uint32_t>> hits(K);
+  std::vector<std::vector<uint32_t>> cache(K);
+  for (int k = 1; k < K; k++) {
+    hits[k].assign((size_t)1 << k, 0);
+    cache[k].assign((size_t)1 << k, 0);
+  }
+  uint32_t len_hist[24] = {0};
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_ops; i++) {
+    if (ops[i] == 1) {
+      int code, nb, bits;
+      prefix_encode_c(lengths[i], &code, &nb, &bits);
+      len_hist[code]++;
+      int64_t end = pos + lengths[i];
+      for (; pos < end; pos++) {
+        uint32_t px = flat[pos];
+        uint32_t hsh = 0x1e35a7bdu * px;
+        for (int k = 1; k < K; k++) cache[k][hsh >> (32 - k)] = px;
+      }
+    } else {
+      uint32_t px = argbs[i];
+      uint32_t hsh = 0x1e35a7bdu * px;
+      uint32_t* l0 = lit.data();  // k = 0: always literal
+      l0[(px >> 8) & 0xff]++;
+      l0[256 + ((px >> 16) & 0xff)]++;
+      l0[512 + (px & 0xff)]++;
+      l0[768 + (px >> 24)]++;
+      for (int k = 1; k < K; k++) {
+        uint32_t idx = hsh >> (32 - k);
+        if (cache[k][idx] == px) {
+          hits[k][idx]++;
+        } else {
+          cache[k][idx] = px;
+          uint32_t* lk = lit.data() + (size_t)k * 1024;
+          lk[(px >> 8) & 0xff]++;
+          lk[256 + ((px >> 16) & 0xff)]++;
+          lk[512 + (px & 0xff)]++;
+          lk[768 + (px >> 24)]++;
+        }
+      }
+      pos++;
+    }
+  }
+  // Entropy + ~6 bits/used-symbol header proxy (matches the Python
+  // _entropy_bits estimate used elsewhere for trial scoring).
+  auto ent_of = [](const uint32_t* h, size_t n, double& tot_out,
+                   double& sum_nlogn, int& used) {
+    for (size_t i = 0; i < n; i++) {
+      if (h[i]) {
+        tot_out += h[i];
+        sum_nlogn += (double)h[i] * std::log2((double)h[i]);
+        used++;
+      }
+    }
+  };
+  for (int k = 0; k < K; k++) {
+    double bits = 0.0;
+    // Green tree: literal greens + length codes + cache symbols share
+    // one distribution.
+    {
+      double tot = 0.0, s = 0.0;
+      int used = 0;
+      ent_of(lit.data() + (size_t)k * 1024, 256, tot, s, used);
+      ent_of(len_hist, 24, tot, s, used);
+      if (k > 0) ent_of(hits[k].data(), (size_t)1 << k, tot, s, used);
+      if (tot > 0) bits += tot * std::log2(tot) - s + 6.0 * used;
+    }
+    for (int ch = 1; ch < 4; ch++) {
+      double tot = 0.0, s = 0.0;
+      int used = 0;
+      ent_of(lit.data() + (size_t)k * 1024 + ch * 256, 256, tot, s, used);
+      if (tot > 0) bits += tot * std::log2(tot) - s + 6.0 * used;
+    }
+    out_bits[k] = bits;
+  }
+}
+
+// Rewrite a cache-less refs stream for a given cache_bits: literals that
+// hit the simulated cache become cache ops (in place; match structure is
+// untouched, the greedy parser's decisions do not depend on the cache).
+void wtpu_vp8l_cache_apply(uint8_t* ops, const uint32_t* argbs,
+                           int32_t* lengths, int64_t n_ops,
+                           const uint32_t* flat, int cache_bits) {
+  if (cache_bits <= 0) return;
+  const int shift = 32 - cache_bits;
+  std::vector<uint32_t> cache((size_t)1 << cache_bits, 0);
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_ops; i++) {
+    if (ops[i] == 1) {
+      int64_t end = pos + lengths[i];
+      for (; pos < end; pos++) {
+        uint32_t px = flat[pos];
+        cache[(0x1e35a7bdu * px) >> shift] = px;
+      }
+    } else {
+      uint32_t px = argbs[i];
+      uint32_t idx = (0x1e35a7bdu * px) >> shift;
+      if (cache[idx] == px) {
+        ops[i] = 2;
+        lengths[i] = (int32_t)idx;
+      } else {
+        cache[idx] = px;
+        ops[i] = 0;
+        lengths[i] = 1;
+      }
+      pos++;
+    }
+  }
 }
 
 // Greedy run-based LZ77 (dist 1 / dist width) over the flat ARGB image.
@@ -879,7 +1014,12 @@ int64_t wtpu_vp8l_optimal_refs(
       int tries = depth;
       int best_len = 0;
       int64_t best_dist = 0;
-      while (c >= 0 && tries-- > 0) {
+      // Trivial-distance lengths already known: the chain only has to
+      // beat them (64 = same good-enough cutoff as the greedy pass).
+      int floor_len = 0;
+      for (int k = 0; k < n_cand; k++)
+        if (cand_l[k] > floor_len) floor_len = cand_l[k];
+      while (c >= 0 && tries-- > 0 && best_len < 64 && floor_len < 64) {
         int64_t d = i - c;
         if (d > WINDOW) break;
         if (best_len == 0 ||
@@ -888,7 +1028,6 @@ int64_t wtpu_vp8l_optimal_refs(
           if (l > best_len || (l == best_len && d < best_dist)) {
             best_len = l;
             best_dist = d;
-            if (best_len >= MAX_LEN) break;
           }
         }
         c = prev[c];

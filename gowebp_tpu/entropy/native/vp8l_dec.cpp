@@ -579,6 +579,90 @@ static inline uint32_t sub_px(uint32_t x, uint32_t p) {
   return lo | (hi << 8);
 }
 
+// Per-tile cross-color fit (mirror of encoder.py _choose_cross_color):
+// closed-form least squares of the 3.5-bit fixed-point multipliers
+// g→r, g→b, r→b over signed int8 residual channels.  out = th*tw*3
+// int8 values (g2r, g2b, r2b per tile).
+void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
+                               int bits, int8_t* out) {
+  const int tw = (w + (1 << bits) - 1) >> bits;
+  const int th = (h + (1 << bits) - 1) >> bits;
+  const int T = tw * th;
+  std::vector<int64_t> gg(T, 0), rg(T, 0), bg(T, 0), rr(T, 0), br(T, 0);
+  for (int y = 0; y < h; y++) {
+    const uint32_t* row = argb + (size_t)y * w;
+    int64_t* ggr = gg.data() + (size_t)(y >> bits) * tw;
+    int64_t* rgr = rg.data() + (size_t)(y >> bits) * tw;
+    int64_t* bgr = bg.data() + (size_t)(y >> bits) * tw;
+    int64_t* rrr = rr.data() + (size_t)(y >> bits) * tw;
+    for (int x = 0; x < w; x++) {
+      uint32_t v = row[x];
+      int64_t g = (int8_t)((v >> 8) & 0xff);
+      int64_t r = (int8_t)((v >> 16) & 0xff);
+      int64_t b = (int8_t)(v & 0xff);
+      int t = x >> bits;
+      ggr[t] += g * g;
+      rgr[t] += r * g;
+      bgr[t] += b * g;
+      rrr[t] += r * r;
+    }
+  }
+  auto fit = [](int64_t num, int64_t den) -> int {
+    if (den < 1) den = 1;
+    double x = std::nearbyint(32.0 * (double)num / (double)den);
+    if (x < -128.0) return -128;
+    if (x > 127.0) return 127;
+    return (int)x;
+  };
+  std::vector<int8_t> g2r(T), g2b(T);
+  for (int t = 0; t < T; t++) {
+    g2r[t] = (int8_t)fit(rg[t], gg[t]);
+    g2b[t] = (int8_t)fit(bg[t], gg[t]);
+  }
+  // Second pass: blue residual after the green part, fit on red.
+  for (int y = 0; y < h; y++) {
+    const uint32_t* row = argb + (size_t)y * w;
+    const int8_t* g2br = g2b.data() + (size_t)(y >> bits) * tw;
+    int64_t* brr = br.data() + (size_t)(y >> bits) * tw;
+    for (int x = 0; x < w; x++) {
+      uint32_t v = row[x];
+      int64_t g = (int8_t)((v >> 8) & 0xff);
+      int64_t r = (int8_t)((v >> 16) & 0xff);
+      int64_t b = (int8_t)(v & 0xff);
+      int t = x >> bits;
+      int64_t bres = b - (((int64_t)g2br[t] * g) >> 5);
+      brr[t] += bres * r;
+    }
+  }
+  for (int t = 0; t < T; t++) {
+    out[3 * t + 0] = g2r[t];
+    out[3 * t + 1] = g2b[t];
+    out[3 * t + 2] = (int8_t)fit(br[t], rr[t]);
+  }
+}
+
+// Forward predictor transform: residual = pixel - pred(tile mode), with
+// the mode-independent edge rules (row 0 → Left, col 0 → Top, origin →
+// black).  Mirror of models/vp8l/encoder.py _apply_predictor_transform.
+void wtpu_vp8l_predictor_residual(const uint32_t* argb, int h, int w,
+                                  int bits, const uint32_t* mode_img,
+                                  int tiles_per_row, uint32_t* out) {
+  for (int y = 0; y < h; y++) {
+    const uint32_t* row = argb + (size_t)y * w;
+    const uint32_t* mrow = mode_img + (size_t)(y >> bits) * tiles_per_row;
+    uint32_t* orow = out + (size_t)y * w;
+    int x = 0;
+    while (x < w) {
+      const int tx = x >> bits;
+      int x1 = (tx + 1) << bits;
+      if (x1 > w) x1 = w;
+      const int mode = (int)((mrow[tx] >> 8) & 0xff);
+      for (; x < x1; x++)
+        orow[x] = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
+    }
+  }
+}
+
 void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
                                  int bits, int refine_iters,
                                  uint8_t* modes_out) {

@@ -179,6 +179,23 @@ def _configure(lib) -> None:
     lib.wtpu_vp8l_choose_predictors.argtypes = [
         u32p, c.c_int, c.c_int, c.c_int, c.c_int, u8p,
     ]
+    lib.wtpu_vp8l_cross_color_fit.restype = None
+    lib.wtpu_vp8l_cross_color_fit.argtypes = [
+        u32p, c.c_int, c.c_int, c.c_int, c.POINTER(c.c_int8),
+    ]
+    lib.wtpu_vp8l_predictor_residual.restype = None
+    lib.wtpu_vp8l_predictor_residual.argtypes = [
+        u32p, c.c_int, c.c_int, c.c_int, u32p, c.c_int, u32p,
+    ]
+    lib.wtpu_vp8l_cache_score.restype = None
+    lib.wtpu_vp8l_cache_score.argtypes = [
+        u8p, u32p, i32p, c.c_int64, u32p, c.c_int,
+        c.POINTER(c.c_double),
+    ]
+    lib.wtpu_vp8l_cache_apply.restype = None
+    lib.wtpu_vp8l_cache_apply.argtypes = [
+        u8p, u32p, i32p, c.c_int64, u32p, c.c_int,
+    ]
     f32p = c.POINTER(c.c_float)
     lib.wtpu_vp8l_optimal_refs.restype = c.c_int64
     lib.wtpu_vp8l_optimal_refs.argtypes = [

@@ -769,6 +769,22 @@ def _apply_predictor_transform(argb: np.ndarray, bits: int,
                                mode_img: np.ndarray) -> np.ndarray:
     """Residual = pixel - pred(mode per tile), vectorized per mode."""
     h, w = argb.shape
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "wtpu_vp8l_predictor_residual"):
+        import ctypes
+
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        flat = np.ascontiguousarray(argb, np.uint32)
+        modes = np.ascontiguousarray(mode_img, np.uint32)
+        out = np.empty((h, w), np.uint32)
+        lib.wtpu_vp8l_predictor_residual(
+            flat.ctypes.data_as(u32p), h, w, bits,
+            modes.ctypes.data_as(u32p), modes.shape[1],
+            out.ctypes.data_as(u32p),
+        )
+        return out
     ty = np.arange(h) >> bits
     tx = np.arange(w) >> bits
     modes = ((mode_img[np.ix_(ty, tx)] >> 8) & 0xFF).astype(np.int32)
@@ -791,6 +807,23 @@ def _residual_mag(argb: np.ndarray) -> int:
         ch = ((argb >> shift) & 0xFF).astype(np.int64)
         total += int(np.minimum(ch, 256 - ch).sum())
     return total
+
+
+def _probe_rows(argb: np.ndarray) -> np.ndarray:
+    """Row subsample for transform-trial cost probes.
+
+    Trial scoring only needs the *relative* ordering of candidates, so on
+    tall images three 128-row slabs (top/middle/bottom) stand in for the
+    full image; matches within a slab are intact, dist-width matches
+    cross slab seams harmlessly (same estimate noise for every
+    candidate).  ≤400-row images are probed exactly.
+    """
+    h = argb.shape[0]
+    if h <= 400:
+        return argb
+    slabs = [argb[r0:r0 + 128]
+             for r0 in (0, (h - 128) * 2 // 5, (h - 128) * 4 // 5)]
+    return np.ascontiguousarray(np.concatenate(slabs, axis=0))
 
 
 def _refs_cost_bits(argb: np.ndarray, width: int, quality: int) -> float:
@@ -820,6 +853,30 @@ def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
     h, w = argb.shape
     th = tnp.subsample_size(h, bits)
     tw = tnp.subsample_size(w, bits)
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "wtpu_vp8l_cross_color_fit"):
+        import ctypes
+
+        flat = np.ascontiguousarray(argb, np.uint32)
+        out = np.empty(th * tw * 3, np.int8)
+        lib.wtpu_vp8l_cross_color_fit(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            h, w, bits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+        mults = out.reshape(th, tw, 3).astype(np.int64)
+        g2r, g2b, r2b = mults[..., 0], mults[..., 1], mults[..., 2]
+        if not (g2r.any() or g2b.any() or r2b.any()):
+            return None
+        return (
+            0xFF000000
+            | ((r2b & 0xFF).astype(np.uint32) << 16)
+            | ((g2b & 0xFF).astype(np.uint32) << 8)
+            | (g2r & 0xFF).astype(np.uint32)
+        ).astype(np.uint32)
+
     tile = 1 << bits
     ph, pw = th * tile, tw * tile
     pad = np.zeros((ph, pw), np.uint32)
@@ -905,6 +962,49 @@ def build_refs_lz77(argb: np.ndarray, width: int, quality: int,
     return RefStream(ops[:n_ops], argbs[:n_ops], lens[:n_ops], dists[:n_ops])
 
 
+def _pick_cache_bits(refs: RefStream, argb: np.ndarray,
+                     max_bits: int = 10) -> int | None:
+    """Best cache_bits (0..max) by native one-pass simulation; None w/o lib."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_cache_score"):
+        return None
+    flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+    scores = np.zeros(max_bits + 1, np.float64)
+    lib.wtpu_vp8l_cache_score(
+        refs.ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        refs.argb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        refs.lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(refs.ops),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        max_bits,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return int(np.argmin(scores))
+
+
+def _apply_cache_native(refs: RefStream, argb: np.ndarray,
+                        cache_bits: int) -> None:
+    """In-place literal→cache-hit rewrite of a cache-less refs stream."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+    lib.wtpu_vp8l_cache_apply(
+        refs.ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        refs.argb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        refs.lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(refs.ops),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cache_bits,
+    )
+
+
 def _symbol_costs(h: np.ndarray) -> np.ndarray:
     """-log2 probability per symbol (bits), smoothed for unseen symbols."""
     tot = float(h.sum())
@@ -915,12 +1015,15 @@ def _symbol_costs(h: np.ndarray) -> np.ndarray:
 
 
 def build_refs_optimal(argb: np.ndarray, width: int, quality: int,
-                       cache_bits: int) -> RefStream | None:
+                       cache_bits: int,
+                       seed: RefStream | None = None) -> RefStream | None:
     """Cost-model optimal parse (native DP); None without the lib.
 
-    Greedy first pass supplies the symbol-cost model (the reference's
+    A greedy pass supplies the symbol-cost model (the reference's
     TraceBackwards strategy); the C++ DP then finds the cheapest path
     over pixel positions and rewrites literals as color-cache hits.
+    Pass ``seed`` to reuse an existing greedy parse for the cost model
+    instead of re-parsing.
     """
     import ctypes
 
@@ -929,7 +1032,8 @@ def build_refs_optimal(argb: np.ndarray, width: int, quality: int,
     lib = get_lib()
     if lib is None or not hasattr(lib, "wtpu_vp8l_optimal_refs"):
         return None
-    seed = build_refs_lz77(argb, width, quality, cache_bits)
+    if seed is None:
+        seed = build_refs_lz77(argb, width, quality, cache_bits)
     if seed is None:
         return None
     lut = _build_dist_code_lut(width)
@@ -1217,26 +1321,41 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
     lut = _build_dist_code_lut(width)
     best = None
     if quality >= 20:
-        candidates = ((0, 6, 8, 10) if quality >= 90 and method >= 5
-                      else (0, 8))
-        # Pick cache-bits with the cheap greedy parse, then spend the
-        # cost-model optimal parse only on the winner (the reference's
-        # CalculateBestCacheSize is likewise an estimate-only pre-pass,
-        # backward_references_enc.c.go:696).
-        for cb in candidates:
-            refs = build_refs_lz77(argb, width, quality, cb)
-            if refs is None:
-                break
-            hists = _build_histograms(refs, width, lut, cb)
-            cost = _entropy_bits(hists)
-            if best is None or cost < best[0]:
-                best = (cost, cb, refs, hists)
-        if best is not None and quality >= 65:
-            cb = best[1]
-            refs = build_refs_optimal(argb, width, quality, cb)
-            if refs is not None:
+        # One cache-less greedy parse; all cache sizes 0..10 are then
+        # scored by native single-pass simulation over the refs (the
+        # reference's CalculateBestCacheSize strategy,
+        # backward_references_enc.c.go:696) and the winner applied by an
+        # in-place literal→cache rewrite — no re-parsing per candidate.
+        refs = build_refs_lz77(argb, width, quality, 0)
+        if refs is not None:
+            cb = _pick_cache_bits(refs, argb)
+            if cb is None:
+                # Native scorer unavailable: fall back to two trials.
+                for cand in (0, 8):
+                    r2 = build_refs_lz77(argb, width, quality, cand)
+                    h2 = _build_histograms(r2, width, lut, cand)
+                    c2 = _entropy_bits(h2)
+                    if best is None or c2 < best[0]:
+                        best = (c2, cand, r2, h2)
+            else:
+                if cb:
+                    _apply_cache_native(refs, argb, cb)
                 hists = _build_histograms(refs, width, lut, cb)
                 best = (_entropy_bits(hists), cb, refs, hists)
+        # The cost-model DP only pays when there are real matches to
+        # re-arrange; on photographic (near-all-literal) streams it
+        # burns a full parse to reshuffle nothing.
+        n_copies = int((best[2].ops == 1).sum()) if best is not None else 0
+        if (best is not None and quality >= 65
+                and n_copies * 50 >= argb.size):
+            cb = best[1]
+            refs = build_refs_optimal(argb, width, quality, cb,
+                                      seed=best[2])
+            if refs is not None:
+                hists = _build_histograms(refs, width, lut, cb)
+                cost = _entropy_bits(hists)
+                if cost < best[0]:
+                    best = (cost, cb, refs, hists)
     if best is None:
         refs = build_backward_refs(argb, width)
         best = (0.0, 0, refs, _build_histograms(refs, width, lut, 0))
@@ -1513,7 +1632,7 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         iters = 4 if method >= 6 and quality >= 90 else 2
         use_cross = quality >= 50
         cc_bits = 4
-        entries = []
+        jobs = []
         for sg in sg_opts:
             base = tnp.subtract_green_forward(argb) if sg else argb
             cand_imgs = [
@@ -1527,22 +1646,41 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                     uni = np.full((th5, tw5),
                                   0xFF000000 | (um << 8), np.uint32)
                     cand_imgs.append((5, uni))
-            for bits, mode_img in cand_imgs:
-                res = _apply_predictor_transform(base, bits, mode_img)
-                scratch = BitWriter()
-                _write_image_stream(scratch, mode_img, mode_img.shape[1])
-                phdr = scratch.bit_count
-                cc_img = (_choose_cross_color(res, cc_bits)
-                          if use_cross else None)
-                cand = [(None, res, 0)]
-                if cc_img is not None:
-                    cc_res = tnp.color_transform_forward(res, cc_img, cc_bits)
-                    s2 = BitWriter()
-                    _write_image_stream(s2, cc_img, cc_img.shape[1])
-                    cand.append((cc_img, cc_res, s2.bit_count + 6))
-                for cimg, cres, chdr in cand:
-                    cost = _refs_cost_bits(cres, w, 25) + phdr + chdr
-                    entries.append((cost, sg, bits, mode_img, cimg, cres))
+            jobs.extend((sg, base, bits, mode_img)
+                        for bits, mode_img in cand_imgs)
+
+        def _trial(job):
+            sg, base, bits, mode_img = job
+            res = _apply_predictor_transform(base, bits, mode_img)
+            scratch = BitWriter()
+            _write_image_stream(scratch, mode_img, mode_img.shape[1])
+            phdr = scratch.bit_count
+            cc_img = (_choose_cross_color(res, cc_bits)
+                      if use_cross else None)
+            cand = [(None, res, 0)]
+            if cc_img is not None:
+                cc_res = tnp.color_transform_forward(res, cc_img, cc_bits)
+                s2 = BitWriter()
+                _write_image_stream(s2, cc_img, cc_img.shape[1])
+                cand.append((cc_img, cc_res, s2.bit_count + 6))
+            out = []
+            for cimg, cres, chdr in cand:
+                cost = (_refs_cost_bits(_probe_rows(cres), w, 25)
+                        + phdr + chdr)
+                out.append((cost, sg, bits, mode_img, cimg, cres))
+            return out
+
+        # The heavy probe work is native (GIL released); run trials
+        # concurrently — the codec analog of the reference's side-worker
+        # crunch-config split (vp8l_encoder.go:1492).
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(jobs), 6)) as ex:
+                results = list(ex.map(_trial, jobs))
+        else:
+            results = [_trial(job) for job in jobs]
+        entries = [e for out in results for e in out]
         entries.sort(key=lambda e: e[0])
         emitted = None
         if quality >= 75 and method >= 5 and len(entries) > 1:
@@ -1588,8 +1726,9 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             trial = tnp.color_transform_forward(work, cc_img, cc_bits)
             scratch = BitWriter()
             _write_image_stream(scratch, cc_img, cc_img.shape[1])
-            if (_refs_cost_bits(trial, w, quality) + scratch.bit_count + 6
-                    < _refs_cost_bits(work, w, quality)):
+            if (_refs_cost_bits(_probe_rows(trial), w, quality)
+                    + scratch.bit_count + 6
+                    < _refs_cost_bits(_probe_rows(work), w, quality)):
                 bw.put_bits(1, 1)
                 bw.put_bits(1, 2)      # COLOR_TRANSFORM
                 bw.put_bits(cc_bits - 2, 3)
