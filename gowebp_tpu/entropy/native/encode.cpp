@@ -469,6 +469,13 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
     return len;
   };
 
+  // depth encodes quality (8 + quality/5); at quality >= 90 the caller
+  // asked for maximum effort, so disable the good-enough cutoffs and
+  // drought decay and search full chains up to MAX_LEN.
+  const bool exhaustive = depth >= 26;
+  const int good_enough = exhaustive ? MAX_LEN : 64;
+  const int lazy_threshold = exhaustive ? 128 : 32;
+
   int64_t n_ops = 0;
   int64_t pos = 0;
   int64_t last_match = 0;
@@ -484,15 +491,16 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
       int l = match_len(pos - width, pos);
       if (l > best_len) { best_len = l; best_dist = width; }
     }
-    if (pos + 1 < n && best_len < 64) {
-      // 64 = "good enough" cutoff: beyond it the copy already spans a
+    if (pos + 1 < n && best_len < good_enough) {
+      // good_enough cutoff (fast modes only): beyond 64 the copy spans a
       // whole length-prefix bucket and further chain walking buys
       // little (the cost-model DP refines the parse at q>=65 anyway).
       // Long match droughts (noisy photographic content) decay the
       // chain-walk budget — the reference's quality-scaled iteration
-      // budget, made adaptive.
+      // budget, made adaptive.  Both disabled in exhaustive mode.
       int32_t cand = head[hash_at(pos)];
-      int tries = pos - last_match > 4096 ? (depth < 4 ? depth : 4) : depth;
+      int tries = (!exhaustive && pos - last_match > 4096)
+                      ? (depth < 4 ? depth : 4) : depth;
       while (cand >= 0 && tries-- > 0) {
         int64_t d = pos - cand;
         if (d > WINDOW) break;
@@ -502,7 +510,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
           if (l > best_len || (l == best_len && d < best_dist)) {
             best_len = l;
             best_dist = d;
-            if (best_len >= 64) break;
+            if (best_len >= good_enough) break;
           }
         }
         cand = prev[cand];
@@ -511,7 +519,7 @@ int64_t wtpu_vp8l_hashchain_refs(const uint32_t* flat, int64_t n, int width,
     if (best_len >= 4) {
       // Lazy matching: if starting one pixel later yields a clearly
       // longer match, emit a literal instead and take it next round.
-      if (best_len < 32 && pos + 2 < n) {
+      if (best_len < lazy_threshold && pos + 2 < n) {
         int32_t cand = head[hash_at(pos + 1)];
         int tries = depth >> 1;
         int next_best = 0;

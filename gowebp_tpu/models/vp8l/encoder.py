@@ -1346,8 +1346,10 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
         # re-arrange; on photographic (near-all-literal) streams it
         # burns a full parse to reshuffle nothing.
         n_copies = int((best[2].ops == 1).sum()) if best is not None else 0
+        # At quality >= 90 the user opted into exhaustive search: always
+        # run the DP, even on mostly-literal streams.
         if (best is not None and quality >= 65
-                and n_copies * 50 >= argb.size):
+                and (quality >= 90 or n_copies * 50 >= argb.size)):
             cb = best[1]
             refs = build_refs_optimal(argb, width, quality, cb,
                                       seed=best[2])
@@ -1726,8 +1728,13 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             trial = tnp.color_transform_forward(work, cc_img, cc_bits)
             scratch = BitWriter()
             _write_image_stream(scratch, cc_img, cc_img.shape[1])
+            # Probed costs cover only probe_frac of the rows, so amortize
+            # the one-time header cost by the same fraction before the
+            # absolute header-vs-savings comparison (full-height savings
+            # are ~1/probe_frac times the probed delta).
+            probe_frac = min(1.0, _probe_rows(work).shape[0] / work.shape[0])
             if (_refs_cost_bits(_probe_rows(trial), w, quality)
-                    + scratch.bit_count + 6
+                    + (scratch.bit_count + 6) * probe_frac
                     < _refs_cost_bits(_probe_rows(work), w, quality)):
                 bw.put_bits(1, 1)
                 bw.put_bits(1, 2)      # COLOR_TRANSFORM
