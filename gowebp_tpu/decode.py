@@ -144,17 +144,26 @@ def decode_yuv(data: bytes):
 
 
 def decode_rgba_batch(datas: list, use_tpu: bool = True,
-                      threads: int = 0) -> list:
-    """Decode many .webp files; same-sized lossy images share one TPU
-    post-processing launch (chroma upsample + color conversion batched).
+                      threads: int = 0, recon_backend: str = "jax") -> list:
+    """Decode many .webp files with the pixel-rate phases on TPU.
 
-    Host entropy decode + reconstruction fans out over threads (the C++
-    decoder releases the GIL); the dense pixel-rate work runs as a single
-    batched jit call.
+    Host threads run the sequential entropy decode (the C++ layer
+    releases the GIL); all dense work — dequant+iDCT, the intra
+    reconstruction wavefront, the loop filter, chroma upsample and
+    YUV→RGBA — runs as batched jit calls, one launch per
+    (width, height, filter_type) group.
+
+    recon_backend: "jax" reconstructs on-device
+    (ops/vp8_recon_jax.recon_frame); "host" keeps reconstruction in the
+    native C++ path and only post-processes on TPU.  Outputs are
+    bit-identical either way.
     """
     import concurrent.futures as cf
 
-    from .models.vp8.decoder import decode_vp8_yuv
+    from .models.vp8.decoder import (decode_vp8_symbols, decode_vp8_yuv,
+                                     vp8_filter_params)
+
+    use_jax_recon = use_tpu and recon_backend == "jax"
 
     def host_one(data):
         parsed = parse_riff(data)
@@ -165,6 +174,9 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
             or parsed.find(CHUNK_ALPHA) is not None
         ):
             return ("full", decode_rgba(data))
+        if use_jax_recon:
+            st, coeffs, modes = decode_vp8_symbols(vp8.payload)
+            return ("syms", (st, coeffs, modes, vp8_filter_params(st, modes)))
         return ("planes", decode_vp8_yuv(vp8.payload))
 
     workers = threads if threads > 0 else min(8, max(1, len(datas)))
@@ -173,35 +185,55 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     else:
         with cf.ThreadPoolExecutor(max_workers=workers) as pool:
             host = list(pool.map(host_one, datas))
-    planes = []
-    fallback = {}
+
+    results = [None] * len(datas)
+    planes_groups = {}
+    syms_groups = {}
     for i, (kind, val) in enumerate(host):
         if kind == "full":
-            fallback[i] = val
-            planes.append(None)
+            results[i] = val
+        elif kind == "planes":
+            planes_groups.setdefault(val[0].shape, []).append((i, val))
         else:
-            planes.append(val)
+            st = val[0]
+            key = (st.width, st.height, st.filter_type)
+            syms_groups.setdefault(key, []).append((i, val))
 
-    # Group identical shapes into batches.
-    groups = {}
-    for i, p in enumerate(planes):
-        if p is not None:
-            groups.setdefault(p[0].shape, []).append(i)
-    results = [None] * len(datas)
-    if groups:
-        import numpy as np
+    import numpy as np
 
+    if planes_groups or syms_groups:
         from .ops.yuv_jax import batch_yuv_to_rgba
 
-        for shape, idxs in groups.items():
-            y = np.stack([planes[i][0] for i in idxs]).astype(np.int32)
-            u = np.stack([planes[i][1] for i in idxs]).astype(np.int32)
-            v = np.stack([planes[i][2] for i in idxs]).astype(np.int32)
-            out = np.asarray(batch_yuv_to_rgba(y, u, v))
-            for k, i in enumerate(idxs):
+    for shape, items in planes_groups.items():
+        y = np.stack([p[0] for _, p in items]).astype(np.int32)
+        u = np.stack([p[1] for _, p in items]).astype(np.int32)
+        v = np.stack([p[2] for _, p in items]).astype(np.int32)
+        out = np.asarray(batch_yuv_to_rgba(y, u, v))
+        for k, (i, _) in enumerate(items):
+            results[i] = out[k]
+
+    if syms_groups:
+        from .ops.vp8_recon_jax import recon_frame
+
+        for (W, H, ftype), items in syms_groups.items():
+            st0 = items[0][1][0]
+            coeffs = np.stack([v[1] for _, v in items])
+            modes = np.stack([v[2] for _, v in items])
+            fps = np.stack([v[3] for _, v in items])
+            Y, U, V = recon_frame(
+                coeffs,
+                modes[:, :, 0].astype(np.int32),
+                modes[:, :, 5:21].astype(np.int32),
+                modes[:, :, 1].astype(np.int32),
+                fps,
+                mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=ftype)
+            h2, w2 = (H + 1) // 2, (W + 1) // 2
+            out = np.asarray(batch_yuv_to_rgba(
+                Y[:, :H, :W].astype(np.int32),
+                U[:, :h2, :w2].astype(np.int32),
+                V[:, :h2, :w2].astype(np.int32)))
+            for k, (i, _) in enumerate(items):
                 results[i] = out[k]
-    for i, r in fallback.items():
-        results[i] = r
     return results
 
 

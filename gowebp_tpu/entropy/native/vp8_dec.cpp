@@ -920,23 +920,18 @@ static void filter_simple(uint8_t* p, int hstride, int vstride, int n,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-int wtpu_vp8_decode_frame(
+// Shared entropy-decode phase: partition-0 mode parse + token-partition
+// residual decode into dequantized per-MB coefficient blocks (the host
+// half of the TPU split, SURVEY.md Â§7).  Returns 0 on success.
+static int parse_frame_mbs(
     const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
     uint32_t p0_range, uint32_t p0_bitcount,
     const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
     int mb_w, int mb_h,
     int update_map, const uint8_t* segment_probs,
     int use_skip, int skip_p,
-    const uint8_t* coeff_probs,          // [4][8][3][11]
-    const int32_t* quants,               // [4][6]
-    int filter_type,
-    const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
-    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
-    const int32_t* dither_amps /* [4] per-segment, NULL = off */) {
+    const uint8_t* coeff_probs, const int32_t* quants,
+    std::vector<MB>& mbs) {
   BoolDec bd;
   bd.data = p0; bd.size = p0_size; bd.pos = p0_pos;
   bd.value = p0_value; bd.range = p0_range; bd.bit_count = (int)p0_bitcount;
@@ -946,9 +941,7 @@ int wtpu_vp8_decode_frame(
     tparts[i].init(parts + part_offsets[i],
                    part_offsets[i + 1] - part_offsets[i]);
 
-  const int ys = mb_w * 16;          // luma stride
-  const int cs = mb_w * 8;           // chroma stride
-  std::vector<MB> mbs((size_t)mb_w * mb_h);
+  mbs.assign((size_t)mb_w * mb_h, MB{});
   std::vector<uint8_t> intra_t((size_t)4 * mb_w, 0);
   std::vector<Ctx> ctx_above(mb_w);
 
@@ -1087,6 +1080,36 @@ int wtpu_vp8_decode_frame(
       }
     }
     if (bd.exhausted()) return 2;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int wtpu_vp8_decode_frame(
+    const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
+    uint32_t p0_range, uint32_t p0_bitcount,
+    const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
+    int mb_w, int mb_h,
+    int update_map, const uint8_t* segment_probs,
+    int use_skip, int skip_p,
+    const uint8_t* coeff_probs,          // [4][8][3][11]
+    const int32_t* quants,               // [4][6]
+    int filter_type,
+    const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
+    const int32_t* dither_amps /* [4] per-segment, NULL = off */) {
+  const int ys = mb_w * 16;          // luma stride
+  const int cs = mb_w * 8;           // chroma stride
+  std::vector<MB> mbs;
+  {
+    int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
+                             p0_bitcount, parts, part_offsets, num_parts,
+                             mb_w, mb_h, update_map, segment_probs,
+                             use_skip, skip_p, coeff_probs, quants, mbs);
+    if (rc != 0) return rc;
   }
 
   // --- reconstruction (raster order) ---
@@ -1451,6 +1474,48 @@ void wtpu_yuv_to_rgba_fancy(const uint8_t* yp, const uint8_t* up,
     fancy_row(vL, vL, w2, width, vrow.data(), true);
     emit_row(height - 1);
   }
+}
+
+// Host half of the TPU decode split (SURVEY.md §7 "arrays on TPU, bytes
+// on host"): entropy decode only, exporting dense per-MB tensors for the
+// JAX reconstruction engine (gowebp_tpu/ops/vp8_recon_jax.py).
+//
+// coeffs_out: int16 [mb_h*mb_w][24][16] dequantized coefficients in
+//   raster order within each 4x4 block; for i16 MBs the luma DC slots
+//   already hold the inverse-WHT result (blocks 0-15 luma, 16-19 U,
+//   20-23 V).
+// modes_out: uint8 [mb_h*mb_w][21]: [0]=is_i4, [1]=uvmode, [2]=segment,
+//   [3]=skip (1 = MB fully empty), [4]=dither-eligible, [5..20]=imodes
+//   (i16 MBs: ymode replicated).
+int wtpu_vp8_decode_symbols(
+    const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
+    uint32_t p0_range, uint32_t p0_bitcount,
+    const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
+    int mb_w, int mb_h,
+    int update_map, const uint8_t* segment_probs,
+    int use_skip, int skip_p,
+    const uint8_t* coeff_probs,          // [4][8][3][11]
+    const int32_t* quants,               // [4][6]
+    int16_t* coeffs_out, uint8_t* modes_out) {
+  std::vector<MB> mbs;
+  int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
+                           p0_bitcount, parts, part_offsets, num_parts,
+                           mb_w, mb_h, update_map, segment_probs,
+                           use_skip, skip_p, coeff_probs, quants, mbs);
+  if (rc != 0) return rc;
+  const size_t n = (size_t)mb_w * mb_h;
+  for (size_t i = 0; i < n; i++) {
+    const MB& mb = mbs[i];
+    std::memcpy(coeffs_out + i * 24 * 16, mb.coeffs, 24 * 16 * sizeof(int16_t));
+    uint8_t* m = modes_out + i * 21;
+    m[0] = mb.is_i4;
+    m[1] = mb.uvmode;
+    m[2] = mb.segment;
+    m[3] = mb.skip;
+    m[4] = mb.dither;
+    std::memcpy(m + 5, mb.imodes, 16);
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -234,5 +234,16 @@ def _configure(lib) -> None:
         i32p,                                 # dither_amps[4]
     ]
 
+    lib.wtpu_vp8_decode_symbols.restype = c.c_int
+    lib.wtpu_vp8_decode_symbols.argtypes = [
+        u8p, c.c_uint64, c.c_uint64, c.c_uint32, c.c_uint32, c.c_uint32,
+        u8p, u64p, c.c_int,                   # parts, offsets, num_parts
+        c.c_int, c.c_int,                     # mb_w, mb_h
+        c.c_int, u8p,                         # update_map, segment_probs
+        c.c_int, c.c_int,                     # use_skip, skip_p
+        u8p, i32p,                            # coeff_probs, quants
+        i16p, u8p,                            # coeffs_out, modes_out
+    ]
+
 
 __all__ = ["get_lib", "available"]

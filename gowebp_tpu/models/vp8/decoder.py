@@ -742,36 +742,14 @@ def _bitpos(bd: BoolDecoder) -> int:
     return 8 * bd.pos + bd.bit_count
 
 
-def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
-                   filter_level_override: int | None = None,
-                   dithering_strength: int = 0,
-                   trace: dict | None = None):
-    """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped).
+def _parse_frame_mbs(st: FrameState, bd: BoolDecoder,
+                     trace: dict | None = None) -> list:
+    """Pure-Python entropy decode: partition-0 modes + token residuals.
 
-    With ``trace`` (a dict), per-syntax-class bit counts are accumulated
-    into it (the reference's BITTRACE facility, SURVEY.md §5.1); tracing
-    runs the instrumented pure-Python path.
+    Returns the mb_h x mb_w grid of MBData with dequantized coefficients
+    (the host half of the TPU split; oracle for wtpu_vp8_decode_symbols).
     """
-    st, bd = parse_frame_header(payload)
-    if filter_level_override is not None:
-        st.filter_hdr.level = filter_level_override
-        st.filter_type = 0 if filter_level_override == 0 else (
-            1 if st.filter_hdr.simple else 2
-        )
-    if bypass_filtering:
-        st.filter_type = 0
-    dither_amps = _dither_amps(st, dithering_strength)
-    if trace is None:
-        native = _decode_vp8_yuv_native(st, bd, dither_amps)
-        if native is not None:
-            return native
-    else:
-        trace["frame_header"] = _bitpos(bd)
-        trace["intra_modes"] = 0
-        trace["residuals"] = [0] * len(st.partitions)
     mb_w, mb_h = st.mb_w, st.mb_h
-
-    # Mode/nz context arrays.
     intra_t = np.full(4 * mb_w, B_DC, np.int32)
     mbs = [[MBData() for _ in range(mb_w)] for _ in range(mb_h)]
     ctx_above = [[0, 0] for _ in range(mb_w)]   # [nz, nz_dc] per column
@@ -809,7 +787,181 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
                 raise BitstreamError("truncated token partition")
         if trace is not None:
             trace["residuals"][part_idx] += _bitpos(token_bd) - p0
+    return mbs
 
+
+def decode_vp8_symbols(payload: bytes, bypass_filtering: bool = False,
+                       filter_level_override: int | None = None):
+    """Host entropy phase → dense tensors for the TPU recon engine.
+
+    Returns ``(st, coeffs, modes)`` where ``coeffs`` is int16
+    (mb_h*mb_w, 24, 16) dequantized coefficients (luma DCs already
+    inverse-WHT'd for i16 MBs) and ``modes`` is uint8 (mb_h*mb_w, 21):
+    [is_i4, uvmode, segment, skip, dither, imodes x16].  This is the
+    "bytes on host" half of the decode split (SURVEY.md §7); the arrays
+    feed gowebp_tpu/ops/vp8_recon_jax.py.
+    """
+    st, bd = parse_frame_header(payload)
+    if filter_level_override is not None:
+        st.filter_hdr.level = filter_level_override
+        st.filter_type = 0 if filter_level_override == 0 else (
+            1 if st.filter_hdr.simple else 2
+        )
+    if bypass_filtering:
+        st.filter_type = 0
+    n = st.mb_w * st.mb_h
+    coeffs = np.zeros((n, 24, 16), np.int16)
+    modes = np.zeros((n, 21), np.uint8)
+
+    native = _decode_vp8_symbols_native(st, bd, coeffs, modes)
+    if not native:
+        mbs = _parse_frame_mbs(st, bd)
+        for mb_y in range(st.mb_h):
+            for mb_x in range(st.mb_w):
+                mb = mbs[mb_y][mb_x]
+                i = mb_y * st.mb_w + mb_x
+                coeffs[i] = mb.coeffs[:24].astype(np.int16)
+                m = modes[i]
+                m[0] = int(mb.is_i4)
+                m[1] = mb.uvmode
+                m[2] = mb.segment
+                m[3] = mb.skip
+                m[4] = mb.dither
+                m[5:21] = mb.imodes.astype(np.uint8)
+    return st, coeffs, modes
+
+
+def _decode_vp8_symbols_native(st: FrameState, bd: BoolDecoder,
+                               coeffs: np.ndarray, modes: np.ndarray) -> bool:
+    """C++ entropy decode into the provided arrays; False if unavailable."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_decode_symbols"):
+        return False
+    parts = b"".join(st.partition_bytes)
+    offsets = np.zeros(len(st.partition_bytes) + 1, np.uint64)
+    acc = 0
+    for i, pb in enumerate(st.partition_bytes):
+        offsets[i] = acc
+        acc += len(pb)
+    offsets[-1] = acc
+    seg_probs = np.array(st.segment_probs, np.uint8)
+    probs = np.ascontiguousarray(st.coeff_probs, np.uint8)
+    quants = np.zeros((4, 6), np.int32)
+    for s, m in enumerate(st.dqm):
+        quants[s] = [m.y1_dc, m.y1_ac, m.y2_dc, m.y2_ac, m.uv_dc, m.uv_ac]
+    p0 = bd.data if isinstance(bd.data, bytes) else bytes(bd.data)
+    p0_buf = (ctypes.c_uint8 * len(p0)).from_buffer_copy(p0) if p0 else None
+    parts_buf = (ctypes.c_uint8 * max(1, len(parts))).from_buffer_copy(
+        parts if parts else b"\x00"
+    )
+    rc = lib.wtpu_vp8_decode_symbols(
+        p0_buf, len(p0), bd.pos, bd.value, bd.range, bd.bit_count,
+        parts_buf,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(st.partition_bytes),
+        st.mb_w, st.mb_h,
+        int(st.segment_hdr.update_map),
+        seg_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(st.use_skip_proba), st.skip_p,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        quants.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        modes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise BitstreamError(f"native vp8 symbol decode failed (code {rc})")
+    return True
+
+
+def vp8_filter_params(st: FrameState, modes: np.ndarray) -> np.ndarray:
+    """Per-MB loop-filter parameters for the TPU engine.
+
+    Returns int32 (mb_h, mb_w, 4): [limit, ilevel, hev_thresh, inner];
+    limit < 0 disables filtering for the MB (matches the reference's
+    per-segment precompute, decoder/frame_dec.c.go PrecomputeFilterStrengths).
+    """
+    finfo = _precompute_filter_info(st)
+    n = st.mb_w * st.mb_h
+    out = np.full((n, 4), -1, np.int32)
+    if st.filter_type == 0:
+        return out.reshape(st.mb_h, st.mb_w, 4)
+    is_i4 = modes[:, 0].astype(np.int64)
+    seg = modes[:, 2].astype(np.int64)
+    skip = modes[:, 3].astype(np.int64)
+    for s in range(4):
+        for i4 in range(2):
+            fi = finfo[s][i4]
+            if fi is None:
+                continue
+            sel = (seg == s) & (is_i4 == i4)
+            out[sel, 0] = fi[0]
+            out[sel, 1] = fi[1]
+            out[sel, 2] = fi[2]
+    inner = ((is_i4 != 0) | (skip == 0)).astype(np.int32)
+    out[:, 3] = inner
+    return out.reshape(st.mb_h, st.mb_w, 4)
+
+
+def decode_vp8_yuv_jax(payload: bytes, bypass_filtering: bool = False,
+                       filter_level_override: int | None = None):
+    """TPU decode path: host entropy decode → JAX reconstruction engine.
+
+    Bit-identical to decode_vp8_yuv (dequant, iDCT, intra wavefront and
+    loop filter run on-device, gowebp_tpu/ops/vp8_recon_jax.py).
+    """
+    from ...ops.vp8_recon_jax import recon_frame
+
+    st, coeffs, modes = decode_vp8_symbols(
+        payload, bypass_filtering=bypass_filtering,
+        filter_level_override=filter_level_override)
+    fp = vp8_filter_params(st, modes)
+    Y, U, V = recon_frame(
+        coeffs[None],
+        modes[None, :, 0].astype(np.int32),
+        modes[None, :, 5:21].astype(np.int32),
+        modes[None, :, 1].astype(np.int32),
+        fp[None],
+        mb_w=st.mb_w, mb_h=st.mb_h, filter_type=st.filter_type)
+    W, H = st.width, st.height
+    return (
+        np.asarray(Y[0])[:H, :W],
+        np.asarray(U[0])[: (H + 1) // 2, : (W + 1) // 2],
+        np.asarray(V[0])[: (H + 1) // 2, : (W + 1) // 2],
+    )
+
+
+def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
+                   filter_level_override: int | None = None,
+                   dithering_strength: int = 0,
+                   trace: dict | None = None):
+    """Decode a VP8 chunk payload → (Y, U, V) uint8 planes (cropped).
+
+    With ``trace`` (a dict), per-syntax-class bit counts are accumulated
+    into it (the reference's BITTRACE facility, SURVEY.md §5.1); tracing
+    runs the instrumented pure-Python path.
+    """
+    st, bd = parse_frame_header(payload)
+    if filter_level_override is not None:
+        st.filter_hdr.level = filter_level_override
+        st.filter_type = 0 if filter_level_override == 0 else (
+            1 if st.filter_hdr.simple else 2
+        )
+    if bypass_filtering:
+        st.filter_type = 0
+    dither_amps = _dither_amps(st, dithering_strength)
+    if trace is None:
+        native = _decode_vp8_yuv_native(st, bd, dither_amps)
+        if native is not None:
+            return native
+    else:
+        trace["frame_header"] = _bitpos(bd)
+        trace["intra_modes"] = 0
+        trace["residuals"] = [0] * len(st.partitions)
+    mbs = _parse_frame_mbs(st, bd, trace)
     Y, U, V = _reconstruct(st, mbs)
     _loop_filter(st, mbs, Y, U, V)
     if any(dither_amps):

@@ -1,0 +1,152 @@
+"""TPU decode reconstruction engine vs the host reference decoder.
+
+The JAX wavefront engine (ops/vp8_recon_jax.py) must be bit-identical to
+decode_vp8_yuv (itself bit-exact vs libwebp) for every filter type,
+segment layout, and MB-grid shape.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import gowebp_tpu
+from gowebp_tpu.config import EncoderConfig
+from gowebp_tpu.constants import CHUNK_VP8
+from gowebp_tpu.container.riff import parse_riff
+from gowebp_tpu.models.vp8 import decoder as D
+from gowebp_tpu.ops import vp8_recon_jax as R
+
+
+def _vp8_payload(data: bytes) -> bytes:
+    return parse_riff(data).find(CHUNK_VP8).payload
+
+
+def _photo(shape, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    img = np.stack(
+        [
+            np.clip(120 + 60 * np.sin(xx / 9) + rng.normal(0, 10, shape), 0, 255),
+            np.clip(110 + 50 * np.cos(yy / 7), 0, 255),
+            ((xx + yy) % 256).astype(float),
+        ],
+        -1,
+    ).astype(np.uint8)
+    return img
+
+
+def _assert_jax_matches_host(payload: bytes, bypass_filtering: bool = False):
+    yh, uh, vh = D.decode_vp8_yuv(payload, bypass_filtering=bypass_filtering)
+    yj, uj, vj = D.decode_vp8_yuv_jax(payload, bypass_filtering=bypass_filtering)
+    np.testing.assert_array_equal(yj, yh)
+    np.testing.assert_array_equal(uj, uh)
+    np.testing.assert_array_equal(vj, vh)
+
+
+@pytest.mark.parametrize("quality", [10, 50, 90])
+def test_recon_matches_host_pillow_stream(quality):
+    img = _photo((80, 96))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=quality)
+    _assert_jax_matches_host(_vp8_payload(buf.getvalue()))
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (5, 3), (16, 200), (200, 16), (33, 49)]
+)
+def test_recon_matches_host_shapes(shape):
+    img = _photo(shape, seed=3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=65)
+    _assert_jax_matches_host(_vp8_payload(buf.getvalue()))
+
+
+def test_recon_matches_host_segments_and_filters():
+    """Our encoder emits 4 segments + per-config filter headers."""
+    img = _photo((72, 88), seed=2)
+    rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    for cfg in (
+        EncoderConfig(quality=75, method=4),
+        EncoderConfig(quality=30, method=4, filter_sharpness=3),
+        EncoderConfig(quality=60, method=4, filter_type=0, filter_strength=20),
+    ):
+        data = gowebp_tpu.encode_rgba(rgba, config=cfg)
+        _assert_jax_matches_host(_vp8_payload(data))
+
+
+def test_recon_matches_host_bypass_filtering():
+    img = _photo((48, 64), seed=4)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=70)
+    _assert_jax_matches_host(_vp8_payload(buf.getvalue()), bypass_filtering=True)
+
+
+def test_idct_batch_matches_numpy():
+    from gowebp_tpu.models.vp8 import dsp_np
+
+    rng = np.random.default_rng(7)
+    coeffs = rng.integers(-2048, 2048, (5, 16), np.int32)
+    got = np.asarray(R.idct4x4_batch(coeffs))
+    for i in range(5):
+        dst = np.zeros((4, 4), np.int64)
+        # idct4x4_add computes clip8(dst + residual); recover the raw
+        # residual with a zero dst and no clipping via a large offset.
+        base = np.full((4, 4), 1024, np.int64)
+        buf = base.copy()
+        dsp_np.idct4x4_add(coeffs[i], buf)
+        # clip8 clamps; avoid it by comparing where in range
+        want = buf - base
+        mask = (buf > 0) & (buf < 255)
+        np.testing.assert_array_equal(got[i][mask], want[mask])
+
+
+def test_batch_recon_is_batched():
+    """Several images of one shape reconstruct in one jitted call."""
+    imgs = [_photo((48, 48), seed=s) for s in range(3)]
+    payloads = []
+    for img in imgs:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "WEBP", quality=75)
+        payloads.append(_vp8_payload(buf.getvalue()))
+    sts, cs, ms, fs = [], [], [], []
+    for p in payloads:
+        st, c, m = D.decode_vp8_symbols(p)
+        sts.append(st)
+        cs.append(c)
+        ms.append(m)
+        fs.append(D.vp8_filter_params(st, m))
+    st0 = sts[0]
+    modes = np.stack(ms)
+    Y, U, V = R.recon_frame(
+        np.stack(cs),
+        modes[:, :, 0].astype(np.int32),
+        modes[:, :, 5:21].astype(np.int32),
+        modes[:, :, 1].astype(np.int32),
+        np.stack(fs),
+        mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=st0.filter_type)
+    for k, p in enumerate(payloads):
+        yh, uh, vh = D.decode_vp8_yuv(p)
+        H, W = st0.height, st0.width
+        np.testing.assert_array_equal(np.asarray(Y[k])[:H, :W], yh)
+        np.testing.assert_array_equal(
+            np.asarray(U[k])[: (H + 1) // 2, : (W + 1) // 2], uh)
+        np.testing.assert_array_equal(
+            np.asarray(V[k])[: (H + 1) // 2, : (W + 1) // 2], vh)
+
+
+def test_decode_rgba_batch_jax_backend():
+    imgs = [_photo((40, 56), seed=s) for s in range(4)]
+    datas = []
+    for img in imgs:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "WEBP", quality=80)
+        datas.append(buf.getvalue())
+    want = [gowebp_tpu.decode_rgba(d) for d in datas]
+    got = gowebp_tpu.decode_rgba_batch(datas, recon_backend="jax")
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    got_host = gowebp_tpu.decode_rgba_batch(datas, recon_backend="host")
+    for g, w in zip(got_host, want):
+        np.testing.assert_array_equal(g, w)
