@@ -8,9 +8,16 @@ per-MB tensors; everything pixel-shaped runs here as batched integer ops:
   t = 2*mb_y + mb_x, honouring the top-right dependency) with the 16
   luma sub-blocks of i4 MBs scanned by an inner fori_loop,
 - the in-loop deblocking filter re-running the same wavefront schedule
-  on a separate copy of the planes (prediction context is *unfiltered*
-  reconstruction, matching libwebp's save-top-samples-before-filter
-  order).
+  in place after reconstruction (prediction context is *unfiltered*
+  reconstruction, so the filter pass can safely mutate).
+
+The planes live in a **skewed tile layout** during the wavefronts:
+tile (mb_y, mb_x) is stored at column 2*mb_y + mb_x (+3 lead padding) of
+a (B, mb_h, T+3, 16, 16) array, so one anti-diagonal is one column and
+every per-step access is a lax.dynamic_slice / dynamic_update_slice of
+3-4 adjacent columns — no gather/scatter in the hot loop (TPU scatters
+serialize; slices are fused in-place).  The skew/unskew are single
+one-time gathers outside the loop.
 
 All arithmetic is exact int32; outputs are bit-identical to the NumPy
 reference in models/vp8/decoder.py and therefore to libwebp.
@@ -100,14 +107,14 @@ def residual_blocks(coeffs):
 
 
 # ---------------------------------------------------------------------------
-# Intra predictors — vectorized over (B, D) macroblock slots
+# Intra predictors — vectorized over (B, mb_h) wavefront slots
 # ---------------------------------------------------------------------------
 
 def _pred16(top, left, tl, res, ymode, ht, hl, size):
     """DC/TM/VE/HE block prediction + residual add for an NxN block.
 
-    top (B,D,N), left (B,D,N), tl (B,D), res (B,D,N,N), ymode (B,D),
-    ht/hl (D,) bool.  Returns clipped (B,D,N,N).
+    top (B,M,N), left (B,M,N), tl (B,M), res (B,M,N,N), ymode (B,M),
+    ht/hl (M,) bool.  Returns clipped (B,M,N,N).
     """
     sum_t = top.sum(-1)
     sum_l = left.sum(-1)
@@ -128,249 +135,307 @@ def _pred16(top, left, tl, res, ymode, ht, hl, size):
     p_tm = _clip8(left[..., :, None] + top[..., None, :] - tl[..., None, None])
     p_ve = jnp.broadcast_to(top[..., None, :], res.shape)
     p_he = jnp.broadcast_to(left[..., :, None], res.shape)
-    preds = jnp.stack([p_dc, p_tm, p_ve, p_he], axis=2)    # (B,D,4,N,N)
+    preds = jnp.stack([p_dc, p_tm, p_ve, p_he], axis=2)    # (B,M,4,N,N)
     idx = ymode.astype(I32)[..., None, None, None]
     pred = jnp.take_along_axis(preds, idx, axis=2)[:, :, 0]
     return _clip8(pred + res)
 
 
+def _b4_index_tables():
+    """Static lookup tables for the 8 shift-composable B-mode predictors.
+
+    Context vector Z = [L, L, K, J, I, X, A, B, C, D, E, F, G, H, H]
+    (15 entries; the duplicated L/H endpoints make every avg3 the
+    predictors use a *consecutive* triple).  The feature vector is
+    [Z (15) | avg2 of consecutive pairs (14) | avg3 of consecutive
+    triples (13)] = 42 entries; each predictor's 16 output pixels are a
+    static index into it, so all 8 predictions reduce to one gather.
+    """
+    import numpy as _np
+
+    Zi = {"L": 1, "K": 2, "J": 3, "I": 4, "X": 5, "A": 6, "B": 7,
+          "C": 8, "D": 9, "E": 10, "F": 11, "G": 12, "H": 13}
+
+    def z(n):
+        return Zi[n]
+
+    def a2(n1, n2):
+        i, j = sorted((Zi[n1], Zi[n2]))
+        assert j == i + 1, (n1, n2)
+        return 15 + i
+
+    def a3(n1, n2, n3):
+        c = Zi[n2]
+        lo, hi = sorted((Zi[n1], Zi[n3]))
+        # duplicated endpoints: avg3(K,L,L) = triple (0,1,2), avg3(G,H,H)
+        # = triple (12,13,14)
+        assert (lo, hi) == (c - 1, c + 1) or \
+            (n3 == n2 and Zi[n1] in (c - 1, c + 1)), (n1, n2, n3)
+        return 15 + 14 + (c - 1)
+
+    ve = [a3("X", "A", "B"), a3("A", "B", "C"), a3("B", "C", "D"),
+          a3("C", "D", "E")]
+    p_ve = [ve, ve, ve, ve]
+    he = [a3("X", "I", "J"), a3("I", "J", "K"), a3("J", "K", "L"),
+          a3("K", "L", "L")]
+    p_he = [[h] * 4 for h in he]
+
+    dcb = a3("D", "C", "B")
+    cba = a3("C", "B", "A")
+    bax = a3("B", "A", "X")
+    axi = a3("A", "X", "I")
+    xij = a3("X", "I", "J")
+    ijk = a3("I", "J", "K")
+    jkl = a3("J", "K", "L")
+    p_rd = [[axi, bax, cba, dcb],
+            [xij, axi, bax, cba],
+            [ijk, xij, axi, bax],
+            [jkl, ijk, xij, axi]]
+
+    xa, ab, bc, cd, de = (a2("X", "A"), a2("A", "B"), a2("B", "C"),
+                          a2("C", "D"), a2("D", "E"))
+    kji = a3("K", "J", "I")
+    jix = a3("J", "I", "X")
+    ixa = a3("I", "X", "A")
+    xab = a3("X", "A", "B")
+    abc = a3("A", "B", "C")
+    bcd = a3("B", "C", "D")
+    p_vr = [[xa, ab, bc, cd],
+            [ixa, xab, abc, bcd],
+            [jix, xa, ab, bc],
+            [kji, ixa, xab, abc]]
+
+    cde = a3("C", "D", "E")
+    def_ = a3("D", "E", "F")
+    efg = a3("E", "F", "G")
+    fgh = a3("F", "G", "H")
+    ghh = a3("G", "H", "H")
+    p_ld = [[abc, bcd, cde, def_],
+            [bcd, cde, def_, efg],
+            [cde, def_, efg, fgh],
+            [def_, efg, fgh, ghh]]
+
+    p_vl = [[ab, bc, cd, de],
+            [abc, bcd, cde, def_],
+            [bc, cd, de, efg],
+            [bcd, cde, def_, fgh]]
+
+    ix, ji, kj, lk = (a2("I", "X"), a2("J", "I"), a2("K", "J"),
+                      a2("L", "K"))
+    p_hd = [[ix, ixa, xab, abc],
+            [ji, xij, ix, ixa],
+            [kj, ijk, ji, xij],
+            [lk, jkl, kj, ijk]]
+
+    ij, jk, kl = a2("I", "J"), a2("J", "K"), a2("K", "L")
+    jkl3 = a3("J", "K", "L")
+    kll = a3("K", "L", "L")
+    Lz = z("L")
+    p_hu = [[ij, ijk, jk, jkl3],
+            [jk, jkl3, kl, kll],
+            [kl, kll, Lz, Lz],
+            [Lz, Lz, Lz, Lz]]
+
+    return _np.array([p_ve, p_he, p_rd, p_vr, p_ld, p_vl, p_hd, p_hu],
+                     _np.int32)
+
+
+_B4_IDX = _b4_index_tables()                       # (8, 4, 4)
+
+
 def _pred_luma4_all(tl, top, tr, left):
     """All 10 B-mode predictions of a 4x4 block.
 
-    tl (B,D), top/tr/left (B,D,4) → (B,D,10,4,4) int32.  Mirrors
+    tl (B,M), top/tr/left (B,M,4) → (B,M,10,4,4) int32.  Mirrors
     dsp_np.predict_luma4 exactly (libwebp enum DC,TM,VE,HE,RD,VR,LD,VL,
-    HD,HU).
+    HD,HU).  The 8 shift-composable modes come from one static gather
+    over the shared [Z | avg2 | avg3] feature vector; DC and TM are
+    computed directly.
     """
-    A, Bb, C, D = top[..., 0], top[..., 1], top[..., 2], top[..., 3]
-    E, F, G, H = tr[..., 0], tr[..., 1], tr[..., 2], tr[..., 3]
-    I, J, K, L = left[..., 0], left[..., 1], left[..., 2], left[..., 3]
-    X = tl
-
-    def rows(r0, r1, r2, r3):
-        return jnp.stack([jnp.stack(r, axis=-1) for r in (r0, r1, r2, r3)],
-                         axis=-2)
+    lead = tl.shape
+    # Z = [L, L, K, J, I, X, A, B, C, D, E, F, G, H, H]
+    Z = jnp.concatenate(
+        [left[..., 3:4], left[..., ::-1], tl[..., None], top, tr,
+         tr[..., 3:4]], axis=-1)                    # (B,M,15)
+    a2 = _avg2(Z[..., :-1], Z[..., 1:])             # (B,M,14)
+    a3 = _avg3(Z[..., :-2], Z[..., 1:-1], Z[..., 2:])  # (B,M,13)
+    feat = jnp.concatenate([Z, a2, a3], axis=-1)    # (B,M,42)
+    preds8 = jnp.take(feat, _B4_IDX.reshape(-1), axis=-1).reshape(
+        lead + (8, 4, 4))
 
     dc = (top.sum(-1) + left.sum(-1) + 4) >> 3
-    p_dc = jnp.broadcast_to(dc[..., None, None], dc.shape + (4, 4))
-
-    p_tm = _clip8(left[..., :, None] + top[..., None, :] - X[..., None, None])
-
-    v0, v1, v2, v3 = (_avg3(X, A, Bb), _avg3(A, Bb, C),
-                      _avg3(Bb, C, D), _avg3(C, D, E))
-    p_ve = jnp.broadcast_to(jnp.stack([v0, v1, v2, v3], axis=-1)[..., None, :],
-                            p_tm.shape)
-
-    h0, h1, h2, h3 = (_avg3(X, I, J), _avg3(I, J, K),
-                      _avg3(J, K, L), _avg3(K, L, L))
-    p_he = jnp.broadcast_to(jnp.stack([h0, h1, h2, h3], axis=-1)[..., :, None],
-                            p_tm.shape)
-
-    # RD4 (down-right)
-    dcb = _avg3(D, C, Bb)
-    cba = _avg3(C, Bb, A)
-    bax = _avg3(Bb, A, X)
-    axi = _avg3(A, X, I)
-    xij = _avg3(X, I, J)
-    ijk = _avg3(I, J, K)
-    jkl = _avg3(J, K, L)
-    p_rd = rows((axi, bax, cba, dcb),
-                (xij, axi, bax, cba),
-                (ijk, xij, axi, bax),
-                (jkl, ijk, xij, axi))
-
-    # VR4 (vertical-right)
-    xa = _avg2(X, A)
-    ab = _avg2(A, Bb)
-    bc = _avg2(Bb, C)
-    cd = _avg2(C, D)
-    kji = _avg3(K, J, I)
-    jix = _avg3(J, I, X)
-    ixa = _avg3(I, X, A)
-    xab = _avg3(X, A, Bb)
-    abc = _avg3(A, Bb, C)
-    bcd = _avg3(Bb, C, D)
-    p_vr = rows((xa, ab, bc, cd),
-                (ixa, xab, abc, bcd),
-                (jix, xa, ab, bc),
-                (kji, ixa, xab, abc))
-
-    # LD4 (down-left)
-    cde = _avg3(C, D, E)
-    def_ = _avg3(D, E, F)
-    efg = _avg3(E, F, G)
-    fgh = _avg3(F, G, H)
-    ghh = _avg3(G, H, H)
-    p_ld = rows((abc, bcd, cde, def_),
-                (bcd, cde, def_, efg),
-                (cde, def_, efg, fgh),
-                (def_, efg, fgh, ghh))
-
-    # VL4 (vertical-left)
-    de = _avg2(D, E)
-    p_vl = rows((ab, bc, cd, de),
-                (abc, bcd, cde, def_),
-                (bc, cd, de, efg),
-                (bcd, cde, def_, fgh))
-
-    # HD4 (horizontal-down)
-    ix = _avg2(I, X)
-    ji = _avg2(J, I)
-    kj = _avg2(K, J)
-    lk = _avg2(L, K)
-    p_hd = rows((ix, ixa, xab, abc),
-                (ji, xij, ix, ixa),
-                (kj, ijk, ji, xij),
-                (lk, jkl, kj, ijk))
-
-    # HU4 (horizontal-up)
-    ij = _avg2(I, J)
-    jk = _avg2(J, K)
-    kl = _avg2(K, L)
-    jkl3 = _avg3(J, K, L)
-    kll = _avg3(K, L, L)
-    p_hu = rows((ij, ijk, jk, jkl3),
-                (jk, jkl3, kl, kll),
-                (kl, kll, L, L),
-                (L, L, L, L))
-
-    return jnp.stack([p_dc, p_tm, p_ve, p_he, p_rd, p_vr,
-                      p_ld, p_vl, p_hd, p_hu], axis=2)
+    p_dc = jnp.broadcast_to(dc[..., None, None], lead + (4, 4))
+    p_tm = _clip8(left[..., :, None] + top[..., None, :] - tl[..., None, None])
+    return jnp.concatenate(
+        [p_dc[..., None, :, :], p_tm[..., None, :, :], preds8], axis=-3)
 
 
 # ---------------------------------------------------------------------------
-# Wavefront geometry
+# Skewed layout helpers
 # ---------------------------------------------------------------------------
-
-def _diag_slots(t, mb_w, mb_h, D):
-    """Active MB slots on anti-diagonal t (slope 2).
-
-    Returns (my, mx, active) with my/mx clamped for safe gathers and
-    ``active`` the validity mask, each shape (D,).
-    """
-    lo = jnp.maximum(0, (t - mb_w + 2) // 2)
-    hi = jnp.minimum(mb_h - 1, t // 2)
-    my = lo + jnp.arange(D, dtype=I32)
-    active = my <= hi
-    my_c = jnp.clip(my, 0, mb_h - 1)
-    mx = t - 2 * my_c
-    mx_c = jnp.clip(mx, 0, mb_w - 1)
-    return my_c, mx_c, active
-
 
 def num_diagonals(mb_w: int, mb_h: int) -> int:
     return (mb_w - 1) + 2 * (mb_h - 1) + 1
 
 
-def max_slots(mb_w: int, mb_h: int) -> int:
-    return min(mb_h, (mb_w + 1) // 2)
+def _skew_index(mb_w: int, mb_h: int):
+    """(mb_h, T) flat MB index per skewed column + validity mask."""
+    T = num_diagonals(mb_w, mb_h)
+    my = jnp.arange(mb_h, dtype=I32)[:, None]
+    c = jnp.arange(T, dtype=I32)[None, :]
+    mx = c - 2 * my
+    valid = (mx >= 0) & (mx < mb_w)
+    flat = my * mb_w + jnp.clip(mx, 0, mb_w - 1)
+    return flat, valid
+
+
+def _shift_down(x, fill):
+    """Row my reads row my-1: shift along the mb_h axis, pad with fill."""
+    pad = jnp.full_like(x[:, :1], fill)
+    return jnp.concatenate([pad, x[:, :-1]], axis=1)
+
+
+def _unskew_plane(Sk, mb_w, mb_h, size):
+    """(B, mb_h, T+3, s, s) skewed tiles → (B, mb_h*s, mb_w*s) plane."""
+    B = Sk.shape[0]
+    my = jnp.arange(mb_h, dtype=I32)[:, None]
+    mx = jnp.arange(mb_w, dtype=I32)[None, :]
+    col = 2 * my + mx + 3
+    tiles = Sk[:, my, col]                         # (B, mb_h, mb_w, s, s)
+    return tiles.transpose(0, 1, 3, 2, 4).reshape(
+        B, mb_h * size, mb_w * size)
 
 
 # ---------------------------------------------------------------------------
-# Reconstruction wavefront
+# Reconstruction wavefront (skewed)
 # ---------------------------------------------------------------------------
 
 def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h):
     """Intra-predict + add residuals over the MB anti-diagonal wavefront.
 
-    Returns padded planes P (B,H+1,W+1), Pu, Pv int32 with the 127/129
-    prediction borders in row/col 0 (real pixel (y,x) at P[y+1,x+1]).
+    Inputs are per-MB tensors (B, N, ...); returns skewed tile arrays
+    (Sk_y (B,mb_h,T+3,16,16), Sk_u, Sk_v (…,8,8)) int32.
     """
     B = Yres.shape[0]
-    H, W = mb_h * 16, mb_w * 16
-    D = max_slots(mb_w, mb_h)
+    M = mb_h
     T = num_diagonals(mb_w, mb_h)
+    flat, _valid = _skew_index(mb_w, mb_h)
 
-    P = jnp.full((B, H + 1, W + 1), 127, I32).at[:, 1:, 0].set(129)
-    Pu = jnp.full((B, H // 2 + 1, W // 2 + 1), 127, I32).at[:, 1:, 0].set(129)
-    Pv = jnp.full((B, H // 2 + 1, W // 2 + 1), 127, I32).at[:, 1:, 0].set(129)
+    # One-time skew of all per-MB inputs (parallel gathers).
+    Yres_sk = Yres[:, flat]                        # (B, M, T, 16, 16)
+    Ures_sk = Ures[:, flat]
+    Vres_sk = Vres[:, flat]
+    is4_sk = is_i4[:, flat]                        # (B, M, T)
+    im_sk = imodes[:, flat]                        # (B, M, T, 16)
+    uv_sk = uvmode[:, flat]
 
-    r16 = jnp.arange(16, dtype=I32)
-    r21 = jnp.arange(21, dtype=I32)
-    r8 = jnp.arange(8, dtype=I32)
-    r9 = jnp.arange(9, dtype=I32)
+    Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
+    Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
+    Sk_v = jnp.zeros((B, M, T + 3, 8, 8), I32)
+
+    myv = jnp.arange(M, dtype=I32)
+    htv = myv > 0                                   # (M,)
 
     def step(t, carry):
-        P, Pu, Pv = carry
-        my, mx, active = _diag_slots(t, mb_w, mb_h, D)
-        flat = my * mb_w + mx                              # (D,)
+        Sk_y, Sk_u, Sk_v = carry
+        mxv = t - 2 * myv                           # (M,)
+        hlv = mxv > 0
+        lastv = mxv == (mb_w - 1)
 
-        yres = Yres[:, flat]                               # (B,D,16,16)
-        ures = Ures[:, flat]
-        vres = Vres[:, flat]
-        is4 = is_i4[:, flat]                               # (B,D)
-        im = imodes[:, flat]                               # (B,D,16)
-        uvm = uvmode[:, flat]
+        # Logical columns t-3(TL), t-2(top), t-1(left/TR) = array t..t+2.
+        win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0), (B, M, 3, 16, 16))
+        tl_t = _shift_down(win[:, :, 0], 0)         # TL tile at row my-1
+        top_t = _shift_down(win[:, :, 1], 0)        # top tile at row my-1
+        left_t = win[:, :, 2]                       # left tile at row my
+        tr_t = _shift_down(win[:, :, 2], 0)         # top-right tile (my-1)
 
-        ht = my > 0
-        hl = mx > 0
+        ht3 = htv[None, :, None]
+        hl3 = hlv[None, :, None]
+        top16 = jnp.where(ht3, top_t[:, :, 15, :], 127)            # (B,M,16)
+        tr4 = tr_t[:, :, 15, 0:4]
+        tr4 = jnp.where(lastv[None, :, None], top16[:, :, 15:16], tr4)
+        tr4 = jnp.where(ht3, tr4, 127)
+        left16 = jnp.where(hl3, left_t[:, :, :, 15], 129)
+        tlpx = jnp.where(htv[None, :],
+                         jnp.where(hlv[None, :], tl_t[:, :, 15, 15], 129),
+                         127)
 
-        # --- gather luma context: top row (21 px, TR clamped) + left col ---
-        tr_cols = jnp.minimum(mx[:, None] * 16 + r21[None, :], W)   # (D,21)
-        ytop = P[:, (my * 16)[:, None], tr_cols]                     # (B,D,21)
-        yleft = P[:, my[:, None] * 16 + 1 + r16[None, :],
-                  (mx * 16)[:, None]]                                # (B,D,16)
+        yres = lax.dynamic_slice(Yres_sk, (0, 0, t, 0, 0),
+                                 (B, M, 1, 16, 16))[:, :, 0]
+        is4 = lax.dynamic_slice(is4_sk, (0, 0, t), (B, M, 1))[:, :, 0]
+        im = lax.dynamic_slice(im_sk, (0, 0, t, 0), (B, M, 1, 16))[:, :, 0]
+        uvm = lax.dynamic_slice(uv_sk, (0, 0, t), (B, M, 1))[:, :, 0]
 
-        # --- i16 prediction for the whole MB ---
-        blk16 = _pred16(ytop[..., 1:17], yleft, ytop[..., 0], yres,
-                        im[..., 0], ht, hl, 16)
-
-        # --- scratch buffer with borders; i16 interior pre-filled ---
-        scr = jnp.zeros((B, D, 17, 21), I32)
-        scr = scr.at[:, :, 0, :].set(ytop)
-        scr = scr.at[:, :, 1:17, 0].set(yleft)
+        # --- i16 prediction for the whole MB, written into the scratch ---
+        blk16 = _pred16(top16, left16, tlpx, yres, im[..., 0], htv, hlv, 16)
+        scr = jnp.zeros((B, M, 17, 21), I32)
+        scr = scr.at[:, :, 0, 0].set(tlpx)
+        scr = scr.at[:, :, 0, 1:17].set(top16)
+        scr = scr.at[:, :, 0, 17:21].set(tr4)
+        scr = scr.at[:, :, 1:17, 0].set(left16)
         scr = scr.at[:, :, 1:17, 1:17].set(blk16)
 
-        # --- i4: 16 sub-blocks in raster order (masked writes) ---
+        # --- i4: 16 sub-blocks in raster order (masked writes keep i16
+        # MBs' interior intact) ---
         def sub(n, scr):
             gy, gx = n >> 2, n & 3
             r, c = 4 * gy, 4 * gx
-            row = lax.dynamic_slice(scr, (0, 0, r, c), (B, D, 1, 9))
+            row = lax.dynamic_slice(scr, (0, 0, r, c), (B, M, 1, 9))
             tl = row[..., 0, 0]
             top = row[..., 0, 1:5]
             tr_in = row[..., 0, 5:9]
             tr = jnp.where(jnp.equal(gx, 3), scr[:, :, 0, 17:21], tr_in)
             left = lax.dynamic_slice(scr, (0, 0, r + 1, c),
-                                     (B, D, 4, 1))[..., 0]
-            mode = lax.dynamic_slice(im, (0, 0, n), (B, D, 1))[..., 0]
+                                     (B, M, 4, 1))[..., 0]
+            mode = lax.dynamic_slice(im, (0, 0, n), (B, M, 1))[..., 0]
             res4 = lax.dynamic_slice_in_dim(
                 lax.dynamic_slice_in_dim(yres, r, 4, axis=2), c, 4, axis=3)
-            preds = _pred_luma4_all(tl, top, tr, left)     # (B,D,10,4,4)
+            preds = _pred_luma4_all(tl, top, tr, left)     # (B,M,10,4,4)
             idx = mode.astype(I32)[..., None, None, None]
             pred = jnp.take_along_axis(preds, idx, axis=2)[:, :, 0]
             blk = _clip8(pred + res4)
-            cur = lax.dynamic_slice(scr, (0, 0, r + 1, c + 1), (B, D, 4, 4))
+            cur = lax.dynamic_slice(scr, (0, 0, r + 1, c + 1), (B, M, 4, 4))
             blk = jnp.where(is4[..., None, None] > 0, blk, cur)
             return lax.dynamic_update_slice(scr, blk, (0, 0, r + 1, c + 1))
 
         scr = lax.fori_loop(0, 16, sub, scr)
 
-        # --- chroma ---
-        utop = Pu[:, (my * 8)[:, None], mx[:, None] * 8 + r9[None, :]]
-        uleft = Pu[:, my[:, None] * 8 + 1 + r8[None, :], (mx * 8)[:, None]]
-        vtop = Pv[:, (my * 8)[:, None], mx[:, None] * 8 + r9[None, :]]
-        vleft = Pv[:, my[:, None] * 8 + 1 + r8[None, :], (mx * 8)[:, None]]
-        ublk = _pred16(utop[..., 1:9], uleft, utop[..., 0], ures, uvm,
-                       ht, hl, 8)
-        vblk = _pred16(vtop[..., 1:9], vleft, vtop[..., 0], vres, uvm,
-                       ht, hl, 8)
+        # --- chroma (U and V stacked on the batch axis: one op set) ---
+        uwin = lax.dynamic_slice(Sk_u, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
+        vwin = lax.dynamic_slice(Sk_v, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
+        ures = lax.dynamic_slice(Ures_sk, (0, 0, t, 0, 0),
+                                 (B, M, 1, 8, 8))[:, :, 0]
+        vres = lax.dynamic_slice(Vres_sk, (0, 0, t, 0, 0),
+                                 (B, M, 1, 8, 8))[:, :, 0]
+        cwin = jnp.concatenate([uwin, vwin], axis=0)
+        cres = jnp.concatenate([ures, vres], axis=0)
+        tl_c = _shift_down(cwin[:, :, 0], 0)
+        top_c = _shift_down(cwin[:, :, 1], 0)
+        left_c = cwin[:, :, 2]
+        top8 = jnp.where(ht3, top_c[:, :, 7, :], 127)
+        left8 = jnp.where(hl3, left_c[:, :, :, 7], 129)
+        tlc = jnp.where(htv[None, :],
+                        jnp.where(hlv[None, :], tl_c[:, :, 7, 7], 129),
+                        127)
+        uvm2 = jnp.concatenate([uvm, uvm], axis=0)
+        cblk = _pred16(top8, left8, tlc, cres, uvm2, htv, hlv, 8)
+        ublk, vblk = cblk[:B], cblk[B:]
 
-        # --- scatter (inactive slots → OOB rows, dropped) ---
-        yrow = jnp.where(active, my * 16 + 1, H + 2)[:, None] + r16[None, :]
-        ycol = (mx * 16 + 1)[:, None] + r16[None, :]
-        P = P.at[:, yrow[:, :, None], ycol[:, None, :]].set(
-            scr[:, :, 1:17, 1:17], mode="drop")
-        crow = jnp.where(active, my * 8 + 1, H // 2 + 2)[:, None] + r8[None, :]
-        ccol = (mx * 8 + 1)[:, None] + r8[None, :]
-        Pu = Pu.at[:, crow[:, :, None], ccol[:, None, :]].set(ublk, mode="drop")
-        Pv = Pv.at[:, crow[:, :, None], ccol[:, None, :]].set(vblk, mode="drop")
-        return P, Pu, Pv
+        # --- write column t+3 (each column is written exactly once, and
+        # invalid-slot tiles are never read, so no masking needed) ---
+        Sk_y = lax.dynamic_update_slice(
+            Sk_y, scr[:, :, None, 1:17, 1:17], (0, 0, t + 3, 0, 0))
+        Sk_u = lax.dynamic_update_slice(
+            Sk_u, ublk[:, :, None], (0, 0, t + 3, 0, 0))
+        Sk_v = lax.dynamic_update_slice(
+            Sk_v, vblk[:, :, None], (0, 0, t + 3, 0, 0))
+        return Sk_y, Sk_u, Sk_v
 
-    P, Pu, Pv = lax.fori_loop(0, T, step, (P, Pu, Pv))
-    return P, Pu, Pv
+    return lax.fori_loop(0, T, step, (Sk_y, Sk_u, Sk_v))
 
 
 # ---------------------------------------------------------------------------
-# Loop filter (RFC 6386 §15) — wavefront with masked edge stencils
+# Loop filter (RFC 6386 §15) — skewed wavefront with static window stencils
 # ---------------------------------------------------------------------------
 
 def _lanes_complex(S, thresh2, it, hev_t, edge):
@@ -452,169 +517,138 @@ def _lanes_simple(S, thresh2):
     return jnp.stack([p1, o_p0, o_q0, q1], axis=-1)
 
 
-def _filter_edge(plane, rows, cols, mask, out_rows, params, edge, simple):
-    """Gather a strip across one edge, filter masked lanes, scatter back.
+def _edge_h(w, col, r0, r1, params, mask, edge, simple):
+    """Filter the vertical edge at window column `col` (static indices).
 
-    rows (D, L): lane row indices (P coords, pre-clamped);
-    cols (D, K): the K pixels across the edge per lane;
-    mask (B, D): apply-filter mask; out_rows (D, L): scatter rows with
-    inactive slots pre-set OOB.  params = (thresh2, it, hev_t), each (B, D).
+    w: (B,M,R,C) window; lanes are rows r0:r1.  Returns updated window.
     """
-    S = plane[:, rows[:, :, None], cols[:, None, :]]      # (B,D,L,K)
     thresh2, it, hev_t = params
-    if simple:
-        out = _lanes_simple(S, thresh2)
-    else:
-        out = _lanes_complex(S, thresh2, it, hev_t, edge)
+    K = 2 if simple else 4
+    S = w[:, :, r0:r1, col - K:col + K]
+    out = (_lanes_simple(S, thresh2) if simple
+           else _lanes_complex(S, thresh2, it, hev_t, edge))
     out = jnp.where(mask[..., None, None], out, S)
-    return plane.at[:, out_rows[:, :, None], cols[:, None, :]].set(
-        out, mode="drop")
+    return w.at[:, :, r0:r1, col - K:col + K].set(out)
 
 
-def _filter_edge_v(plane, rows, cols, mask, out_cols, params, edge, simple):
-    """Same as _filter_edge but for horizontal edges (pixels vary by row).
-
-    rows (D, K): the K pixels across the edge; cols (D, L): lanes.
-    """
-    S = plane[:, rows[:, :, None], cols[:, None, :]]      # (B,D,K,L)
-    S = S.swapaxes(-1, -2)                                 # (B,D,L,K)
+def _edge_v(w, row, c0, c1, params, mask, edge, simple):
+    """Filter the horizontal edge at window row `row` (static indices)."""
     thresh2, it, hev_t = params
-    if simple:
-        out = _lanes_simple(S, thresh2)
-    else:
-        out = _lanes_complex(S, thresh2, it, hev_t, edge)
+    K = 2 if simple else 4
+    S = w[:, :, row - K:row + K, c0:c1].swapaxes(-1, -2)
+    out = (_lanes_simple(S, thresh2) if simple
+           else _lanes_complex(S, thresh2, it, hev_t, edge))
     out = jnp.where(mask[..., None, None], out, S)
-    out = out.swapaxes(-1, -2)                             # (B,D,K,L)
-    return plane.at[:, rows[:, :, None], out_cols[:, None, :]].set(
-        out, mode="drop")
+    return w.at[:, :, row - K:row + K, c0:c1].set(out.swapaxes(-1, -2))
 
 
-def loop_filter_wavefront(P, Pu, Pv, fparams, *, mb_w, mb_h, filter_type):
-    """In-loop deblocking over the same slope-2 MB wavefront.
+def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
+                          mb_w, mb_h, filter_type):
+    """In-loop deblocking over the same slope-2 wavefront, in place.
 
     fparams: int32 (B, mb_h, mb_w, 4) = [limit, ilevel, hev_t, inner];
     limit < 0 disables the MB.  filter_type: 1 = simple (luma only),
-    2 = complex (luma + chroma).  Planes are the padded int32 recon
-    planes; returns filtered planes.
+    2 = complex (luma + chroma).
     """
     if filter_type == 0:
-        return P, Pu, Pv
-    B = P.shape[0]
-    H, W = mb_h * 16, mb_w * 16
-    D = max_slots(mb_w, mb_h)
+        return Sk_y, Sk_u, Sk_v
+    B = Sk_y.shape[0]
+    M = mb_h
     T = num_diagonals(mb_w, mb_h)
     simple = filter_type == 1
+    flat, _ = _skew_index(mb_w, mb_h)
+    fp_sk = fparams.reshape(B, mb_h * mb_w, 4)[:, flat]      # (B,M,T,4)
 
-    r16 = jnp.arange(16, dtype=I32)
-    r8 = jnp.arange(8, dtype=I32)
-    fp = fparams.reshape(B, mb_h * mb_w, 4)
+    myv = jnp.arange(M, dtype=I32)
+    htv = myv > 0
 
     def step(t, carry):
-        P, Pu, Pv = carry
-        my, mx, active = _diag_slots(t, mb_w, mb_h, D)
-        flat = my * mb_w + mx
-        par = fp[:, flat]                                  # (B,D,4)
+        Sk_y, Sk_u, Sk_v = carry
+        mxv = t - 2 * myv
+        activev = (mxv >= 0) & (mxv < mb_w)
+        hlv = mxv > 0
+
+        par = lax.dynamic_slice(fp_sk, (0, 0, t, 0), (B, M, 1, 4))[:, :, 0]
         limit = par[..., 0]
         il = par[..., 1]
         hev_t = par[..., 2]
         inner = par[..., 3] > 0
-        on = active[None, :] & (limit >= 0)                # (B,D)
+        on = activev[None, :] & (limit >= 0)                 # (B,M)
+        m_left = on & hlv[None, :]
+        m_top = on & htv[None, :]
+        m_inner = on & inner
+        pe = lambda lim: (2 * lim + 1, il, hev_t)
+        pl4 = lambda lim: (2 * (lim + 4) + 1, il, hev_t)
 
-        # Lane rows (luma): the 16 rows of the MB (P coords).
-        lrows = (my * 16 + 1)[:, None] + r16[None, :]      # (D,16)
-        lrows_out = jnp.where(active, my * 16 + 1, H + 2)[:, None] + r16[None, :]
-        crows = (my * 8 + 1)[:, None] + r8[None, :]
-        crows_out = jnp.where(active, my * 8 + 1, H // 2 + 2)[:, None] + r8[None, :]
+        # ---- luma: window (B,M,20,20); tile at [4:20, 4:20] ----
+        win = lax.dynamic_slice(Sk_y, (0, 0, t + 1, 0, 0), (B, M, 3, 16, 16))
+        top_t = _shift_down(win[:, :, 0], 0)                 # col t+1, row my-1
+        left_t = win[:, :, 1]                                # col t+2, row my
+        self_t = win[:, :, 2]                                # col t+3, row my
+        w = jnp.zeros((B, M, 20, 20), I32)
+        w = w.at[:, :, 4:20, 4:20].set(self_t)
+        w = w.at[:, :, 0:4, 4:20].set(top_t[:, :, 12:16, :])
+        w = w.at[:, :, 4:20, 0:4].set(left_t[:, :, :, 12:16])
 
-        x0 = mx * 16                                       # real coords
-        cx0 = mx * 8
-        y0 = my * 16
-        cy0 = my * 8
+        # Raster-exact edge order: left H, inner H x3, top V, inner V x3.
+        w = _edge_h(w, 4, 4, 20, pl4(limit), m_left, True, simple)
+        for dx in (8, 12, 16):
+            w = _edge_h(w, dx, 4, 20, pe(limit), m_inner, False, simple)
+        w = _edge_v(w, 4, 4, 20, pl4(limit), m_top, True, simple)
+        for dy in (8, 12, 16):
+            w = _edge_v(w, dy, 4, 20, pe(limit), m_inner, False, simple)
+
+        # Write back: own tile, left tile's right 4 cols, top tile's
+        # bottom 4 rows (shifted back up; last row keeps current values).
+        Sk_y = lax.dynamic_update_slice(
+            Sk_y, w[:, :, None, 4:20, 4:20], (0, 0, t + 3, 0, 0))
+        Sk_y = lax.dynamic_update_slice(
+            Sk_y, w[:, :, None, 4:20, 0:4], (0, 0, t + 2, 0, 12))
+        bot = jnp.concatenate(
+            [w[:, 1:, 0:4, 4:20], win[:, -1:, 0, 12:16, :]], axis=1)
+        Sk_y = lax.dynamic_update_slice(
+            Sk_y, bot[:, :, None], (0, 0, t + 1, 12, 0))
 
         if simple:
-            K = jnp.arange(-2, 2, dtype=I32)
-            pe = (lambda lim: (2 * lim + 1, il, hev_t))
-            # H edges (vertical edges): left (mx>0) then inner x0+4/8/12.
-            cols = jnp.clip(x0[:, None] + 1 + K[None, :], 0, W)
-            P = _filter_edge(P, lrows, cols, on & (mx > 0)[None, :],
-                             lrows_out, pe(limit + 4), True, True)
+            return Sk_y, Sk_u, Sk_v
 
-            def hinner(i, P):
-                dx = 4 * (i + 1)
-                cols = x0[:, None] + dx + 1 + K[None, :]
-                return _filter_edge(P, lrows, cols, on & inner,
-                                    lrows_out, pe(limit), False, True)
-            P = lax.fori_loop(0, 3, hinner, P)
+        # ---- chroma: window (2B,M,12,12) — U and V stacked on batch ----
+        cwu = lax.dynamic_slice(Sk_u, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
+        cwv = lax.dynamic_slice(Sk_v, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
+        cw = jnp.concatenate([cwu, cwv], axis=0)
+        ctop = _shift_down(cw[:, :, 0], 0)
+        cleft = cw[:, :, 1]
+        cself = cw[:, :, 2]
+        v = jnp.zeros((2 * B, M, 12, 12), I32)
+        v = v.at[:, :, 4:12, 4:12].set(cself)
+        v = v.at[:, :, 0:4, 4:12].set(ctop[:, :, 4:8, :])
+        v = v.at[:, :, 4:12, 0:4].set(cleft[:, :, :, 4:8])
+        il2 = jnp.concatenate([il, il], axis=0)
+        hev2 = jnp.concatenate([hev_t, hev_t], axis=0)
+        lim2 = jnp.concatenate([limit, limit], axis=0)
+        m2 = lambda m: jnp.concatenate([m, m], axis=0)
+        pe2 = (2 * lim2 + 1, il2, hev2)
+        pl42 = (2 * (lim2 + 4) + 1, il2, hev2)
+        v = _edge_h(v, 4, 4, 12, pl42, m2(m_left), True, False)
+        v = _edge_h(v, 8, 4, 12, pe2, m2(m_inner), False, False)
+        v = _edge_v(v, 4, 4, 12, pl42, m2(m_top), True, False)
+        v = _edge_v(v, 8, 4, 12, pe2, m2(m_inner), False, False)
 
-            # V edges (horizontal edges).
-            vrows = jnp.clip(y0[:, None] + 1 + K[None, :], 0, H)
-            vcols = (x0 + 1)[:, None] + r16[None, :]
-            vcols_out = jnp.where(active, x0 + 1, W + 2)[:, None] + r16[None, :]
-            P = _filter_edge_v(P, vrows, vcols, on & (my > 0)[None, :],
-                               vcols_out, pe(limit + 4), True, True)
+        def cwrite(Sk, v, cw):
+            Sk = lax.dynamic_update_slice(
+                Sk, v[:, :, None, 4:12, 4:12], (0, 0, t + 3, 0, 0))
+            Sk = lax.dynamic_update_slice(
+                Sk, v[:, :, None, 4:12, 0:4], (0, 0, t + 2, 0, 4))
+            cbot = jnp.concatenate(
+                [v[:, 1:, 0:4, 4:12], cw[:, -1:, 0, 4:8, :]], axis=1)
+            return lax.dynamic_update_slice(
+                Sk, cbot[:, :, None], (0, 0, t + 1, 4, 0))
 
-            def vinner(i, P):
-                dy = 4 * (i + 1)
-                rows = y0[:, None] + dy + 1 + K[None, :]
-                return _filter_edge_v(P, rows, vcols, on & inner,
-                                      vcols_out, pe(limit), False, True)
-            P = lax.fori_loop(0, 3, vinner, P)
-            return P, Pu, Pv
+        Sk_u = cwrite(Sk_u, v[:B], cwu)
+        Sk_v = cwrite(Sk_v, v[B:], cwv)
+        return Sk_y, Sk_u, Sk_v
 
-        K = jnp.arange(-4, 4, dtype=I32)
-        pe = (lambda lim: (2 * lim + 1, il, hev_t))
-
-        # ---- H edges (vertical edges, filtering across columns) ----
-        cols = jnp.clip(x0[:, None] + 1 + K[None, :], 0, W)
-        P = _filter_edge(P, lrows, cols, on & (mx > 0)[None, :],
-                         lrows_out, pe(limit + 4), True, False)
-        ccols = jnp.clip(cx0[:, None] + 1 + K[None, :], 0, W // 2)
-        Pu = _filter_edge(Pu, crows, ccols, on & (mx > 0)[None, :],
-                          crows_out, pe(limit + 4), True, False)
-        Pv = _filter_edge(Pv, crows, ccols, on & (mx > 0)[None, :],
-                          crows_out, pe(limit + 4), True, False)
-
-        def hinner(i, P):
-            dx = 4 * (i + 1)
-            cols = x0[:, None] + dx + 1 + K[None, :]
-            return _filter_edge(P, lrows, cols, on & inner,
-                                lrows_out, pe(limit), False, False)
-        P = lax.fori_loop(0, 3, hinner, P)
-        ccols4 = cx0[:, None] + 4 + 1 + K[None, :]
-        Pu = _filter_edge(Pu, crows, ccols4, on & inner, crows_out,
-                          pe(limit), False, False)
-        Pv = _filter_edge(Pv, crows, ccols4, on & inner, crows_out,
-                          pe(limit), False, False)
-
-        # ---- V edges (horizontal edges, filtering across rows) ----
-        vrows = jnp.clip(y0[:, None] + 1 + K[None, :], 0, H)
-        vcols = (x0 + 1)[:, None] + r16[None, :]
-        vcols_out = jnp.where(active, x0 + 1, W + 2)[:, None] + r16[None, :]
-        P = _filter_edge_v(P, vrows, vcols, on & (my > 0)[None, :],
-                           vcols_out, pe(limit + 4), True, False)
-        cvrows = jnp.clip(cy0[:, None] + 1 + K[None, :], 0, H // 2)
-        cvcols = (cx0 + 1)[:, None] + r8[None, :]
-        cvcols_out = jnp.where(active, cx0 + 1, W // 2 + 2)[:, None] + r8[None, :]
-        Pu = _filter_edge_v(Pu, cvrows, cvcols, on & (my > 0)[None, :],
-                            cvcols_out, pe(limit + 4), True, False)
-        Pv = _filter_edge_v(Pv, cvrows, cvcols, on & (my > 0)[None, :],
-                            cvcols_out, pe(limit + 4), True, False)
-
-        def vinner(i, P):
-            dy = 4 * (i + 1)
-            rows = y0[:, None] + dy + 1 + K[None, :]
-            return _filter_edge_v(P, rows, vcols, on & inner,
-                                  vcols_out, pe(limit), False, False)
-        P = lax.fori_loop(0, 3, vinner, P)
-        cvrows4 = cy0[:, None] + 4 + 1 + K[None, :]
-        Pu = _filter_edge_v(Pu, cvrows4, cvcols, on & inner, cvcols_out,
-                            pe(limit), False, False)
-        Pv = _filter_edge_v(Pv, cvrows4, cvcols, on & inner, cvcols_out,
-                            pe(limit), False, False)
-        return P, Pu, Pv
-
-    P, Pu, Pv = lax.fori_loop(0, T, step, (P, Pu, Pv))
-    return P, Pu, Pv
+    return lax.fori_loop(0, T, step, (Sk_y, Sk_u, Sk_v))
 
 
 # ---------------------------------------------------------------------------
@@ -631,12 +665,13 @@ def recon_frame(coeffs, is_i4, imodes, uvmode, fparams, *,
     Returns uint8 planes (B, 16*mb_h, 16*mb_w), (B, 8*mb_h, 8*mb_w) x2.
     """
     Yres, Ures, Vres = residual_blocks(coeffs.astype(I32))
-    P, Pu, Pv = recon_wavefront(
+    Sk_y, Sk_u, Sk_v = recon_wavefront(
         Yres, Ures, Vres, is_i4.astype(I32), imodes.astype(I32),
         uvmode.astype(I32), mb_w=mb_w, mb_h=mb_h)
-    Pf, Pfu, Pfv = loop_filter_wavefront(
-        P, Pu, Pv, fparams, mb_w=mb_w, mb_h=mb_h, filter_type=filter_type)
-    Y = Pf[:, 1:, 1:].astype(jnp.uint8)
-    U = Pfu[:, 1:, 1:].astype(jnp.uint8)
-    V = Pfv[:, 1:, 1:].astype(jnp.uint8)
+    Sk_y, Sk_u, Sk_v = loop_filter_wavefront(
+        Sk_y, Sk_u, Sk_v, fparams, mb_w=mb_w, mb_h=mb_h,
+        filter_type=filter_type)
+    Y = _unskew_plane(Sk_y, mb_w, mb_h, 16).astype(jnp.uint8)
+    U = _unskew_plane(Sk_u, mb_w, mb_h, 8).astype(jnp.uint8)
+    V = _unskew_plane(Sk_v, mb_w, mb_h, 8).astype(jnp.uint8)
     return Y, U, V
