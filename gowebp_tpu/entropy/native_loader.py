@@ -67,16 +67,21 @@ def get_lib():
     with _lock:
         if _lib is not None or _tried:
             return _lib
-        _tried = True
+        # NOTE: _tried must be written LAST — the unlocked fast path
+        # above reads it without the lock, and marking "tried" before
+        # _lib is assigned would make concurrent callers see a
+        # permanent None (observed with the pipelined batch encoder's
+        # emit thread pool).
+        lib = None
         so = _build()
-        if so is None:
-            return None
-        try:
-            lib = ctypes.CDLL(str(so))
-        except OSError:
-            return None
-        _configure(lib)
+        if so is not None:
+            try:
+                lib = ctypes.CDLL(str(so))
+                _configure(lib)
+            except OSError:
+                lib = None
         _lib = lib
+        _tried = True
     return _lib
 
 
