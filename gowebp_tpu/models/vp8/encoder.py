@@ -1252,7 +1252,18 @@ def analyze_segments(y, mb_w: int, mb_h: int, num_segments: int,
     )
     lap = np.pad(lap, 1)[:H, :W]
     act = lap.reshape(mb_h, 16, mb_w, 16).mean(axis=(1, 3)).reshape(-1)
+    return segments_from_activity(act, num_segments, sns_strength, base_q)
 
+
+def segments_from_activity(act, num_segments: int, sns_strength: int,
+                           base_q: int):
+    """Per-MB activity vector (float64) → (seg_map, deltas).
+
+    Split out of `analyze_segments` so the batch pipeline can feed it
+    activity *sums* computed on-device (exact int32; act = sums / 256)
+    and get bit-identical segmentation to the host path.
+    """
+    num_segments = max(1, int(num_segments))
     # 1-D k-means on activity (reference AssignSegments' centroid fit):
     # segments follow the actual activity clusters instead of fixed
     # population quartiles, so mostly-flat images put most MBs in the
@@ -1392,17 +1403,85 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
     """Dense phase on TPU, emission on host.
 
     plane_backend "jax" uses the exact closed-loop wavefront engine
-    (bit-identical to the sequential host encoder); "jax-openloop" uses
-    the fully-parallel open-loop engine (fastest, slight drift).
+    (bit-identical to the sequential host encoder, including the i4
+    mode search at method >= 4 and per-segment quantizers);
+    "jax-openloop" uses the fully-parallel open-loop engine (fastest,
+    slight drift).
     """
-    if config.plane_backend == "jax":
-        from ...ops.encode_wavefront_jax import encode_wavefront as _step
-    else:
-        from ...ops.encode_plane_jax import encode_plane_step as _step
-
     base_q = quality_to_q(config.quality)
     base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
     q = make_quants(base_q)
+    mb_w = y.shape[1] // 16
+    mb_h = y.shape[0] // 16
+
+    if config.plane_backend == "jax":
+        import jax.numpy as jnp
+
+        from ...ops.encode_wavefront_jax import encode_wavefront_core
+
+        seg = None
+        if config.segments > 1:
+            seg_map, deltas = analyze_segments(
+                y, mb_w, mb_h, config.segments, config.sns_strength, base_q
+            )
+            if len(set(deltas[: config.segments])) > 1:
+                seg = {
+                    "map": seg_map,
+                    "deltas": deltas,
+                    "probs": _segment_tree_probs(seg_map),
+                    "quants": [make_quants(max(0, min(127, base_q + d)))
+                               for d in deltas],
+                }
+
+        def qrow(sq):
+            return (sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,
+                    sq.uv_dc.q, sq.uv_ac.q)
+
+        if seg is not None:
+            qsteps = np.array([qrow(s) for s in seg["quants"]], np.int32)
+            seg_arr = np.asarray(seg["map"], np.int32).reshape(mb_h, mb_w)
+        else:
+            qsteps = np.array([qrow(q)] * 4, np.int32)
+            seg_arr = np.zeros((mb_h, mb_w), np.int32)
+        tp0, tp1, tval = _default_cost_tables()
+        tables = tuple(jnp.asarray(t.astype(np.int32))
+                       for t in (tp0, tp1, tval))
+        out = encode_wavefront_core(
+            np.asarray(y, np.int32)[None],
+            np.asarray(u, np.int32)[None],
+            np.asarray(v, np.int32)[None],
+            seg_arr[None], qsteps[None], tables,
+            try_i4=config.method >= 4,
+            i4_penalty=I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q,
+        )
+        ymode = np.asarray(out["ymode"])[0]
+        uvmode = np.asarray(out["uvmode"])[0]
+        y_levels = np.asarray(out["y_levels"])[0].reshape(-1, 16, 16)
+        y2_levels = np.asarray(out["y2_levels"])[0].reshape(-1, 16)
+        uv_levels = np.asarray(out["uv_levels"])[0].reshape(-1, 8, 16)
+        is_i4 = np.asarray(out["is_i4"])[0].reshape(-1)
+        imodes = np.asarray(out["imodes"])[0].reshape(-1, 16)
+        fast = emit_frame_arrays(
+            y2_levels, y_levels, uv_levels, is_i4, ymode, uvmode,
+            mb_w, mb_h, width, height, base_q, config,
+            imodes=imodes, seg=seg,
+        )
+        if fast is not None and config.autofilter:
+            best = _autofilter(fast, y, width, height, base_q, config)
+            if best is not None:
+                fast = emit_frame_arrays(
+                    y2_levels, y_levels, uv_levels, is_i4, ymode, uvmode,
+                    mb_w, mb_h, width, height, base_q, config,
+                    imodes=imodes, seg=seg, filter_level=best,
+                )
+        if fast is not None:
+            return fast
+        # No native tokenizer: the legacy Python emitter below cannot
+        # code i4/segment streams — take the host path instead.
+        return encode_vp8_frame(y, u, v, width, height, config)
+
+    from ...ops.encode_plane_jax import encode_plane_step as _step
+
     out = _step(
         np.asarray(y, np.int32)[None],
         np.asarray(u, np.int32)[None],

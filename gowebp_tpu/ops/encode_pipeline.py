@@ -99,8 +99,9 @@ def dense_packed_step(rgb, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac,
     """uint8 RGB (B, H, W, 3) → packed levels + modes, all on device.
 
     ``engine`` picks the dense encoder: "wavefront" (exact closed-loop,
-    bit-identical to the sequential host encoder) or "openloop" (fully
-    parallel, fastest, lower quality from prediction drift).
+    bit-identical to the sequential host encoder in its i16-only,
+    single-segment configuration) or "openloop" (fully parallel,
+    fastest, lower quality from prediction drift).
     H and W must be even (caller pads odd inputs); macroblock padding is
     edge-replicated in-graph to match the host encoder's `_pad_to_mb`.
     Returns dense level tensors too (never fetched unless an image needs
@@ -145,6 +146,77 @@ def dense_packed_step(rgb, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac,
     }
 
 
+@jax.jit
+def yuv_activity_step(rgb):
+    """Phase A: uint8 RGB → padded YUV planes + per-MB activity sums.
+
+    The activity sums are exact int32 (|4-neighbour laplacian| summed
+    per macroblock), so host-side `segments_from_activity(sums / 256)`
+    reproduces `analyze_segments` on the host-converted planes bit for
+    bit.  Planes stay on device for phase B.
+    """
+    import jax.numpy as jnp
+
+    B, h, w = rgb.shape[:3]
+    plan = _plan(h, w)
+    H, W = plan["H"], plan["W"]
+
+    y, u, v = rgb_to_yuv420(rgb)
+    y = jnp.pad(y, ((0, 0), (0, H - h), (0, W - w)), mode="edge")
+    u = jnp.pad(u, ((0, 0), (0, (H - h) // 2), (0, (W - w) // 2)),
+                mode="edge")
+    v = jnp.pad(v, ((0, 0), (0, (H - h) // 2), (0, (W - w) // 2)),
+                mode="edge")
+
+    ya = y.astype(jnp.int32)
+    lap = jnp.abs(
+        4 * ya[:, 1:-1, 1:-1] - ya[:, :-2, 1:-1] - ya[:, 2:, 1:-1]
+        - ya[:, 1:-1, :-2] - ya[:, 1:-1, 2:]
+    )
+    lap = jnp.pad(lap, ((0, 0), (1, 1), (1, 1)))[:, :H, :W]
+    act = lap.reshape(B, plan["mb_h"], 16, plan["mb_w"], 16).sum(
+        axis=(2, 4), dtype=jnp.int32)
+    return {"y": y, "u": u, "v": v, "act": act.reshape(B, -1)}
+
+
+@partial(jax.jit, static_argnames=("cap_g", "try_i4", "i4_penalty"))
+def wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *, cap_g,
+                          try_i4, i4_penalty):
+    """Phase B: full closed-loop wavefront encode + G4PACK of levels.
+
+    Same mode decisions as the sequential host encoder (i4 search,
+    per-segment quantizers); is_i4/imodes ride along for emission.
+    """
+    import jax.numpy as jnp
+
+    from .encode_wavefront_jax import encode_wavefront_core
+
+    B, H, W = y.shape
+    plan = _plan(H, W)
+    out = encode_wavefront_core(
+        y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+        seg_map, qsteps, tables, try_i4=try_i4, i4_penalty=i4_penalty)
+    flat = jnp.concatenate(
+        [
+            out["y2_levels"].reshape(B, -1).astype(jnp.int32),
+            out["y_levels"].reshape(B, -1).astype(jnp.int32),
+            out["uv_levels"].reshape(B, -1).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    pad = plan["n_group_pad"] * GROUP - plan["n_coeff"]
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    mask, vals, counts, maxabs = _pack_g4(flat, cap_g)
+    return {
+        "mask": mask, "vals": vals, "counts": counts, "maxabs": maxabs,
+        "ymode": out["ymode"], "uvmode": out["uvmode"],
+        "is_i4": out["is_i4"], "imodes": out["imodes"],
+        "y_levels": out["y_levels"], "y2_levels": out["y2_levels"],
+        "uv_levels": out["uv_levels"],
+    }
+
+
 def unpack_g4(mask: np.ndarray, vals: np.ndarray, count: int, plan: dict):
     """G4PACK arrays (one image) → (y2, yl, uvl) int16 views."""
     ng = plan["n_group_pad"]
@@ -166,20 +238,30 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
 
     Returns a list of complete .webp byte strings (order preserved).
     Device dispatch of chunk k+1 overlaps the fetch of chunk k and the
-    host emission of chunk k-1.  ``engine`` selects the dense encoder
-    (see `dense_packed_step`).
+    host emission of chunk k-1.
+
+    engine="wavefront" runs the full closed-loop path — segmentation,
+    i4 mode search at method >= 4, per-segment quantizers — and each
+    output file is bit-identical to `encode_rgba(im, config)` with
+    plane_backend="jax" (which itself equals the sequential host
+    encoder).  engine="openloop" is the reduced open-loop fast path.
     """
     import concurrent.futures as cf
 
     import jax
+    import jax.numpy as jnp
 
     from ..config import EncoderConfig
     from ..constants import CHUNK_VP8
     from ..container.riff import Chunk, assemble_simple
     from ..models.vp8.encoder import (
+        I4_LAMBDA_MULT,
+        _default_cost_tables,
+        _segment_tree_probs,
         emit_frame_arrays,
         make_quants,
         quality_to_q,
+        segments_from_activity,
     )
 
     if not images:
@@ -194,6 +276,19 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         y1_dc=q.y1_dc.q, y1_ac=q.y1_ac.q, y2_dc=q.y2_dc.q, y2_ac=q.y2_ac.q,
         uv_dc=q.uv_dc.q, uv_ac=q.uv_ac.q,
     )
+    wavefront = engine == "wavefront"
+    if wavefront:
+        tp0, tp1, tval = _default_cost_tables()
+        tables = tuple(jnp.asarray(t.astype(np.int32))
+                       for t in (tp0, tp1, tval))
+        i4_penalty = I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
+        try_i4 = config.method >= 4
+
+    def qrow(sq):
+        return (sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,
+                sq.uv_dc.q, sq.uv_ac.q)
+
+    base_row = np.array(qrow(q), np.int32)
 
     first = np.asarray(images[0])
     h, w = first.shape[:2]
@@ -207,21 +302,42 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
             rgb = np.pad(rgb, ((0, h & 1), (0, w & 1), (0, 0)), mode="edge")
         return rgb
 
-    def emit_one(mask_row, vals_row, count, ymode, uvmode, dense=None):
+    def segment_image(act_sums):
+        """Device activity sums (one image) → (seg dict | None, qs row)."""
+        if config.segments <= 1:
+            return None, np.broadcast_to(base_row, (4, 6))
+        seg_map, deltas = segments_from_activity(
+            act_sums.astype(np.float64) / 256.0,
+            config.segments, config.sns_strength, base_q)
+        if len(set(deltas[: config.segments])) <= 1:
+            return None, np.broadcast_to(base_row, (4, 6))
+        seg = {
+            "map": seg_map,
+            "deltas": deltas,
+            "probs": _segment_tree_probs(seg_map),
+            "quants": [make_quants(max(0, min(127, base_q + d)))
+                       for d in deltas],
+        }
+        return seg, np.array([qrow(s) for s in seg["quants"]], np.int32)
+
+    def emit_one(mask_row, vals_row, count, ymode, uvmode, dense=None,
+                 is_i4=None, imodes=None, seg=None):
         if dense is None:
             y2, yl, uvl = unpack_g4(mask_row, vals_row, count, plan)
         else:
             y2, yl, uvl = dense
+        if is_i4 is None:
+            is_i4 = np.zeros(plan["total"], np.uint8)
         payload = emit_frame_arrays(
-            y2, yl, uvl,
-            np.zeros(plan["total"], np.uint8), ymode, uvmode,
+            y2, yl, uvl, is_i4, ymode, uvmode,
             plan["mb_w"], plan["mb_h"], w, h, base_q, config,
+            imodes=imodes, seg=seg,
         )
         if payload is None:
             raise RuntimeError("native tokenizer unavailable")
         return assemble_simple(Chunk(CHUNK_VP8, payload))
 
-    def fetch_chunk(out, idxs):
+    def fetch_chunk(out, idxs, segs=None):
         """Blocking d2h of one chunk's packed tensors (fetch thread)."""
         counts = np.asarray(out["counts"])
         maxabs = np.asarray(out["maxabs"])
@@ -231,8 +347,16 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         vals = np.asarray(out["vals"][:, :kmax])
         ymode = np.asarray(out["ymode"])
         uvmode = np.asarray(out["uvmode"])
+        if "is_i4" in out:
+            is_i4 = np.asarray(out["is_i4"]).reshape(len(counts), -1)
+            imodes = np.asarray(out["imodes"]).reshape(len(counts), -1, 16)
+        else:
+            is_i4 = imodes = None
         jobs = []
         for j, gi in enumerate(idxs):
+            seg = segs[j] if segs is not None else None
+            i4j = is_i4[j] if is_i4 is not None else None
+            imj = imodes[j] if imodes is not None else None
             if maxabs[j] > 127 or counts[j] > plan["cap_g"]:
                 t = plan["total"]
                 dense = (
@@ -240,10 +364,11 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                     np.asarray(out["y_levels"][j]).reshape(t, 16, 16),
                     np.asarray(out["uv_levels"][j]).reshape(t, 8, 16),
                 )
-                jobs.append((gi, None, None, 0, ymode[j], uvmode[j], dense))
+                jobs.append((gi, None, None, 0, ymode[j], uvmode[j], dense,
+                             i4j, imj, seg))
             else:
                 jobs.append((gi, mask[j], vals[j], int(counts[j]),
-                             ymode[j], uvmode[j], None))
+                             ymode[j], uvmode[j], None, i4j, imj, seg))
         return jobs
 
     results = [None] * n
@@ -258,9 +383,27 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                 [rgb, np.repeat(rgb[-1:], chunk - len(idxs), axis=0)]
             )
         dev = jax.device_put(rgb)
-        out = dense_packed_step(dev, cap_g=plan["cap_g"], engine=engine,
-                                **quants)
-        return dev, out, idxs
+        if not wavefront:
+            out = dense_packed_step(dev, cap_g=plan["cap_g"], engine=engine,
+                                    **quants)
+            return out, idxs, None
+        pre = yuv_activity_step(dev)
+        act = np.asarray(pre["act"])                 # small d2h (4 B/MB)
+        segs, qs = [], np.empty((len(act), 4, 6), np.int32)
+        for j in range(len(act)):
+            seg, qs[j] = segment_image(act[j])
+            segs.append(seg)
+        seg_maps = np.stack([
+            (seg["map"].reshape(plan["mb_h"], plan["mb_w"]).astype(np.int32)
+             if seg is not None
+             else np.zeros((plan["mb_h"], plan["mb_w"]), np.int32))
+            for seg in segs
+        ])
+        out = wavefront_packed_step(
+            pre["y"], pre["u"], pre["v"],
+            jax.device_put(seg_maps), jax.device_put(qs), tables,
+            cap_g=plan["cap_g"], try_i4=try_i4, i4_penalty=i4_penalty)
+        return out, idxs, segs
 
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as emit_pool, \
             cf.ThreadPoolExecutor(max_workers=1) as fetch_pool:
@@ -270,23 +413,18 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         for s in starts:
             cur = dispatch(s)  # async device work for this chunk
             if prev is not None:
-                _, out, idxs = prev
-                fetch_fut = fetch_pool.submit(fetch_chunk, out, idxs)
+                out, idxs, segs = prev
+                fetch_fut = fetch_pool.submit(fetch_chunk, out, idxs, segs)
             if fetch_fut is not None and prev is not None:
                 for job in fetch_fut.result():
-                    gi, mrow, vrow, cnt, ym, um, dense = job
+                    gi, *args = job
                     emit_futs.append(
-                        (gi, emit_pool.submit(
-                            emit_one, mrow, vrow, cnt, ym, um, dense))
-                    )
+                        (gi, emit_pool.submit(emit_one, *args)))
             prev = cur
-        _, out, idxs = prev
-        for job in fetch_chunk(out, idxs):
-            gi, mrow, vrow, cnt, ym, um, dense = job
-            emit_futs.append(
-                (gi, emit_pool.submit(emit_one, mrow, vrow, cnt, ym, um,
-                                      dense))
-            )
+        out, idxs, segs = prev
+        for job in fetch_chunk(out, idxs, segs):
+            gi, *args = job
+            emit_futs.append((gi, emit_pool.submit(emit_one, *args)))
         for gi, fut in emit_futs:
             results[gi] = fut.result()
     return results

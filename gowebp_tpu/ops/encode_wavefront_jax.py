@@ -1,16 +1,40 @@
 """Exact closed-loop VP8 dense encode on TPU via wavefront scheduling.
 
-The i16 encoder's only sequential dependency is the reconstruction
-context: MB (x, y) needs the reconstructed bottom row of (x, y-1) and
-right column of (x-1, y).  MBs on an anti-diagonal d = x + 2*y are
-mutually independent, so the frame encodes in mb_w + 2*mb_h - 1 steps,
-each processing a whole diagonal (× the image batch) at once.
+The encoder's only sequential dependency is the reconstruction context:
+MB (x, y) needs the reconstructed bottom row of (x, y-1), right column
+of (x-1, y), and 4 bottom pixels of (x+1, y-1).  MBs on an
+anti-diagonal t = 2*y + x are mutually independent, so a frame encodes
+in mb_w + 2*mb_h - 2 + 1 steps, each processing a whole diagonal (× the
+image batch) at once.
 
-This produces *identical* levels/modes to the sequential host encoder
-(wtpu_vp8_encode_frame with try_i4=0) — same feedback, same integer
-math — while scaling over batch × diagonal on the MXU/VPU.
+Like the decode engine (vp8_recon_jax), the planes live in a **skewed
+tile layout** during the wavefront: tile (my, mx) sits at column
+2*my + mx (+3 lead padding for the recon state) of a
+(B, mb_h, T+3, s, s) array, so one anti-diagonal is one column and
+every per-step access is a lax.dynamic_slice / dynamic_update_slice of
+adjacent columns — no gather/scatter in the hot loop.
 
-SURVEY.md §7 "hard parts #2": the diagonal-wavefront answer.
+Mode search is bit-identical to the sequential host encoder
+(wtpu_vp8_encode_frame in entropy/native/vp8_dec.cpp):
+
+- i16: SSE argmin over the 4 whole-MB modes, then FDCT/FWHT/quant and
+  decoder-mirror reconstruction;
+- i4 (``try_i4``): the 16 sub-blocks scanned in raster order by an
+  inner fori_loop, each picking among all 10 B-modes by
+  dist + (λ·(token_rate + mode_bits)) >> 16 with the exact
+  token-grammar rate model (ops/rate_jax), the winner's reconstruction
+  feeding the next sub-block; the MB adopts i4 iff Σ sub-block scores
+  beat the i16 score under the same objective;
+- per-MB segment quantizers via a (4, 6) table + segment-id map.
+
+Feature parity target: /root/reference/pkg/libwebp/enc/quant_enc.c.go
+PickBestIntra16/PickBestIntra4 (:840-998) re-designed as a batched
+diagonal tensor program.  SURVEY.md §7 "hard parts #2".
+
+Cost arithmetic note: scores are int32 with an exact split-limb
+(λ·rate)>>16 (λ < 2^19 by construction); this matches the native
+encoder's int64 math for any rate below ~2^26 1/256-bits per block
+(≥ 32 KB/MB — unreachable).
 """
 
 from __future__ import annotations
@@ -19,55 +43,34 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from . import dct_jax
+from .rate_jax import block_rate256
+from .vp8_recon_jax import (
+    _clip8,
+    _pred_luma4_all,
+    _shift_down,
+    _skew_index,
+    num_diagonals,
+)
 
+I32 = jnp.int32
 
-def _gather_blocks(plane, my, mx, size):
-    """plane (B, Hp, Wp) → (B, L, size, size) blocks at MB (my, mx)."""
-    rows = my[:, None] * size + jnp.arange(size)[None, :]        # (L, size)
-    cols = mx[:, None] * size + jnp.arange(size)[None, :]
-    return plane[:, rows[:, :, None], cols[:, None, :]]
+# 1/256-bit header-cost estimates of the 10 kf bmode symbols (must match
+# kMode4Bits256 in entropy/native/vp8_dec.cpp).
+_MODE4_BITS256 = jnp.array(
+    [256, 704, 768, 768, 960, 1024, 960, 1024, 1024, 960], I32)
 
-
-def _scatter_blocks(plane, my, mx, size, blocks):
-    rows = my[:, None] * size + jnp.arange(size)[None, :]
-    cols = mx[:, None] * size + jnp.arange(size)[None, :]
-    return plane.at[:, rows[:, :, None], cols[:, None, :]].set(blocks)
-
-
-def _context(plane, my, mx, size, mh, mw):
-    """Top row / left col / top-left for MBs (my, mx) with 127/129 edges.
-
-    plane is the *reconstruction* plane (padded with one scratch MB row).
-    Returns (top (B,L,size), left (B,L,size), tl (B,L)).
-    """
-    B = plane.shape[0]
-    L = my.shape[0]
-    have_top = my > 0
-    have_left = mx > 0
-
-    trow = jnp.maximum(my * size - 1, 0)
-    tcols = mx[:, None] * size + jnp.arange(size)[None, :]
-    top = plane[:, trow[:, None], tcols]                      # (B, L, size)
-    top = jnp.where(have_top[None, :, None], top, 127)
-
-    lcol = jnp.maximum(mx * size - 1, 0)
-    lrows = my[:, None] * size + jnp.arange(size)[None, :]
-    left = plane[:, lrows, lcol[:, None]]
-    left = jnp.where(have_left[None, :, None], left, 129)
-
-    tl = plane[:, trow, lcol]
-    tl = jnp.where(
-        have_top[None, :],
-        jnp.where(have_left[None, :], tl, 129),
-        127,
-    )
-    return top, left, tl
+_BIAS = {  # b8 << 9 quantizer bias per coefficient class
+    "y1_dc": 96 << 9, "y1_ac": 110 << 9,
+    "y2_dc": 96 << 9, "y2_ac": 96 << 9,
+    "uv_dc": 110 << 9, "uv_ac": 110 << 9,
+}
 
 
 def _predict4_blocks(top, left, tl, have_top, have_left, size):
-    """(B,L,size) contexts → (4, B, L, size, size) predictions."""
+    """(B,L,size) contexts → (4, B, L, size, size) DC/TM/VE/HE preds."""
     shift = 5 if size == 16 else 4
     sum_top = top.sum(axis=-1)
     sum_left = left.sum(axis=-1)
@@ -90,155 +93,357 @@ def _predict4_blocks(top, left, tl, have_top, have_left, size):
     return jnp.stack([pred_dc, pred_tm, pred_ve, pred_he])
 
 
-def _encode_luma_diag(src_blocks, pred4, qp):
-    """(B,L,16,16) src + (4,B,L,16,16) preds → levels/modes/recon."""
-    diff = src_blocks[None].astype(jnp.int32) - pred4.astype(jnp.int32)
-    sse = (diff * diff).sum(axis=(-1, -2))
-    mode = jnp.argmin(sse, axis=0)                      # (B, L)
-    pred = jnp.take_along_axis(pred4, mode[None, ..., None, None], axis=0)[0]
-    res = src_blocks.astype(jnp.int32) - pred.astype(jnp.int32)
-    B, L = res.shape[:2]
-    blk = res.reshape(B, L, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
-    coeffs = dct_jax.fdct4x4(blk)                       # (B,L,4,4,4,4)
-    dcs = coeffs[..., 0, 0]
-    y2 = dct_jax.fwht4x4(dcs)
-    y2_levels = dct_jax.quantize(y2, qp["y2_dc_iq"], 96 << 9,
-                                 qp["y2_ac_iq"], 96 << 9)
-    y_levels = dct_jax.quantize(coeffs.reshape(B, L, 16, 4, 4),
-                                qp["y1_dc_iq"], 96 << 9,
-                                qp["y1_ac_iq"], 110 << 9, first_ac=True)
-    # Reconstruction (decoder mirror).
-    y2_deq = dct_jax.dequantize(y2_levels, qp["y2_dc"], qp["y2_ac"])
-    y2_any_ac = (y2_levels[..., 1:] != 0).any(axis=-1)
-    iwht = dct_jax.iwht4x4(y2_deq)
-    dc_only = jnp.broadcast_to(
-        ((y2_deq[..., 0, 0] + 3) >> 3)[..., None, None], iwht.shape
-    )
-    rdcs = jnp.where(y2_any_ac[..., None, None], iwht, dc_only)  # (B,L,4,4)
-    deq = dct_jax.dequantize(y_levels, qp["y1_dc"], qp["y1_ac"])
-    deq = deq.reshape(B, L, 4, 4, 4, 4)
-    deq = deq.at[..., 0, 0].set(rdcs)
-    pred_blk = pred.reshape(B, L, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
-    recon_blk = dct_jax.idct_add_clip(deq, pred_blk)
-    recon = recon_blk.transpose(0, 1, 2, 4, 3, 5).reshape(B, L, 16, 16)
-    return y_levels, y2_levels, mode, recon
+def _quant_lanes(coeffs, iq_dc, iq_ac, bias_dc, bias_ac, first_ac=False):
+    """Per-lane quantize: coeffs (..., 4, 4) raster → (..., 16) zigzag.
+
+    iq_dc/iq_ac broadcastable to coeffs.shape[:-2]; biases static ints.
+    """
+    flat = coeffs.reshape(coeffs.shape[:-2] + (16,))
+    zz = jnp.take(flat, dct_jax._ZIGZAG, axis=-1)
+    pos0 = jnp.arange(16) == 0
+    iq = jnp.where(pos0, iq_dc[..., None], iq_ac[..., None])
+    bias = jnp.where(pos0, bias_dc, bias_ac)
+    sign = zz < 0
+    level = jnp.minimum((jnp.abs(zz) * iq + bias) >> 17, 2047)
+    if first_ac:
+        level = level.at[..., 0].set(0)
+    return jnp.where(sign, -level, level)
 
 
-def _encode_chroma_diag(src_blocks, pred4, qp):
-    """(2,B,L,8,8) U/V src + (4,2,B,L,8,8) preds → levels/mode/recons."""
-    diff = src_blocks[None].astype(jnp.int32) - pred4.astype(jnp.int32)
-    sse = (diff * diff).sum(axis=(1, -1, -2))           # over U+V, pixels
-    mode = jnp.argmin(sse, axis=0)                      # (B, L)
-    pred = jnp.take_along_axis(
-        pred4, mode[None, None, ..., None, None], axis=0
-    )[0]
-    res = src_blocks.astype(jnp.int32) - pred.astype(jnp.int32)
-    C, B, L = res.shape[:3]
-    blk = res.reshape(C, B, L, 2, 4, 2, 4).transpose(0, 1, 2, 3, 5, 4, 6)
-    coeffs = dct_jax.fdct4x4(blk)                       # (2,B,L,2,2,4,4)
-    levels = dct_jax.quantize(coeffs.reshape(C, B, L, 4, 4, 4),
-                              qp["uv_dc_iq"], 110 << 9,
-                              qp["uv_ac_iq"], 110 << 9)
-    deq = dct_jax.dequantize(levels, qp["uv_dc"], qp["uv_ac"])
-    deq = deq.reshape(C, B, L, 2, 2, 4, 4)
-    pred_blk = pred.reshape(C, B, L, 2, 4, 2, 4).transpose(0, 1, 2, 3, 5, 4, 6)
-    recon_blk = dct_jax.idct_add_clip(deq, pred_blk)
-    recon = recon_blk.transpose(0, 1, 2, 3, 5, 4, 6).reshape(C, B, L, 8, 8)
-    return levels, mode, recon
+def _dequant_lanes(levels, q_dc, q_ac):
+    """(..., 16) zigzag levels → (..., 4, 4) raster, per-lane q."""
+    pos0 = jnp.arange(16) == 0
+    q = jnp.where(pos0, q_dc[..., None], q_ac[..., None])
+    deq = levels.astype(I32) * q
+    raster = jnp.take(deq, dct_jax._INV_ZIGZAG, axis=-1)
+    return raster.reshape(levels.shape[:-1] + (4, 4))
 
 
-@partial(jax.jit, static_argnames=("y1_dc", "y1_ac", "y2_dc", "y2_ac",
-                                   "uv_dc", "uv_ac"))
-def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
-    """Exact closed-loop batched dense encode (i16).
+def _mul_shr16(lamq: int, rate):
+    """Exact (lamq * rate) >> 16 in int32 for static 0 ≤ lamq < 2^19."""
+    lh, ll = lamq >> 8, lamq & 0xFF
+    rh = rate >> 16
+    rl = rate & 0xFFFF
+    low = (lh * rl + ((ll * rl) >> 8)) >> 8          # == (lamq*rl)>>16
+    return lamq * rh + low
+
+
+def _sse(a, b, axes):
+    d = a.astype(I32) - b.astype(I32)
+    return (d * d).sum(axis=axes)
+
+
+def _unskew_tiles(O, mb_w, mb_h):
+    """(B, mb_h, T, ...) skewed outputs → (B, mb_h, mb_w, ...)."""
+    my = jnp.arange(mb_h, dtype=I32)[:, None]
+    mx = jnp.arange(mb_w, dtype=I32)[None, :]
+    return O[:, my, 2 * my + mx]
+
+
+def _skew_tiles(plane, mb_w, mb_h, size):
+    """(B, H, W) plane → (B, mb_h, T, size, size) skewed source tiles."""
+    B = plane.shape[0]
+    tiles = plane.reshape(B, mb_h, size, mb_w, size).transpose(0, 1, 3, 2, 4)
+    flat, _ = _skew_index(mb_w, mb_h)
+    my = jnp.arange(mb_h, dtype=I32)[:, None]
+    mx = jnp.clip(jnp.arange(num_diagonals(mb_w, mb_h), dtype=I32)[None, :]
+                  - 2 * my, 0, mb_w - 1)
+    return tiles[:, my, mx]
+
+
+@partial(jax.jit, static_argnames=("try_i4", "i4_penalty"))
+def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
+                          try_i4: bool, i4_penalty: int = 0):
+    """Exact closed-loop batched dense encode (i16 + optional i4).
 
     y: (B, H16, W16) int32; u, v: (B, H16//2, W16//2) int32.
-    Returns the same per-MB tensor dict as encode_plane_step, with
-    outputs identical to the sequential host encoder.
+    seg_map: (B, mh, mw) int32 per-MB segment ids (zeros if unused).
+    qsteps: (B, 4, 6) int32 per-image per-segment quant steps
+    (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) — traced, so batches whose
+    images carry different segment deltas share one compilation.
+    tables: (p0, p1, val) int32 token-cost tables (rate_jax layout).
+    Returns per-MB tensors bit-identical to the host encoder
+    (wtpu_vp8_encode_frame) under the same parameters.
     """
     B, H, W = y.shape
     mh, mw = H // 16, W // 16
-    Lmax = min(mh, (mw + 1) // 2 + 1)
+    M, T = mh, num_diagonals(mw, mh)
 
-    qp = {
-        "y1_dc": y1_dc, "y1_ac": y1_ac,
-        "y2_dc": y2_dc, "y2_ac": y2_ac,
-        "uv_dc": uv_dc, "uv_ac": uv_ac,
-        "y1_dc_iq": (1 << 17) // y1_dc, "y1_ac_iq": (1 << 17) // y1_ac,
-        "y2_dc_iq": (1 << 17) // y2_dc, "y2_ac_iq": (1 << 17) // y2_ac,
-        "uv_dc_iq": (1 << 17) // uv_dc, "uv_ac_iq": (1 << 17) // uv_ac,
-    }
+    qs = qsteps.astype(I32)                         # (B, 4, 6)
+    iqs = (1 << 17) // jnp.maximum(qs, 1)
 
-    # Recon planes padded with one scratch MB row (invalid lanes park there).
-    Yr = jnp.zeros((B, H + 16, W), jnp.int32)
-    Ur = jnp.zeros((B, H // 2 + 8, W // 2), jnp.int32)
-    Vr = jnp.zeros_like(Ur)
-    # Outputs padded with a scratch MB row too.
-    y_levels = jnp.zeros((B, mh + 1, mw, 16, 16), jnp.int32)
-    y2_levels = jnp.zeros((B, mh + 1, mw, 16), jnp.int32)
-    uv_levels = jnp.zeros((B, mh + 1, mw, 8, 16), jnp.int32)
-    ymode = jnp.zeros((B, mh + 1, mw), jnp.int32)
-    uvmode = jnp.zeros((B, mh + 1, mw), jnp.int32)
+    Ysrc = _skew_tiles(y, mw, mh, 16)               # (B,M,T,16,16)
+    Usrc = _skew_tiles(u, mw, mh, 8)
+    Vsrc = _skew_tiles(v, mw, mh, 8)
+    flat, _ = _skew_index(mw, mh)
+    seg_sk = seg_map.reshape(B, mh * mw)[:, flat]   # (B, M, T)
 
-    n_steps = mw + 2 * mh - 2 + 1
+    Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
+    Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
+    Sk_v = jnp.zeros((B, M, T + 3, 8, 8), I32)
+    O_yl = jnp.zeros((B, M, T, 16, 16), I32)
+    O_y2 = jnp.zeros((B, M, T, 16), I32)
+    O_uv = jnp.zeros((B, M, T, 8, 16), I32)
+    O_ym = jnp.zeros((B, M, T), I32)
+    O_um = jnp.zeros((B, M, T), I32)
+    O_i4 = jnp.zeros((B, M, T), I32)
+    O_im = jnp.zeros((B, M, T, 16), I32)
 
-    def step(d, state):
-        Yr, Ur, Vr, y_levels, y2_levels, uv_levels, ymode, uvmode = state
-        # First possibly-valid row index on this diagonal.
-        k0 = jnp.maximum(0, (d - mw + 2) // 2)
-        my = k0 + jnp.arange(Lmax)
-        mx = d - 2 * my
-        valid = (mx >= 0) & (mx < mw) & (my < mh)
-        mxc = jnp.clip(mx, 0, mw - 1)
-        # Invalid lanes write into the scratch MB row (my = mh).
-        mys = jnp.where(valid, my, mh)
-        myc = jnp.clip(my, 0, mh - 1)
+    myv = jnp.arange(M, dtype=I32)
+    htv = myv > 0
 
-        have_top = my > 0
-        have_left = mxc > 0
+    def step(t, carry):
+        (Sk_y, Sk_u, Sk_v,
+         O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
+        mxv = t - 2 * myv                            # (M,)
+        hlv = mxv > 0
+        lastv = mxv == (mw - 1)
+        ht3 = htv[None, :, None]
+        hl3 = hlv[None, :, None]
 
-        # ---- luma ----
-        src = _gather_blocks(y, myc, mxc, 16)
-        top, left, tl = _context(Yr, myc, mxc, 16, mh, mw)
-        pred4 = _predict4_blocks(top, left, tl, have_top, have_left, 16)
-        yl, y2l, ym, recon = _encode_luma_diag(src, pred4, qp)
-        Yr = _scatter_blocks(Yr, mys, mxc, 16, recon)
+        seg = lax.dynamic_slice(seg_sk, (0, 0, t), (B, M, 1))[..., 0]
+        segb = jnp.broadcast_to(seg[..., None], (B, M, 6))
+        qlane = jnp.take_along_axis(qs, segb, axis=1)    # (B, M, 6)
+        iqlane = jnp.take_along_axis(iqs, segb, axis=1)
 
-        # ---- chroma ----
-        usrc = _gather_blocks(u, myc, mxc, 8)
-        vsrc = _gather_blocks(v, myc, mxc, 8)
-        utop, uleft, utl = _context(Ur, myc, mxc, 8, mh, mw)
-        vtop, vleft, vtl = _context(Vr, myc, mxc, 8, mh, mw)
-        updd = _predict4_blocks(utop, uleft, utl, have_top, have_left, 8)
-        vpdd = _predict4_blocks(vtop, vleft, vtl, have_top, have_left, 8)
-        uvl, uvm, crecon = _encode_chroma_diag(
-            jnp.stack([usrc, vsrc]), jnp.stack([updd, vpdd], axis=1), qp
-        )
-        Ur = _scatter_blocks(Ur, mys, mxc, 8, crecon[0])
-        Vr = _scatter_blocks(Vr, mys, mxc, 8, crecon[1])
+        # ---- luma context from the skewed recon state ----
+        win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0), (B, M, 3, 16, 16))
+        tl_t = _shift_down(win[:, :, 0], 0)
+        top_t = _shift_down(win[:, :, 1], 0)
+        left_t = win[:, :, 2]
+        tr_t = _shift_down(win[:, :, 2], 0)
+        top16 = jnp.where(ht3, top_t[:, :, 15, :], 127)
+        tr4 = tr_t[:, :, 15, 0:4]
+        tr4 = jnp.where(lastv[None, :, None], top16[:, :, 15:16], tr4)
+        tr4 = jnp.where(ht3, tr4, 127)
+        left16 = jnp.where(hl3, left_t[:, :, :, 15], 129)
+        tlpx = jnp.where(htv[None, :],
+                         jnp.where(hlv[None, :], tl_t[:, :, 15, 15], 129),
+                         127)
 
-        # ---- store outputs (scratch row absorbs invalid lanes) ----
-        y_levels = y_levels.at[:, mys, mxc].set(yl)
-        y2_levels = y2_levels.at[:, mys, mxc].set(y2l)
-        uv_levels = uv_levels.at[:, mys, mxc].set(
-            uvl.transpose(1, 2, 0, 3, 4).reshape(B, Lmax, 8, 16)
-        )
-        ymode = ymode.at[:, mys, mxc].set(ym)
-        uvmode = uvmode.at[:, mys, mxc].set(uvm)
-        return (Yr, Ur, Vr, y_levels, y2_levels, uv_levels, ymode, uvmode)
+        src = lax.dynamic_slice(Ysrc, (0, 0, t, 0, 0),
+                                (B, M, 1, 16, 16))[:, :, 0]
 
-    state = (Yr, Ur, Vr, y_levels, y2_levels, uv_levels, ymode, uvmode)
-    state = jax.lax.fori_loop(0, n_steps, step, state)
-    _, _, _, y_levels, y2_levels, uv_levels, ymode, uvmode = state
-    # Narrow dtypes on-device: levels fit int16, modes fit uint8 —
-    # halves the device→host transfer for the batch pipeline.
+        # ---- i16 candidate ----
+        pred4 = _predict4_blocks(top16, left16, tlpx, htv, hlv, 16)
+        sse = _sse(src[None], pred4, (-1, -2))
+        ymode = jnp.argmin(sse, axis=0).astype(I32)  # (B, M)
+        pred = jnp.take_along_axis(
+            pred4, ymode[None, ..., None, None], axis=0)[0]
+        res = src.astype(I32) - pred.astype(I32)
+        blk = res.reshape(B, M, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        coeffs = dct_jax.fdct4x4(blk)                # (B,M,gy,gx,4,4)
+        dcs = coeffs[..., 0, 0]
+        y2 = dct_jax.fwht4x4(dcs)
+        lane = lambda k: iqlane[..., k]
+        qv = lambda k: qlane[..., k]
+        y2_levels = _quant_lanes(y2, lane(2), lane(3),
+                                 _BIAS["y2_dc"], _BIAS["y2_ac"])
+        y_levels = _quant_lanes(
+            coeffs.reshape(B, M, 16, 4, 4),
+            lane(0)[..., None], lane(1)[..., None],
+            _BIAS["y1_dc"], _BIAS["y1_ac"], first_ac=True)
+
+        # Reconstruction (decoder mirror).
+        y2_deq = _dequant_lanes(y2_levels, qv(2), qv(3))
+        y2_any_ac = (y2_levels[..., 1:] != 0).any(axis=-1)
+        iwht = dct_jax.iwht4x4(y2_deq)
+        dc_only = jnp.broadcast_to(
+            ((y2_deq[..., 0, 0] + 3) >> 3)[..., None, None], iwht.shape)
+        rdcs = jnp.where(y2_any_ac[..., None, None], iwht, dc_only)
+        deq = _dequant_lanes(y_levels, qv(0)[..., None], qv(1)[..., None])
+        deq = deq.reshape(B, M, 4, 4, 4, 4)
+        deq = deq.at[..., 0, 0].set(rdcs)
+        pred_blk = pred.reshape(B, M, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        recon_blk = dct_jax.idct_add_clip(deq, pred_blk)
+        recon16 = recon_blk.transpose(0, 1, 2, 4, 3, 5).reshape(B, M, 16, 16)
+        is4 = jnp.zeros((B, M), I32)
+        imodes = jnp.broadcast_to(ymode[..., None], (B, M, 16))
+        recon_y = recon16
+
+        # ---- i4 candidate ----
+        if try_i4:
+            d16 = _sse(src, recon16, (-1, -2))
+            rate16 = block_rate256(y2_levels, tables, type=1, first=0,
+                                   ctx0=1)
+            rate16 = rate16 + block_rate256(
+                y_levels, tables, type=0, first=1, ctx0=1).sum(axis=-1)
+            s16 = d16 + _mul_shr16(i4_penalty, rate16)
+
+            scr = jnp.zeros((B, M, 17, 21), I32)
+            scr = scr.at[:, :, 0, 0].set(tlpx)
+            scr = scr.at[:, :, 0, 1:17].set(top16)
+            scr = scr.at[:, :, 0, 17:21].set(tr4)
+            scr = scr.at[:, :, 1:17, 0].set(left16)
+
+            yl4 = jnp.zeros((B, M, 16, 16), I32)
+            modes4 = jnp.zeros((B, M, 16), I32)
+            s4 = jnp.zeros((B, M), I32)
+
+            def sub(n, sub_carry):
+                scr, yl4, modes4, s4 = sub_carry
+                gy, gx = n >> 2, n & 3
+                r, c = 4 * gy, 4 * gx
+                row = lax.dynamic_slice(scr, (0, 0, r, c), (B, M, 1, 9))
+                tl = row[..., 0, 0]
+                top = row[..., 0, 1:5]
+                tr_in = row[..., 0, 5:9]
+                tr = jnp.where(jnp.equal(gx, 3), scr[:, :, 0, 17:21], tr_in)
+                left = lax.dynamic_slice(scr, (0, 0, r + 1, c),
+                                         (B, M, 4, 1))[..., 0]
+                src4 = lax.dynamic_slice_in_dim(
+                    lax.dynamic_slice_in_dim(src, r, 4, axis=2),
+                    c, 4, axis=3)
+                preds = _pred_luma4_all(tl, top, tr, left)  # (B,M,10,4,4)
+                res4 = src4[:, :, None].astype(I32) - preds
+                cf = dct_jax.fdct4x4(res4)
+                lv = _quant_lanes(cf, lane(0)[..., None], lane(1)[..., None],
+                                  _BIAS["y1_dc"], _BIAS["y1_ac"])
+                dq = _dequant_lanes(lv, qv(0)[..., None], qv(1)[..., None])
+                rec = dct_jax.idct_add_clip(dq, preds)      # (B,M,10,4,4)
+                dist = _sse(src4[:, :, None], rec, (-1, -2))
+                rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
+                cost = dist + _mul_shr16(i4_penalty, rate + _MODE4_BITS256)
+                bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, M)
+                bm = bmode[..., None]
+                bcost = jnp.take_along_axis(cost, bm, axis=-1)[..., 0]
+                blv = jnp.take_along_axis(
+                    lv, bm[..., None], axis=2)[:, :, 0]
+                brec = jnp.take_along_axis(
+                    rec, bm[..., None, None], axis=2)[:, :, 0]
+                scr = lax.dynamic_update_slice(
+                    scr, brec, (0, 0, r + 1, c + 1))
+                yl4 = lax.dynamic_update_slice(
+                    yl4, blv[:, :, None], (0, 0, n, 0))
+                modes4 = lax.dynamic_update_slice(
+                    modes4, bmode[..., None], (0, 0, n))
+                return scr, yl4, modes4, s4 + bcost
+
+            scr, yl4, modes4, s4 = lax.fori_loop(
+                0, 16, sub, (scr, yl4, modes4, s4))
+
+            adopt = s4 < s16                           # (B, M)
+            a2 = adopt[..., None]
+            a4 = adopt[..., None, None]
+            is4 = adopt.astype(I32)
+            y_levels = jnp.where(a4, yl4, y_levels)
+            y2_levels = jnp.where(a2, 0, y2_levels)
+            imodes = jnp.where(a2, modes4, imodes)
+            recon_y = jnp.where(a4, scr[:, :, 1:17, 1:17], recon16)
+
+        # ---- chroma (U and V stacked on the batch axis) ----
+        usrc = lax.dynamic_slice(Usrc, (0, 0, t, 0, 0),
+                                 (B, M, 1, 8, 8))[:, :, 0]
+        vsrc = lax.dynamic_slice(Vsrc, (0, 0, t, 0, 0),
+                                 (B, M, 1, 8, 8))[:, :, 0]
+        uwin = lax.dynamic_slice(Sk_u, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
+        vwin = lax.dynamic_slice(Sk_v, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
+        cwin = jnp.concatenate([uwin, vwin], axis=0)
+        tl_c = _shift_down(cwin[:, :, 0], 0)
+        top_c = _shift_down(cwin[:, :, 1], 0)
+        left_c = cwin[:, :, 2]
+        top8 = jnp.where(ht3, top_c[:, :, 7, :], 127)
+        left8 = jnp.where(hl3, left_c[:, :, :, 7], 129)
+        tlc = jnp.where(htv[None, :],
+                        jnp.where(hlv[None, :], tl_c[:, :, 7, 7], 129),
+                        127)
+        cpred4 = _predict4_blocks(top8, left8, tlc, htv, hlv, 8)  # (4,2B,M,8,8)
+        csrc = jnp.concatenate([usrc, vsrc], axis=0)
+        csse = _sse(csrc[None], cpred4, (-1, -2))     # (4, 2B, M)
+        uvmode = jnp.argmin(csse[:, :B] + csse[:, B:], axis=0).astype(I32)
+        uvm2 = jnp.concatenate([uvmode, uvmode], axis=0)
+        cpred = jnp.take_along_axis(
+            cpred4, uvm2[None, ..., None, None], axis=0)[0]
+        cres = csrc.astype(I32) - cpred.astype(I32)
+        cblk = cres.reshape(2 * B, M, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+        ccf = dct_jax.fdct4x4(cblk)                   # (2B,M,2,2,4,4)
+        iq2 = jnp.concatenate([iqlane, iqlane], axis=0)
+        q2 = jnp.concatenate([qlane, qlane], axis=0)
+        clv = _quant_lanes(ccf.reshape(2 * B, M, 4, 4, 4),
+                           iq2[..., 4][..., None], iq2[..., 5][..., None],
+                           _BIAS["uv_dc"], _BIAS["uv_ac"])
+        cdq = _dequant_lanes(clv, q2[..., 4][..., None],
+                             q2[..., 5][..., None])
+        cdq = cdq.reshape(2 * B, M, 2, 2, 4, 4)
+        cpred_blk = cpred.reshape(2 * B, M, 2, 4, 2, 4).transpose(
+            0, 1, 2, 4, 3, 5)
+        crec_blk = dct_jax.idct_add_clip(cdq, cpred_blk)
+        crec = crec_blk.transpose(0, 1, 2, 4, 3, 5).reshape(2 * B, M, 8, 8)
+        uv_levels = jnp.concatenate([clv[:B], clv[B:]], axis=2)  # (B,M,8,16)
+
+        # ---- write recon column t+3 and output column t ----
+        Sk_y = lax.dynamic_update_slice(
+            Sk_y, recon_y[:, :, None], (0, 0, t + 3, 0, 0))
+        Sk_u = lax.dynamic_update_slice(
+            Sk_u, crec[:B, :, None], (0, 0, t + 3, 0, 0))
+        Sk_v = lax.dynamic_update_slice(
+            Sk_v, crec[B:, :, None], (0, 0, t + 3, 0, 0))
+        O_yl = lax.dynamic_update_slice(
+            O_yl, y_levels.reshape(B, M, 1, 16, 16), (0, 0, t, 0, 0))
+        O_y2 = lax.dynamic_update_slice(
+            O_y2, y2_levels[:, :, None], (0, 0, t, 0))
+        O_uv = lax.dynamic_update_slice(
+            O_uv, uv_levels[:, :, None], (0, 0, t, 0, 0))
+        O_ym = lax.dynamic_update_slice(O_ym, ymode[:, :, None], (0, 0, t))
+        O_um = lax.dynamic_update_slice(O_um, uvmode[:, :, None], (0, 0, t))
+        O_i4 = lax.dynamic_update_slice(O_i4, is4[:, :, None], (0, 0, t))
+        O_im = lax.dynamic_update_slice(
+            O_im, imodes[:, :, None], (0, 0, t, 0))
+        return (Sk_y, Sk_u, Sk_v,
+                O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
+
+    carry = (Sk_y, Sk_u, Sk_v, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
+    carry = lax.fori_loop(0, T, step, carry)
+    (_, _, _, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
+
+    un = lambda O: _unskew_tiles(O, mw, mh)
+    # Narrow dtypes on-device: halves the device→host transfer.
     return {
-        "ymode": ymode[:, :mh].astype(jnp.uint8),
-        "uvmode": uvmode[:, :mh].astype(jnp.uint8),
-        "y_levels": y_levels[:, :mh].astype(jnp.int16),
-        "y2_levels": y2_levels[:, :mh].astype(jnp.int16),
-        "uv_levels": uv_levels[:, :mh].astype(jnp.int16),
+        "ymode": un(O_ym).astype(jnp.uint8),
+        "uvmode": un(O_um).astype(jnp.uint8),
+        "is_i4": un(O_i4).astype(jnp.uint8),
+        "imodes": un(O_im).astype(jnp.uint8),
+        "y_levels": un(O_yl).astype(jnp.int16),
+        "y2_levels": un(O_y2).astype(jnp.int16),
+        "uv_levels": un(O_uv).astype(jnp.int16),
     }
 
 
-__all__ = ["encode_wavefront"]
+_ZERO_TABLES = None
+
+
+def _zero_tables():
+    global _ZERO_TABLES
+    if _ZERO_TABLES is None:
+        import numpy as _np
+        # Plain NumPy: safe to create/reuse inside jit traces (a cached
+        # jnp array created under a trace would leak that trace).
+        _ZERO_TABLES = (
+            _np.zeros((4, 8, 3, 2), _np.int32),
+            _np.zeros((4, 8, 3, 2), _np.int32),
+            _np.zeros((4, 8, 3, 68), _np.int32),
+        )
+    return _ZERO_TABLES
+
+
+def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
+    """i16-only exact closed-loop encode (compat wrapper).
+
+    Same output contract as encode_plane_step; bit-identical to the
+    sequential host encoder with try_i4=0 and a single segment.
+    """
+    import numpy as _np
+
+    B = y.shape[0]
+    mh, mw = y.shape[1] // 16, y.shape[2] // 16
+    row = _np.array([int(y1_dc), int(y1_ac), int(y2_dc), int(y2_ac),
+                     int(uv_dc), int(uv_ac)], _np.int32)
+    qs = jnp.asarray(_np.broadcast_to(row, (B, 4, 6)))
+    seg = jnp.zeros((B, mh, mw), I32)
+    out = encode_wavefront_core(
+        y, u, v, seg, qs, _zero_tables(), try_i4=False)
+    return {k: out[k] for k in
+            ("ymode", "uvmode", "y_levels", "y2_levels", "uv_levels")}
+
+
+__all__ = ["encode_wavefront", "encode_wavefront_core"]

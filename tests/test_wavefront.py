@@ -41,6 +41,72 @@ def test_wavefront_equals_sequential():
                                           err_msg=f"img {b} {key}")
 
 
+def test_wavefront_i4_segments_equals_sequential():
+    """Full engine (i4 search + per-segment quants) vs native host."""
+    import jax.numpy as jnp
+
+    from gowebp_tpu.models.vp8.encoder import (
+        I4_LAMBDA_MULT,
+        _default_cost_tables,
+        _encode_frame_dense_native,
+        make_quants,
+    )
+    from gowebp_tpu.ops.encode_wavefront_jax import encode_wavefront_core
+
+    B, H, W = 2, 48, 80
+    mh, mw = H // 16, W // 16
+    y = np.zeros((B, H, W), np.int32)
+    for b in range(B):
+        gy, gx = np.mgrid[0:H, 0:W]
+        y[b] = (gy * 2 + gx + RNG.integers(0, 60, (H, W))) % 256
+        y[b, :16, :16] = 128  # flat area -> i16 wins somewhere
+    u = RNG.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+    v = RNG.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+    seg_np = RNG.integers(0, 4, (B, mh, mw)).astype(np.int32)
+
+    base_q = 55
+    quants = [make_quants(max(0, min(127, base_q + d)))
+              for d in (-8, 0, 6, 14)]
+    qsteps = np.array([(s.y1_dc.q, s.y1_ac.q, s.y2_dc.q, s.y2_ac.q,
+                        s.uv_dc.q, s.uv_ac.q) for s in quants], np.int32)
+    tp0, tp1, tval = _default_cost_tables()
+    tables = tuple(jnp.asarray(t.astype(np.int32)) for t in (tp0, tp1, tval))
+    q0 = quants[0]
+    i4_pen = I4_LAMBDA_MULT * q0.y1_ac.q * q0.y1_ac.q
+    out = encode_wavefront_core(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), jnp.asarray(seg_np),
+        jnp.asarray(np.broadcast_to(qsteps, (B, 4, 6))), tables,
+        try_i4=True, i4_penalty=i4_pen)
+    adopted = 0
+    for b in range(B):
+        seg = {"map": seg_np[b].reshape(-1).astype(np.uint8),
+               "quants": quants}
+        nat = _encode_frame_dense_native(y[b], u[b], v[b], mw, mh, q0,
+                                         method=4, seg=seg)
+        if nat is None:  # no native lib: nothing to compare against
+            return
+        for key, nk in (("ymode", "ymode"), ("uvmode", "uvmode"),
+                        ("is_i4", "is_i4"), ("imodes", "imodes"),
+                        ("y2_levels", "y2"), ("y_levels", "yl"),
+                        ("uv_levels", "uvl")):
+            got = np.asarray(out[key][b]).reshape(np.asarray(nat[nk]).shape)
+            np.testing.assert_array_equal(got, np.asarray(nat[nk]),
+                                          err_msg=f"img {b} {key}")
+        adopted += int(np.asarray(out["is_i4"][b]).sum())
+    assert adopted > 0  # the search must actually trigger on this content
+
+
+def test_wavefront_stream_matches_host_encoder_method4():
+    """plane_backend=jax at method 4 (i4 on, 4 segments) == host file."""
+    img = make_test_images()["photo"][..., :3].copy()
+    cfg = dict(lossless=False, quality=70, method=4, segments=4)
+    host = encode_rgba(img, config=EncoderConfig(**cfg))
+    wave = encode_rgba(
+        img, config=EncoderConfig(**cfg, plane_backend="jax"))
+    assert host == wave
+    np.testing.assert_array_equal(decode_rgba(wave), pil_decode_rgba(wave))
+
+
 def test_wavefront_stream_matches_host_encoder():
     img = make_test_images()["photo"][..., :3].copy()
     # The wavefront backend must produce the same file as the host
