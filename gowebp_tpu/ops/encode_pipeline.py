@@ -140,6 +140,7 @@ def dense_packed_step(rgb, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac,
     mask, vals, counts, maxabs = _pack_g4(flat, cap_g)
     return {
         "mask": mask, "vals": vals, "counts": counts, "maxabs": maxabs,
+        "hdr": jnp.stack([counts, maxabs], axis=1),
         "ymode": out["ymode"], "uvmode": out["uvmode"],
         "y_levels": out["y_levels"], "y2_levels": out["y2_levels"],
         "uv_levels": out["uv_levels"],
@@ -210,11 +211,247 @@ def wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *, cap_g,
     mask, vals, counts, maxabs = _pack_g4(flat, cap_g)
     return {
         "mask": mask, "vals": vals, "counts": counts, "maxabs": maxabs,
+        "hdr": jnp.stack([counts, maxabs], axis=1),
         "ymode": out["ymode"], "uvmode": out["uvmode"],
         "is_i4": out["is_i4"], "imodes": out["imodes"],
         "y_levels": out["y_levels"], "y2_levels": out["y2_levels"],
         "uv_levels": out["uv_levels"],
     }
+
+
+def _pack_g4v2(flat, cap_s: int, cap_b: int):
+    """(B, n_coeff_pad) int32 → nibble/byte dual-stream pack (G4PACKv2).
+
+    Per 4-coeff group a 2-bit state: 0 = all-zero, 1 = "small" (every
+    coeff in [-8, 7] → 4 nibbles = 2 bytes), 2 = "big" (4 int8 = 4
+    bytes).  At q≈75 most nonzero groups are small, so this roughly
+    halves the device→host payload vs the single int8 stream.
+    """
+    import jax.numpy as jnp
+
+    B = flat.shape[0]
+    g = flat.reshape(B, -1, GROUP)
+    gmax = g.max(-1)
+    gmin = g.min(-1)
+    nz = (g != 0).any(-1)
+    small = nz & (gmax <= 7) & (gmin >= -8)
+    state = jnp.where(nz, jnp.where(small, 1, 2), 0).astype(jnp.uint32)
+    counts_s = small.sum(1).astype(jnp.int32)
+    counts_b = (state == 2).sum(1).astype(jnp.int32)
+    maxabs = jnp.abs(flat).max(1).astype(jnp.int32)
+    w4 = jnp.array([1, 4, 16, 64], jnp.uint32)
+    mask2 = (state.reshape(B, -1, 4) * w4).sum(-1).astype(jnp.uint8)
+    ng = g.shape[1]
+
+    def gather(pred, cap, counts, pad_val):
+        idx = jax.vmap(
+            lambda m: jnp.where(m, size=cap, fill_value=ng - 1)[0]
+        )(pred)
+        vals = jnp.take_along_axis(g, idx[..., None], axis=1)
+        lane = jnp.arange(cap)[None]
+        return jnp.where((lane < counts[:, None])[..., None], vals, pad_val)
+
+    gs = gather(small, cap_s, counts_s, -8)
+    n = (gs + 8).astype(jnp.uint32) & 0xF
+    small_b = jnp.stack(
+        [(n[..., 0] | (n[..., 1] << 4)).astype(jnp.uint8),
+         (n[..., 2] | (n[..., 3] << 4)).astype(jnp.uint8)], axis=-1)
+    gb = gather(state == 2, cap_b, counts_b, 0)
+    big_b = jnp.clip(gb, -128, 127).astype(jnp.int8)
+    return mask2, small_b, big_b, counts_s, counts_b, maxabs
+
+
+def unpack_g4v2(mask2: np.ndarray, small: np.ndarray, big: np.ndarray,
+                cs: int, cb: int, plan: dict):
+    """G4PACKv2 arrays (one image) → (y2, yl, uvl) int16 views."""
+    ng = plan["n_group_pad"]
+    states = (
+        (mask2[:, None] >> (2 * np.arange(4, dtype=np.uint8))) & 3
+    ).reshape(-1)[:ng]
+    flat = np.zeros((ng, GROUP), np.int16)
+    s_idx = np.nonzero(states == 1)[0]
+    sm = small[:cs]
+    flat[s_idx] = (
+        np.stack([sm[:, 0] & 0xF, sm[:, 0] >> 4,
+                  sm[:, 1] & 0xF, sm[:, 1] >> 4], axis=-1).astype(np.int16)
+        - 8
+    )
+    b_idx = np.nonzero(states == 2)[0]
+    flat[b_idx] = big[:cb].astype(np.int16)
+    flat = flat.reshape(-1)[: plan["n_coeff"]]
+    t = plan["total"]
+    y2 = flat[: t * 16].reshape(t, 16)
+    yl = flat[t * 16 : t * 272].reshape(t, 16, 16)
+    uvl = flat[t * 272 :].reshape(t, 8, 16)
+    return y2, yl, uvl
+
+
+def _levels_to_flat(out, plan):
+    import jax.numpy as jnp
+
+    B = out["y_levels"].shape[0]
+    flat = jnp.concatenate(
+        [
+            out["y2_levels"].reshape(B, -1).astype(jnp.int32),
+            out["y_levels"].reshape(B, -1).astype(jnp.int32),
+            out["uv_levels"].reshape(B, -1).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    pad = plan["n_group_pad"] * GROUP - plan["n_coeff"]
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    return flat
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "y1_dc", "y1_ac", "y2_dc", "y2_ac", "uv_dc", "uv_ac",
+        "cap_s", "cap_b",
+    ),
+)
+def planes_packed_step(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc,
+                       uv_ac, cap_s, cap_b):
+    """uint8 MB-padded YUV420 planes → open-loop dense encode + G4PACKv2.
+
+    Planes arrive host-converted (native `rgb_to_yuv420`, 1.5 B/px on
+    the wire instead of 3 B/px RGB) and already edge-padded to
+    macroblock multiples.
+    """
+    import jax.numpy as jnp
+
+    B, H, W = y.shape
+    plan = _plan(H, W)
+    out = encode_plane_core_v2(
+        y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+        y1_dc=y1_dc, y1_ac=y1_ac, y2_dc=y2_dc, y2_ac=y2_ac,
+        uv_dc=uv_dc, uv_ac=uv_ac,
+    )
+    flat = _levels_to_flat(out, plan)
+    mask2, small, big, cs, cb, maxabs = _pack_g4v2(flat, cap_s, cap_b)
+    return {
+        "mask2": mask2, "small": small, "big": big,
+        "hdr": jnp.stack([cs, cb, maxabs], axis=1),
+        "ymode": out["ymode"], "uvmode": out["uvmode"],
+        "y_levels": out["y_levels"], "y2_levels": out["y2_levels"],
+        "uv_levels": out["uv_levels"],
+    }
+
+
+@jax.jit
+def activity_step(y):
+    """Padded uint8 Y plane → per-MB int32 activity sums (see
+    yuv_activity_step)."""
+    import jax.numpy as jnp
+
+    B, H, W = y.shape
+    ya = y.astype(jnp.int32)
+    lap = jnp.abs(
+        4 * ya[:, 1:-1, 1:-1] - ya[:, :-2, 1:-1] - ya[:, 2:, 1:-1]
+        - ya[:, 1:-1, :-2] - ya[:, 1:-1, 2:]
+    )
+    lap = jnp.pad(lap, ((0, 0), (1, 1), (1, 1)))[:, :H, :W]
+    act = lap.reshape(B, H // 16, 16, W // 16, 16).sum(
+        axis=(2, 4), dtype=jnp.int32)
+    return act.reshape(B, -1)
+
+
+@partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4",
+                                   "i4_penalty"))
+def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
+                                 cap_s, cap_b, try_i4, i4_penalty):
+    """Closed-loop wavefront encode from uint8 planes + G4PACKv2."""
+    import jax.numpy as jnp
+
+    from .encode_wavefront_jax import encode_wavefront_core
+
+    B, H, W = y.shape
+    plan = _plan(H, W)
+    out = encode_wavefront_core(
+        y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+        seg_map, qsteps, tables, try_i4=try_i4, i4_penalty=i4_penalty)
+    flat = _levels_to_flat(out, plan)
+    mask2, small, big, cs, cb, maxabs = _pack_g4v2(flat, cap_s, cap_b)
+    return {
+        "mask2": mask2, "small": small, "big": big,
+        "hdr": jnp.stack([cs, cb, maxabs], axis=1),
+        "ymode": out["ymode"], "uvmode": out["uvmode"],
+        "is_i4": out["is_i4"], "imodes": out["imodes"],
+        "y_levels": out["y_levels"], "y2_levels": out["y2_levels"],
+        "uv_levels": out["uv_levels"],
+    }
+
+
+@partial(jax.jit, static_argnames=("ks", "kb", "with_i4"))
+def _export_packed_v2(out, *, ks, kb, with_i4):
+    """One fused uint8 d2h buffer for G4PACKv2 (see _export_packed).
+
+    The (counts_s, counts_b, maxabs) header rides in the buffer's first
+    12 bytes per image, so a steady-state chunk costs exactly ONE d2h
+    round trip: the host slices streams at the sticky (ks, kb) buckets
+    and re-exports at bigger buckets only when a chunk overflows them.
+    """
+    import jax.numpy as jnp
+
+    B = out["mask2"].shape[0]
+    parts = [
+        lax_bitcast_u8(out["hdr"]).reshape(B, -1),
+        out["mask2"],
+        out["small"][:, :ks].reshape(B, -1),
+        lax_bitcast_u8(out["big"][:, :kb]).reshape(B, -1),
+        out["ymode"].reshape(B, -1).astype(jnp.uint8),
+        out["uvmode"].reshape(B, -1).astype(jnp.uint8),
+    ]
+    if with_i4:
+        parts.append(out["is_i4"].reshape(B, -1).astype(jnp.uint8))
+        parts.append(out["imodes"].reshape(B, -1).astype(jnp.uint8))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _bucket(kmax: int, cap: int) -> int:
+    """Round a chunk's max group count up to a power of two (≥4096).
+
+    The d2h exporter is jit-compiled per bucket; real kmax varies per
+    chunk, so bucketing keeps the executable cache tiny (≲6 shapes)
+    instead of recompiling a slice (+~0.5 s) for every chunk.
+    """
+    b = 4096
+    while b < kmax:
+        b *= 2
+    return min(b, cap)
+
+
+@partial(jax.jit, static_argnames=("kbucket", "with_i4"))
+def _export_packed(out, *, kbucket, with_i4):
+    """Fuse every host-bound tensor into ONE uint8 buffer (one d2h).
+
+    The dev→host link here is a tunnel with ~30 ms per-transfer latency;
+    fetching mask/vals/modes separately costs 5-6 round trips per chunk.
+    Layout per image (host splits by static offsets):
+      [mask bytes | vals int8 (kbucket*4) | ymode | uvmode
+       | is_i4 | imodes*16 (wavefront only)]
+    """
+    import jax.numpy as jnp
+
+    B = out["mask"].shape[0]
+    parts = [
+        out["mask"],
+        lax_bitcast_u8(out["vals"][:, :kbucket]).reshape(B, -1),
+        out["ymode"].reshape(B, -1).astype(jnp.uint8),
+        out["uvmode"].reshape(B, -1).astype(jnp.uint8),
+    ]
+    if with_i4:
+        parts.append(out["is_i4"].reshape(B, -1).astype(jnp.uint8))
+        parts.append(out["imodes"].reshape(B, -1).astype(jnp.uint8))
+    return jnp.concatenate(parts, axis=1)
+
+
+def lax_bitcast_u8(x):
+    import jax.numpy as jnp
+    from jax import lax
+
+    return lax.bitcast_convert_type(x, jnp.uint8)
 
 
 def unpack_g4(mask: np.ndarray, vals: np.ndarray, count: int, plan: dict):
@@ -233,12 +470,15 @@ def unpack_g4(mask: np.ndarray, vals: np.ndarray, count: int, plan: dict):
 
 def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                                 threads: int = 2, chunk: int = 8,
-                                config=None, engine: str = "wavefront"):
+                                config=None, engine: str = "wavefront",
+                                depth: int = 3):
     """Lossy-encode same-shaped uint8 RGB(A) images, fully pipelined.
 
     Returns a list of complete .webp byte strings (order preserved).
-    Device dispatch of chunk k+1 overlaps the fetch of chunk k and the
-    host emission of chunk k-1.
+    Stages overlapped across chunks (`depth` in flight): host YUV
+    conversion (native, thread pool) → h2d planes (1.5 B/px) → device
+    dense encode + G4PACKv2 → one fused d2h buffer → host unpack +
+    entropy emission (thread pool).
 
     engine="wavefront" runs the full closed-loop path — segmentation,
     i4 mode search at method >= 4, per-segment quantizers — and each
@@ -294,13 +534,30 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
     h, w = first.shape[:2]
     plan = _plan(h + (h & 1), w + (w & 1))
     n = len(images)
+    H, W = plan["H"], plan["W"]
+    cap_s = plan["n_group_pad"] // 2
+    cap_b = plan["n_group_pad"] // 4
 
-    def to_rgb(im):
+    def prep_planes(im):
+        """Host: RGB(A) → MB-padded uint8 YUV420 planes (native kernel,
+        identical fixed-point math to the device conversion)."""
+        from ..models.vp8.encoder import rgb_to_yuv420 as host_yuv
+
         im = np.asarray(im)
         rgb = im[..., :3]
         if (h & 1) or (w & 1):
             rgb = np.pad(rgb, ((0, h & 1), (0, w & 1), (0, 0)), mode="edge")
-        return rgb
+        yp, up, vp = host_yuv(rgb)
+        h2, w2 = yp.shape
+        yp = np.pad(yp.astype(np.uint8), ((0, H - h2), (0, W - w2)),
+                    mode="edge")
+        up = np.pad(up.astype(np.uint8),
+                    ((0, H // 2 - up.shape[0]), (0, W // 2 - up.shape[1])),
+                    mode="edge")
+        vp = np.pad(vp.astype(np.uint8),
+                    ((0, H // 2 - vp.shape[0]), (0, W // 2 - vp.shape[1])),
+                    mode="edge")
+        return yp, up, vp
 
     def segment_image(act_sums):
         """Device activity sums (one image) → (seg dict | None, qs row)."""
@@ -320,10 +577,12 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         }
         return seg, np.array([qrow(s) for s in seg["quants"]], np.int32)
 
-    def emit_one(mask_row, vals_row, count, ymode, uvmode, dense=None,
+    def emit_one(small_pack, big_vals, count_b, ymode, uvmode, dense=None,
                  is_i4=None, imodes=None, seg=None):
         if dense is None:
-            y2, yl, uvl = unpack_g4(mask_row, vals_row, count, plan)
+            mask2, small, count_s = small_pack
+            y2, yl, uvl = unpack_g4v2(mask2, small, big_vals, count_s,
+                                      count_b, plan)
         else:
             y2, yl, uvl = dense
         if is_i4 is None:
@@ -337,58 +596,28 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
             raise RuntimeError("native tokenizer unavailable")
         return assemble_simple(Chunk(CHUNK_VP8, payload))
 
-    def fetch_chunk(out, idxs, segs=None):
-        """Blocking d2h of one chunk's packed tensors (fetch thread)."""
-        counts = np.asarray(out["counts"])
-        maxabs = np.asarray(out["maxabs"])
-        kmax = max(1, int(counts[: len(idxs)].max()))
-        kmax = min(kmax, plan["cap_g"])
-        mask = np.asarray(out["mask"])
-        vals = np.asarray(out["vals"][:, :kmax])
-        ymode = np.asarray(out["ymode"])
-        uvmode = np.asarray(out["uvmode"])
-        if "is_i4" in out:
-            is_i4 = np.asarray(out["is_i4"]).reshape(len(counts), -1)
-            imodes = np.asarray(out["imodes"]).reshape(len(counts), -1, 16)
-        else:
-            is_i4 = imodes = None
-        jobs = []
-        for j, gi in enumerate(idxs):
-            seg = segs[j] if segs is not None else None
-            i4j = is_i4[j] if is_i4 is not None else None
-            imj = imodes[j] if imodes is not None else None
-            if maxabs[j] > 127 or counts[j] > plan["cap_g"]:
-                t = plan["total"]
-                dense = (
-                    np.asarray(out["y2_levels"][j]).reshape(t, 16),
-                    np.asarray(out["y_levels"][j]).reshape(t, 16, 16),
-                    np.asarray(out["uv_levels"][j]).reshape(t, 8, 16),
-                )
-                jobs.append((gi, None, None, 0, ymode[j], uvmode[j], dense,
-                             i4j, imj, seg))
-            else:
-                jobs.append((gi, mask[j], vals[j], int(counts[j]),
-                             ymode[j], uvmode[j], None, i4j, imj, seg))
-        return jobs
-
     results = [None] * n
     chunk = max(1, chunk)
     starts = list(range(0, n, chunk))
 
-    def dispatch(s):
+    def prep_chunk(s, pool):
         idxs = list(range(s, min(s + chunk, n)))
-        rgb = np.stack([to_rgb(images[i]) for i in idxs])
-        if len(idxs) < chunk:  # keep one compiled shape
-            rgb = np.concatenate(
-                [rgb, np.repeat(rgb[-1:], chunk - len(idxs), axis=0)]
-            )
-        dev = jax.device_put(rgb)
+        planes = list(pool.map(prep_planes, (images[i] for i in idxs)))
+        while len(planes) < chunk:  # keep one compiled shape
+            planes.append(planes[-1])
+        y = np.stack([p[0] for p in planes])
+        u = np.stack([p[1] for p in planes])
+        v = np.stack([p[2] for p in planes])
+        return y, u, v, idxs
+
+    def dispatch(prepped):
+        y, u, v, idxs = prepped
+        yd, ud, vd = jax.device_put(y), jax.device_put(u), jax.device_put(v)
         if not wavefront:
-            out = dense_packed_step(dev, cap_g=plan["cap_g"], engine=engine,
-                                    **quants)
+            out = planes_packed_step(yd, ud, vd, cap_s=cap_s, cap_b=cap_b,
+                                     **quants)
             return out, idxs, None
-        pre = yuv_activity_step(dev)
-        act = np.asarray(pre["act"])                 # small d2h (4 B/MB)
+        act = np.asarray(activity_step(yd))          # small d2h (4 B/MB)
         segs, qs = [], np.empty((len(act), 4, 6), np.int32)
         for j in range(len(act)):
             seg, qs[j] = segment_image(act[j])
@@ -399,32 +628,92 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
              else np.zeros((plan["mb_h"], plan["mb_w"]), np.int32))
             for seg in segs
         ])
-        out = wavefront_packed_step(
-            pre["y"], pre["u"], pre["v"],
+        out = planes_wavefront_packed_step(
+            yd, ud, vd,
             jax.device_put(seg_maps), jax.device_put(qs), tables,
-            cap_g=plan["cap_g"], try_i4=try_i4, i4_penalty=i4_penalty)
+            cap_s=cap_s, cap_b=cap_b, try_i4=try_i4, i4_penalty=i4_penalty)
         return out, idxs, segs
+
+    # Sticky export buckets: start minimal, grow on overflow; every
+    # (ks, kb) pair compiles one export executable, so growth is
+    # monotone and the cache stays tiny.
+    sticky = {"ks": min(4096, cap_s), "kb": min(4096, cap_b)}
+
+    def fetch_and_emit(out, idxs, segs, emit_pool):
+        """Blocking d2h of one chunk (fetch thread) → emit futures.
+
+        Steady state: ONE d2h round trip (header rides in the fused
+        buffer).  A chunk whose counts overflow the sticky buckets is
+        re-exported once at the grown buckets.
+        """
+        with_i4 = "is_i4" in out
+        t = plan["total"]
+        n_mask = plan["n_group_pad"] // 4
+
+        def fetch(ks, kb):
+            buf = np.asarray(_export_packed_v2(out, ks=ks, kb=kb,
+                                               with_i4=with_i4))
+            hdr = buf[:, :12].copy().view(np.int32).reshape(-1, 3)
+            return buf, hdr[:, 0], hdr[:, 1], hdr[:, 2]
+
+        ks, kb = sticky["ks"], sticky["kb"]
+        buf, cs, cb, maxabs = fetch(ks, kb)
+        need_ks = _bucket(max(1, int(cs[: len(idxs)].max())), cap_s)
+        need_kb = _bucket(max(1, int(cb[: len(idxs)].max())), cap_b)
+        if need_ks > ks or need_kb > kb:
+            ks, kb = max(ks, need_ks), max(kb, need_kb)
+            sticky["ks"], sticky["kb"] = ks, kb
+            buf, cs, cb, maxabs = fetch(ks, kb)
+        nb = len(cs)
+        o = 12
+        mask2 = buf[:, o:o + n_mask]; o += n_mask
+        small = buf[:, o:o + ks * 2].reshape(nb, ks, 2); o += ks * 2
+        big = buf[:, o:o + kb * GROUP].view(np.int8).reshape(nb, kb, GROUP)
+        o += kb * GROUP
+        ymode = buf[:, o:o + t]; o += t
+        uvmode = buf[:, o:o + t]; o += t
+        if with_i4:
+            is_i4 = buf[:, o:o + t]; o += t
+            imodes = buf[:, o:o + t * 16].reshape(nb, t, 16)
+        else:
+            is_i4 = imodes = None
+        futs = []
+        for j, gi in enumerate(idxs):
+            seg = segs[j] if segs is not None else None
+            i4j = is_i4[j] if is_i4 is not None else None
+            imj = imodes[j] if imodes is not None else None
+            if maxabs[j] > 127 or cs[j] > cap_s or cb[j] > cap_b:
+                dense = (
+                    np.asarray(out["y2_levels"][j]).reshape(t, 16),
+                    np.asarray(out["y_levels"][j]).reshape(t, 16, 16),
+                    np.asarray(out["uv_levels"][j]).reshape(t, 8, 16),
+                )
+                futs.append((gi, emit_pool.submit(
+                    emit_one, None, None, 0, ymode[j], uvmode[j], dense,
+                    i4j, imj, seg)))
+            else:
+                futs.append((gi, emit_pool.submit(
+                    emit_one, (mask2[j], small[j], int(cs[j])),
+                    big[j], int(cb[j]), ymode[j], uvmode[j], None,
+                    i4j, imj, seg)))
+        return futs
+
+    from collections import deque
 
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as emit_pool, \
             cf.ThreadPoolExecutor(max_workers=1) as fetch_pool:
         emit_futs = []
-        fetch_fut = None
-        prev = None
+        pending = deque()
         for s in starts:
-            cur = dispatch(s)  # async device work for this chunk
-            if prev is not None:
-                out, idxs, segs = prev
-                fetch_fut = fetch_pool.submit(fetch_chunk, out, idxs, segs)
-            if fetch_fut is not None and prev is not None:
-                for job in fetch_fut.result():
-                    gi, *args = job
-                    emit_futs.append(
-                        (gi, emit_pool.submit(emit_one, *args)))
-            prev = cur
-        out, idxs, segs = prev
-        for job in fetch_chunk(out, idxs, segs):
-            gi, *args = job
-            emit_futs.append((gi, emit_pool.submit(emit_one, *args)))
+            prepped = prep_chunk(s, emit_pool)
+            out, idxs, segs = dispatch(prepped)
+            pending.append(
+                fetch_pool.submit(fetch_and_emit, out, idxs, segs,
+                                  emit_pool))
+            while len(pending) >= max(1, depth):
+                emit_futs.extend(pending.popleft().result())
+        while pending:
+            emit_futs.extend(pending.popleft().result())
         for gi, fut in emit_futs:
             results[gi] = fut.result()
     return results
@@ -433,5 +722,8 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
 __all__ = [
     "dense_packed_step",
     "encode_rgba_batch_pipelined",
+    "planes_packed_step",
+    "planes_wavefront_packed_step",
     "unpack_g4",
+    "unpack_g4v2",
 ]
