@@ -144,7 +144,8 @@ def decode_yuv(data: bytes):
 
 
 def decode_rgba_batch(datas: list, use_tpu: bool = True,
-                      threads: int = 0, recon_backend: str = "jax") -> list:
+                      threads: int = 0, recon_backend: str = "jax",
+                      device_out: bool = False) -> list:
     """Decode many .webp files with the pixel-rate phases on TPU.
 
     Host threads run the sequential entropy decode (the C++ layer
@@ -157,6 +158,11 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     (ops/vp8_recon_jax.recon_frame); "host" keeps reconstruction in the
     native C++ path and only post-processes on TPU.  Outputs are
     bit-identical either way.
+
+    device_out=True returns per-image jax device arrays instead of
+    NumPy — for TPU ML-ingestion pipelines the decoded pixels stay on
+    the chip (no device→host copy); images that fell back to the host
+    decoder are device_put.
     """
     import concurrent.futures as cf
 
@@ -204,13 +210,23 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     if planes_groups or syms_groups:
         from .ops.yuv_jax import batch_yuv_to_rgba
 
+    if device_out:
+        import jax
+
+        for i, r in enumerate(results):
+            if r is not None:
+                results[i] = jax.device_put(r)
+
+    def materialize(dev_batch, items):
+        out = dev_batch if device_out else np.asarray(dev_batch)
+        for k, (i, _) in enumerate(items):
+            results[i] = out[k]
+
     for shape, items in planes_groups.items():
         y = np.stack([p[0] for _, p in items]).astype(np.int32)
         u = np.stack([p[1] for _, p in items]).astype(np.int32)
         v = np.stack([p[2] for _, p in items]).astype(np.int32)
-        out = np.asarray(batch_yuv_to_rgba(y, u, v))
-        for k, (i, _) in enumerate(items):
-            results[i] = out[k]
+        materialize(batch_yuv_to_rgba(y, u, v), items)
 
     if syms_groups:
         from .ops.vp8_recon_jax import recon_frame
@@ -228,12 +244,10 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
                 fps,
                 mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=ftype)
             h2, w2 = (H + 1) // 2, (W + 1) // 2
-            out = np.asarray(batch_yuv_to_rgba(
+            materialize(batch_yuv_to_rgba(
                 Y[:, :H, :W].astype(np.int32),
                 U[:, :h2, :w2].astype(np.int32),
-                V[:, :h2, :w2].astype(np.int32)))
-            for k, (i, _) in enumerate(items):
-                results[i] = out[k]
+                V[:, :h2, :w2].astype(np.int32)), items)
     return results
 
 

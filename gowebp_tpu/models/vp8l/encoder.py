@@ -1344,12 +1344,19 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
                 best = (_entropy_bits(hists), cb, refs, hists)
         # The cost-model DP only pays when there are real matches to
         # re-arrange; on photographic (near-all-literal) streams it
-        # burns a full parse to reshuffle nothing.
-        n_copies = int((best[2].ops == 1).sum()) if best is not None else 0
+        # burns a full parse to reshuffle nothing.  Gate on the pixel
+        # *coverage* of copies, not the op count: graphics rows are a
+        # few whole-row copies (tiny op count, ~100% coverage) and the
+        # DP is worth -15% there.
+        if best is not None:
+            r0 = best[2]
+            covered = int(r0.lengths[r0.ops == 1].sum())
+        else:
+            covered = 0
         # At quality >= 90 the user opted into exhaustive search: always
         # run the DP, even on mostly-literal streams.
-        if (best is not None and quality >= 65
-                and (quality >= 90 or n_copies * 50 >= argb.size)):
+        if (best is not None and quality >= 25
+                and (quality >= 90 or covered * 20 >= argb.size)):
             cb = best[1]
             refs = build_refs_optimal(argb, width, quality, cb,
                                       seed=best[2])
@@ -1603,6 +1610,34 @@ def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
     _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats)
 
 
+def _crunch_params(quality: int, method: int, n_pixels: int) -> dict:
+    """Method/quality → trial breadth for the photo path.
+
+    Analog of the reference's EncoderAnalyze/CrunchConfig matrix
+    (vp8l_encoder.go:201-320): one cheap config at low methods, the
+    full brute-force set at method 6 / q100.  ``rescore`` is how many
+    top probe-ranked candidates get a full scratch emission.
+    """
+    if method >= 6 and quality >= 90:
+        bit_cands: tuple = (3, 4, 5)
+    elif method >= 5 and quality >= 50:
+        bit_cands = (4, 5)
+    else:
+        bit_cands = (4,)
+    # Trying both subtract-green settings is the single highest-value
+    # trial (measured -4.5% on 512px photo at method 4) and costs only
+    # one extra probe, so it is on from method 3 up.
+    sg_opts = ((True, False) if quality >= 75 and method >= 3
+               else (True,))
+    refine_iters = 4 if method >= 6 and quality >= 90 else 2
+    if quality >= 75 and method >= 5:
+        rescore = 4 if method >= 6 else 2
+    else:
+        rescore = 0
+    return dict(bit_cands=bit_cands, sg_opts=sg_opts,
+                refine_iters=refine_iters, rescore=rescore)
+
+
 def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                          method: int, use_predictor, stats) -> None:
     w = argb.shape[1]
@@ -1620,18 +1655,11 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         # gradients — something the per-tile entropy metric (which sees
         # "few symbols" either way) cannot distinguish from clamped
         # modes whose wrap seams break long LZ77 matches.
-        # Trial breadth follows the reference's method→crunch mapping
-        # (vp8l_encoder.go EncoderAnalyze: one config at the default
-        # method, wide trials only for method 5/6).
-        if method >= 6 and quality >= 90:
-            bit_cands = (3, 4, 5)
-        elif method >= 5 and quality >= 50:
-            bit_cands = (4, 5)
-        else:
-            bit_cands = (4,)
-        sg_opts = ((True, False) if quality >= 75 and method >= 5
-                   else (True,))
-        iters = 4 if method >= 6 and quality >= 90 else 2
+        # Trial breadth follows the reference's method→crunch mapping.
+        crunch = _crunch_params(quality, method, h * w)
+        bit_cands = crunch["bit_cands"]
+        sg_opts = crunch["sg_opts"]
+        iters = crunch["refine_iters"]
         use_cross = quality >= 50
         cc_bits = 4
         jobs = []
@@ -1648,15 +1676,25 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                     uni = np.full((th5, tw5),
                                   0xFF000000 | (um << 8), np.uint32)
                     cand_imgs.append((5, uni))
+                # kDirect / kSubGreen entropy modes (reference
+                # AnalyzeEntropy, vp8l_encoder.go:56-164): no predictor
+                # at all.  Periodic content (tiled textures, screenshots)
+                # LZ77-compresses better unfiltered — the predictor
+                # residual breaks long self-matches.
+                cand_imgs.append((0, None))
             jobs.extend((sg, base, bits, mode_img)
                         for bits, mode_img in cand_imgs)
 
         def _trial(job):
             sg, base, bits, mode_img = job
-            res = _apply_predictor_transform(base, bits, mode_img)
-            scratch = BitWriter()
-            _write_image_stream(scratch, mode_img, mode_img.shape[1])
-            phdr = scratch.bit_count
+            if mode_img is None:       # direct / subtract-green-only
+                res = base
+                phdr = 0
+            else:
+                res = _apply_predictor_transform(base, bits, mode_img)
+                scratch = BitWriter()
+                _write_image_stream(scratch, mode_img, mode_img.shape[1])
+                phdr = scratch.bit_count + 6   # + transform signal bits
             cc_img = (_choose_cross_color(res, cc_bits)
                       if use_cross else None)
             cand = [(None, res, 0)]
@@ -1669,7 +1707,8 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             for cimg, cres, chdr in cand:
                 cost = (_refs_cost_bits(_probe_rows(cres), w, 25)
                         + phdr + chdr)
-                out.append((cost, sg, bits, mode_img, cimg, cres))
+                out.append((cost, sg, bits, mode_img, cimg, cres,
+                            phdr + chdr))
             return out
 
         # The heavy probe work is native (GIL released); run trials
@@ -1685,30 +1724,43 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         entries = [e for out in results for e in out]
         entries.sort(key=lambda e: e[0])
         emitted = None
-        if quality >= 75 and method >= 5 and len(entries) > 1:
+        if crunch["rescore"] > 1 and len(entries) > 1:
             # The LZ77+single-histogram estimate ignores color-cache and
             # meta-huffman effects; rescore the closest candidates with
             # a full scratch emission of the spatial stream (kept and
             # spliced below so the winner is not re-encoded).
+            pool = list(entries[: crunch["rescore"]])
+            # The single-histogram probe systematically over-ranks
+            # predictor residuals on self-similar content (it cannot
+            # see the long LZ77 matches the predictor destroys), so the
+            # best no-predictor candidate always gets a rescore slot.
+            direct = [e for e in entries if e[3] is None]
+            n_direct = len(direct) if h * w < (1 << 18) else 2
+            ids = {id(e) for e in pool}
+            pool.extend(e for e in direct[:n_direct]
+                        if id(e) not in ids)
             rescored = []
-            for e in entries[: 3 if method >= 6 else 2]:
+            for e in pool:
                 sbw = BitWriter()
                 _write_spatial_stream(sbw, e[5], w, quality, method=method)
-                rescored.append((sbw.bit_count, sbw, e))
+                rescored.append((sbw.bit_count + e[6], sbw, e))
             rescored.sort(key=lambda t: t[0])
             best = rescored[0][2]
             if stats is None:
                 emitted = rescored[0][1]
         else:
             best = entries[0]
-        _, use_sg, bits, mode_img, cc_img, work = best
+        _, use_sg, bits, mode_img, cc_img, work = best[:6]
         if use_sg:
             bw.put_bits(1, 1)
             bw.put_bits(2, 2)          # SUBTRACT_GREEN
-        bw.put_bits(1, 1)
-        bw.put_bits(0, 2)              # PREDICTOR_TRANSFORM
-        bw.put_bits(bits - 2, 3)
-        _write_image_stream(bw, mode_img, mode_img.shape[1])
+        if mode_img is not None:
+            bw.put_bits(1, 1)
+            bw.put_bits(0, 2)          # PREDICTOR_TRANSFORM
+            bw.put_bits(bits - 2, 3)
+            _write_image_stream(bw, mode_img, mode_img.shape[1])
+        else:
+            use_predictor = False      # kDirect/kSubGreen won the trial
         if cc_img is not None:
             bw.put_bits(1, 1)
             bw.put_bits(1, 2)          # COLOR_TRANSFORM
