@@ -56,7 +56,8 @@ def encode_rgba(
             rgba = apply_near_lossless(rgba, config.near_lossless)
 
         payload = encode_vp8l(rgba, quality=int(config.quality),
-                              method=config.method, stats=stats)
+                              method=config.method, stats=stats,
+                              hint=int(config.image_hint))
         out = assemble_simple(Chunk(CHUNK_VP8L, payload))
         if stats is not None:
             stats.coded_size = len(out)

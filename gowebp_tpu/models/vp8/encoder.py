@@ -98,6 +98,91 @@ def rgb_to_yuv420(rgba: np.ndarray):
     return y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)
 
 
+def _vp8_random_stream(n: int, num_bits: int, amp: int) -> np.ndarray:
+    """n centered VP8Random.bits2 draws, block-vectorized.
+
+    The Knuth lagged-difference generator updates tab[i] from
+    tab[(i+31) % 55]; within a 55-draw block the first 24 draws read
+    original entries and the rest read entries updated earlier in the
+    same block, so each block vectorizes as two spans.
+    """
+    from .decoder import _RANDOM_TABLE
+
+    tab = np.array(_RANDOM_TABLE, np.int64)
+    out = np.empty(n, np.int64)
+    pos = 0
+    while pos < n:
+        k = min(55, n - pos)
+        first = min(k, 24)
+        d1 = tab[:first] - tab[31:31 + first]
+        tab[:first] = np.where(d1 < 0, d1 + (1 << 31), d1)
+        if k > 24:
+            d2 = tab[24:k] - tab[:k - 24]
+            tab[24:k] = np.where(d2 < 0, d2 + (1 << 31), d2)
+        out[pos:pos + k] = tab[:k]
+        pos += k
+    v = (out.astype(np.uint32) << np.uint32(1)).astype(np.int32)
+    v = v.astype(np.int64) >> (32 - num_bits)
+    v = (v * amp) >> 8
+    return v + (1 << (num_bits - 1))
+
+
+def rgb_to_yuv420_dithered(rgba: np.ndarray, dithering: float):
+    """RGB(A) → YUV420 with VP8Random-dithered fixed-point rounding.
+
+    The ``preprocessing & 2`` path (reference ImportYUVAFromRGBA with
+    dithering > 0, picture/conversions.go:93-167): every Y sample and
+    every U/V sample gets its rounding term drawn from the bit-exact
+    VP8Random stream instead of the constant half.  Draw order: all Y
+    rounding values (row-major), then per chroma pixel U,V — a fixed,
+    documented order (the reference interleaves by row pairs; only
+    determinism matters since the choice is encoder-side).
+    """
+    h, w = rgba.shape[:2]
+    amp = int(dithering * 256.0 + 0.5)
+    r = rgba[..., 0].astype(np.int64)
+    g = rgba[..., 1].astype(np.int64)
+    b = rgba[..., 2].astype(np.int64)
+    uv_h, uv_w = (h + 1) // 2, (w + 1) // 2
+    stream_y = _vp8_random_stream(h * w, yuv_np.YUV_FIX, amp)
+    stream_uv = _vp8_random_stream(2 * uv_h * uv_w, yuv_np.YUV_FIX + 2, amp)
+    y = yuv_np.rgb_to_y(r, g, b, rounding=stream_y.reshape(h, w))
+    r2 = np.pad(r, ((0, h & 1), (0, w & 1)), mode="edge")
+    g2 = np.pad(g, ((0, h & 1), (0, w & 1)), mode="edge")
+    b2 = np.pad(b, ((0, h & 1), (0, w & 1)), mode="edge")
+    rs = r2[0::2, 0::2] + r2[0::2, 1::2] + r2[1::2, 0::2] + r2[1::2, 1::2]
+    gs = g2[0::2, 0::2] + g2[0::2, 1::2] + g2[1::2, 0::2] + g2[1::2, 1::2]
+    bs = b2[0::2, 0::2] + b2[0::2, 1::2] + b2[1::2, 0::2] + b2[1::2, 1::2]
+    ru = stream_uv[0::2].reshape(uv_h, uv_w)
+    rv = stream_uv[1::2].reshape(uv_h, uv_w)
+    u = yuv_np.rgb_to_u(rs, gs, bs, rounding=ru)
+    v = yuv_np.rgb_to_v(rs, gs, bs, rounding=rv)
+    return (y.astype(np.int32), u.astype(np.int32), v.astype(np.int32))
+
+
+def _smooth_segment_map(seg_map: np.ndarray, mb_w: int, mb_h: int
+                        ) -> np.ndarray:
+    """3x3 majority filter over interior MBs (reference SmoothSegmentMap,
+    enc/analysis_enc.c.go:37-77, the ``preprocessing & 1`` tool)."""
+    m = np.asarray(seg_map).reshape(mb_h, mb_w)
+    if mb_h < 3 or mb_w < 3:
+        return m.reshape(-1)
+    out = m.copy()
+    counts = np.zeros((4, mb_h - 2, mb_w - 2), np.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = m[1 + dy: mb_h - 1 + dy, 1 + dx: mb_w - 1 + dx]
+            for s in range(4):
+                counts[s] += nb == s
+    maj = counts.argmax(axis=0)
+    hit = counts.max(axis=0) >= 5
+    inner = out[1:-1, 1:-1]
+    out[1:-1, 1:-1] = np.where(hit, maj, inner)
+    return out.reshape(-1)
+
+
 def rgb_to_yuv420_sharp(rgba: np.ndarray, iterations: int = 4):
     """Sharp (iterative) RGB→YUV420: refine U/V so the upsampled
     reconstruction matches the source at chroma edges.
@@ -152,12 +237,40 @@ def _pad_to_mb(plane: np.ndarray, mb_size: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def quality_to_q(quality: float) -> int:
-    """Map quality 0..100 → quantizer index 0..127 (libwebp's power law)."""
+def quality_to_q(quality: float, *, emulate_jpeg_size: bool = False,
+                 jpeg_alpha: float = 0.5) -> int:
+    """Map quality 0..100 → quantizer index 0..127 (libwebp's power law).
+
+    emulate_jpeg_size swaps in the libjpeg6b-matched compression curve
+    (reference QualityToJPEGCompression, enc/quant_enc.c.go:215-232);
+    jpeg_alpha is the image's normalized quantization susceptibility.
+    """
     c = quality / 100.0
-    linear_c = c * (2.0 / 3.0) if c < 0.75 else 2.0 * c - 1.0
-    expn = linear_c ** (1.0 / 3.0)
-    return int(127.0 * (1.0 - expn) + 0.5)
+    if emulate_jpeg_size:
+        amin, amax, exp_min, exp_max = 0.30, 0.85, 0.4, 0.9
+        slope = (exp_min - exp_max) / (amax - amin)
+        a = jpeg_alpha
+        expn = (exp_min if a > amax else
+                exp_max if a < amin else exp_max + slope * (a - amin))
+        v = c ** expn
+    else:
+        linear_c = c * (2.0 / 3.0) if c < 0.75 else 2.0 * c - 1.0
+        v = linear_c ** (1.0 / 3.0)
+    return int(127.0 * (1.0 - v) + 0.5)
+
+
+def _i4_penalty_scale(partition_limit: int) -> float | None:
+    """partition_limit 0..100 → i4 score-penalty multiplier (None = i4 off).
+
+    The reference shrinks the i4 header-bit budget quadratically with
+    (100 - partition_limit) (MapConfigToTools, webp_encoder.go:82-98);
+    with a score-based search the same pressure is an inverse-quadratic
+    penalty scale on choosing i4 over i16.
+    """
+    limit = 100 - partition_limit
+    if limit <= 0:
+        return None
+    return (100.0 * 100.0) / (limit * limit)
 
 
 @dataclass
@@ -624,18 +737,32 @@ def filter_level_from_q(base_q: int, filter_strength: int, sharpness: int) -> in
 def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
                      base_q: int | None = None, stats=None) -> bytes:
     """Y/U/V planes (already MB-padded) → VP8 frame payload."""
-    if base_q is None:
-        base_q = quality_to_q(config.quality)
-    base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
-    q = make_quants(base_q)
     mb_w = y.shape[1] // 16
     mb_h = y.shape[0] // 16
+    if base_q is None:
+        if config.emulate_jpeg_size:
+            # Normalized susceptibility analog of the reference's
+            # enc.alpha (mean laplacian activity → [0, 1]).
+            ya = np.asarray(y, np.int32)
+            lap = np.abs(
+                4 * ya[1:-1, 1:-1] - ya[:-2, 1:-1] - ya[2:, 1:-1]
+                - ya[1:-1, :-2] - ya[1:-1, 2:]
+            ).mean() if min(y.shape) > 2 else 0.0
+            jpeg_alpha = float(lap / (lap + 40.0))
+            base_q = quality_to_q(config.quality, emulate_jpeg_size=True,
+                                  jpeg_alpha=jpeg_alpha)
+        else:
+            base_q = quality_to_q(config.quality)
+    base_q = max(config.qmin * 127 // 100, min(config.qmax * 127 // 100, base_q))
+    q = make_quants(base_q)
 
     seg = None
     if config.segments > 1:
         seg_map, deltas = analyze_segments(
             y, mb_w, mb_h, config.segments, config.sns_strength, base_q
         )
+        if config.preprocessing & 1:
+            seg_map = _smooth_segment_map(seg_map, mb_w, mb_h)
         if len(set(deltas[: config.segments])) > 1:
             seg = {
                 "map": seg_map,
@@ -645,8 +772,9 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
                            for d in deltas],
             }
     native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q, config.method,
-                                        seg=seg)
-    if native is not None and config.method >= 6:
+                                        seg=seg,
+                                        partition_limit=config.partition_limit)
+    if native is not None and config.method >= 6 and not config.low_memory:
         # Second dense pass with trellis quantization, rate-modeled on the
         # first pass's adapted probabilities (default-proba costs are far
         # too pessimistic once two-pass adaptation kicks in).
@@ -659,6 +787,7 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
             refined = _encode_frame_dense_native(
                 y, u, v, mb_w, mb_h, q, config.method, seg=seg,
                 trellis_probs=probs1,
+                partition_limit=config.partition_limit,
             )
             if refined is not None:
                 native = refined
@@ -669,7 +798,11 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
             mb_w, mb_h, width, height, base_q, config,
             imodes=native["imodes"], stats=stats, seg=seg,
         )
-        if out is not None and config.autofilter:
+        # low_memory mirrors the reference's use_tokens gate
+        # (webp_encoder.go:106-111): skip the passes that hold extra
+        # full-frame buffers (trellis re-pass above, decoded-PSNR
+        # autofilter trials here) in exchange for a slightly worse file.
+        if out is not None and config.autofilter and not config.low_memory:
             best = _autofilter(out, y, width, height, base_q, config)
             if best is not None:
                 out = emit_frame_arrays(
@@ -828,7 +961,7 @@ def _default_cost_tables():
     return _COST_TABLE_CACHE
 
 
-def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None, trellis_probs=None):
+def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None, trellis_probs=None, partition_limit: int = 0):
     """C++ closed-loop dense phase; returns level/mode arrays or None."""
     import ctypes
 
@@ -861,8 +994,10 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     yr = np.zeros_like(ys)
     ur = np.zeros_like(us)
     vr = np.zeros_like(vs)
-    try_i4 = 1 if method >= 4 else 0
-    i4_penalty = I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
+    scale = _i4_penalty_scale(partition_limit)
+    try_i4 = 1 if (method >= 4 and scale is not None) else 0
+    i4_penalty = int(I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
+                     * (scale if scale is not None else 1.0))
     # Note: with two-pass probability adaptation the marginal rate saved
     # by lowering a level is near zero, so trellis trades PSNR for very
     # few bits; it is reserved for the smallest-size method setting.
@@ -1017,7 +1152,30 @@ def _finish_frame_native(native, y2, yl, uvl, is_i4, ymodes, uvmodes,
             filter_level_from_q(base_q, config.filter_strength,
                                 config.filter_sharpness)
         stats.num_partitions = num_parts
+        _fill_segment_stats(stats, seg, base_q, total, i4, skip_flags)
     return _frame_bytes(part0, parts, width, height)
+
+
+def _fill_segment_stats(stats, seg, base_q, total, i4, skip_flags) -> None:
+    """Per-segment arrays of WebPAuxStats (webp/stats.go:13-20):
+    quantizer, block counts (i4/i16/skip) per segment."""
+    if seg is not None:
+        seg_flat = np.asarray(seg["map"]).reshape(-1)
+        stats.segment_quant = [max(0, min(127, base_q + d))
+                               for d in seg["deltas"]]
+    else:
+        seg_flat = np.zeros(total, np.uint8)
+        stats.segment_quant = [base_q] * 4
+    i4f = np.asarray(i4).reshape(-1).astype(bool)
+    skf = np.asarray(skip_flags).reshape(-1).astype(bool)
+    stats.segment_block_i4 = [0] * 4
+    stats.segment_block_i16 = [0] * 4
+    stats.segment_block_skipped = [0] * 4
+    for s in range(4):
+        m = seg_flat == s
+        stats.segment_block_i4[s] = int((m & i4f).sum())
+        stats.segment_block_i16[s] = int((m & ~i4f).sum())
+        stats.segment_block_skipped[s] = int((m & skf).sum())
 
 
 def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=None, seg=None, filter_level=None):
@@ -1054,6 +1212,10 @@ def _finish_frame(native, mbs, mb_w, mb_h, width, height, base_q, config, stats=
             base_q, config.filter_strength, config.filter_sharpness
         )
         stats.num_partitions = num_parts
+        i4_arr = np.array([[getattr(mb, "is_i4", False) for mb in row]
+                           for row in mbs], np.uint8)
+        _fill_segment_stats(stats, seg, base_q, total, i4_arr,
+                            native["skip"])
     return _frame_bytes(part0, parts, width, height)
 
 
@@ -1446,13 +1608,15 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
         tp0, tp1, tval = _default_cost_tables()
         tables = tuple(jnp.asarray(t.astype(np.int32))
                        for t in (tp0, tp1, tval))
+        _scale = _i4_penalty_scale(config.partition_limit)
         out = encode_wavefront_core(
             np.asarray(y, np.int32)[None],
             np.asarray(u, np.int32)[None],
             np.asarray(v, np.int32)[None],
             seg_arr[None], qsteps[None], tables,
-            try_i4=config.method >= 4,
-            i4_penalty=I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q,
+            try_i4=config.method >= 4 and _scale is not None,
+            i4_penalty=int(I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
+                           * (_scale if _scale is not None else 1.0)),
         )
         ymode = np.asarray(out["ymode"])[0]
         uvmode = np.asarray(out["uvmode"])[0]
@@ -1523,8 +1687,12 @@ def encode_vp8_webp(rgba: np.ndarray, config: EncoderConfig, stats=None) -> byte
     h, w = rgba.shape[:2]
     has_alpha = rgba.shape[2] == 4 and bool((rgba[..., 3] != 255).any())
 
-    if config.use_sharp_yuv:
+    if config.use_sharp_yuv or (config.preprocessing & 4):
         y, u, v = rgb_to_yuv420_sharp(rgba)
+    elif config.preprocessing & 2:
+        # Dither amplitude: max at q0, 0.5 at q100 (webp_encoding.go:56-61).
+        x = config.quality / 100.0
+        y, u, v = rgb_to_yuv420_dithered(rgba, 1.0 - 0.5 * x ** 4)
     else:
         y, u, v = rgb_to_yuv420(rgba)
     y = _pad_to_mb(y, 16)

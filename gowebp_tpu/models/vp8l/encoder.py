@@ -1503,7 +1503,8 @@ def _pack_palette_indices(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
                        method: int = 4,
                        use_predictor: bool | None = None,
-                       bw: BitWriter | None = None, stats=None) -> BitWriter:
+                       bw: BitWriter | None = None, stats=None,
+                       hint: int = 0) -> BitWriter:
     """Encode the image-stream portion (after the 5-byte header).
 
     Crunch choice (reference EncoderAnalyze/CrunchConfig,
@@ -1517,13 +1518,19 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
         bw = BitWriter()
 
     palette = _palette_of(argb)
+    if palette is not None and hint == 2 and len(palette) > 64:
+        # ImageHint.PHOTO: large palettes are almost never the right
+        # tool for photographic content — skip the double encode
+        # (reference uses the hint the same way to prune crunch
+        # configs, vp8l_encoder.go EncoderAnalyze).
+        palette = None
     if palette is not None:
         if len(palette) > 64 and quality >= 50:
             pal_bw = BitWriter()
             _encode_stream_palette(pal_bw, argb, palette, quality, None)
             photo_bw = BitWriter()
             _encode_stream_photo(photo_bw, argb, quality, method,
-                                 use_predictor, None)
+                                 use_predictor, None, hint=hint)
             if stats is None:
                 bw.append_writer(pal_bw if pal_bw.bit_count
                                  <= photo_bw.bit_count else photo_bw)
@@ -1531,11 +1538,12 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
                 _encode_stream_palette(bw, argb, palette, quality, stats)
             else:
                 _encode_stream_photo(bw, argb, quality, method,
-                                     use_predictor, stats)
+                                     use_predictor, stats, hint=hint)
         else:
             _encode_stream_palette(bw, argb, palette, quality, stats)
     else:
-        _encode_stream_photo(bw, argb, quality, method, use_predictor, stats)
+        _encode_stream_photo(bw, argb, quality, method, use_predictor, stats,
+                             hint=hint)
     return bw
 
 
@@ -1610,7 +1618,8 @@ def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
     _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats)
 
 
-def _crunch_params(quality: int, method: int, n_pixels: int) -> dict:
+def _crunch_params(quality: int, method: int, n_pixels: int,
+                   hint: int = 0) -> dict:
     """Method/quality → trial breadth for the photo path.
 
     Analog of the reference's EncoderAnalyze/CrunchConfig matrix
@@ -1634,12 +1643,16 @@ def _crunch_params(quality: int, method: int, n_pixels: int) -> dict:
         rescore = 4 if method >= 6 else 2
     else:
         rescore = 0
+    if hint == 3:   # ImageHint.GRAPH: full-emission rescoring always
+        rescore = max(rescore, 2)
+        sg_opts = (True, False)
     return dict(bit_cands=bit_cands, sg_opts=sg_opts,
                 refine_iters=refine_iters, rescore=rescore)
 
 
 def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
-                         method: int, use_predictor, stats) -> None:
+                         method: int, use_predictor, stats,
+                         hint: int = 0) -> None:
     w = argb.shape[1]
     h = argb.shape[0]
 
@@ -1656,7 +1669,7 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         # "few symbols" either way) cannot distinguish from clamped
         # modes whose wrap seams break long LZ77 matches.
         # Trial breadth follows the reference's method→crunch mapping.
-        crunch = _crunch_params(quality, method, h * w)
+        crunch = _crunch_params(quality, method, h * w, hint=hint)
         bit_cands = crunch["bit_cands"]
         sg_opts = crunch["sg_opts"]
         iters = crunch["refine_iters"]
@@ -1822,7 +1835,7 @@ def _sub_scalar(pixel: int, pred: int) -> int:
 
 
 def encode_vp8l(rgba: np.ndarray, *, quality: int = 75, method: int = 4,
-                stats=None) -> bytes:
+                stats=None, hint: int = 0) -> bytes:
     """(H, W, 4) uint8 RGBA → VP8L chunk payload."""
     if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
         raise EncodeError("expected (H, W, 3|4) array")
@@ -1843,7 +1856,7 @@ def encode_vp8l(rgba: np.ndarray, *, quality: int = 75, method: int = 4,
     bw.put_bits(1 if has_alpha else 0, 1)
     bw.put_bits(0, 3)  # version
     encode_vp8l_stream(argb, quality=quality, method=method, bw=bw,
-                       stats=stats)
+                       stats=stats, hint=hint)
     return bw.getvalue()
 
 

@@ -518,11 +518,15 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
     )
     wavefront = engine == "wavefront"
     if wavefront:
+        from ..models.vp8.encoder import _i4_penalty_scale
+
         tp0, tp1, tval = _default_cost_tables()
         tables = tuple(jnp.asarray(t.astype(np.int32))
                        for t in (tp0, tp1, tval))
-        i4_penalty = I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
-        try_i4 = config.method >= 4
+        scale = _i4_penalty_scale(config.partition_limit)
+        i4_penalty = int(I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
+                         * (scale if scale is not None else 1.0))
+        try_i4 = config.method >= 4 and scale is not None
 
     def qrow(sq):
         return (sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,

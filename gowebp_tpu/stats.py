@@ -23,6 +23,12 @@ class EncodeStats:
     filter_level: int = 0
     num_partitions: int = 1
     alpha_data_size: int = 0
+    # Per-segment arrays (stats.go:13-20 segment_quant/segment_size):
+    segment_quant: list = field(default_factory=lambda: [0, 0, 0, 0])
+    segment_block_i4: list = field(default_factory=lambda: [0, 0, 0, 0])
+    segment_block_i16: list = field(default_factory=lambda: [0, 0, 0, 0])
+    segment_block_skipped: list = field(
+        default_factory=lambda: [0, 0, 0, 0])
     # Lossless:
     lossless_size: int = 0
     palette_size: int = 0
