@@ -76,4 +76,69 @@ def sharded_encode_plane_step(mesh: Mesh, y, u, v, *, quants):
     return jax.jit(fn)(y, u, v)
 
 
-__all__ = ["sharded_encode_plane_step"]
+def _flat_batch_axes(mesh: Mesh) -> tuple:
+    """All mesh axes as one flattened batch dimension."""
+    return tuple(mesh.axis_names)
+
+
+def sharded_recon_step(mesh: Mesh, coeffs, is_i4, imodes, uvmode, fparams,
+                       *, mb_w: int, mb_h: int, filter_type: int):
+    """VP8 decode reconstruction (dequant+iDCT, intra wavefront, loop
+    filter) sharded batch-parallel over every device in the mesh.
+
+    Decode has no cross-image dependency, so the batch axis shards over
+    the flattened (data × tile) mesh — the TPU-native replacement for
+    the reference's 2-thread decode pipeline (SURVEY §2.10 item 1).
+    Returns uint8 Y/U/V planes with the same sharding.
+    """
+    from ..ops.vp8_recon_jax import recon_frame
+
+    axes = _flat_batch_axes(mesh)
+
+    def step(c, i4, im, uv, fp):
+        return recon_frame(c, i4, im, uv, fp, mb_w=mb_w, mb_h=mb_h,
+                           filter_type=filter_type)
+
+    bspec = P(axes)
+    in_specs = (bspec, bspec, bspec, bspec, bspec)
+    out_specs = (bspec, bspec, bspec)
+    try:
+        fn = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - pre-0.8 jax kwarg
+        fn = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    return jax.jit(fn)(coeffs, is_i4, imodes, uvmode, fparams)
+
+
+def sharded_lossless_inverse(mesh: Mesh, residuals, mode_img, *, bits: int):
+    """VP8L inverse transforms (predictor-add + add-green) sharded
+    batch-parallel over the full mesh.
+
+    residuals: (B, h, w) uint32 predictor residual images; mode_img is
+    shared (replicated) across the batch.  Mirrors the reference's
+    per-tile independent entropy contexts (SURVEY §2.10 item 6) at
+    batch granularity.
+    """
+    from ..ops.lossless_jax import add_green_inverse, predictor_inverse
+
+    axes = _flat_batch_axes(mesh)
+
+    def step(res, modes):
+        out = jax.vmap(lambda r: predictor_inverse(r, modes, bits))(res)
+        return jax.vmap(add_green_inverse)(out)
+
+    try:
+        fn = shard_map(step, mesh=mesh, in_specs=(P(axes), P()),
+                       out_specs=P(axes), check_vma=False)
+    except TypeError:  # pragma: no cover - pre-0.8 jax kwarg
+        fn = shard_map(step, mesh=mesh, in_specs=(P(axes), P()),
+                       out_specs=P(axes), check_rep=False)
+    return jax.jit(fn)(residuals, mode_img)
+
+
+__all__ = [
+    "sharded_encode_plane_step",
+    "sharded_lossless_inverse",
+    "sharded_recon_step",
+]
