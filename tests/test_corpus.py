@@ -1,0 +1,166 @@
+"""Corpus hardening: HD/4K fixtures, method×quality sweep, multi-pass,
+qmin/qmax, and truncation/corruption fuzzing (VERDICT r1 item 8;
+BASELINE configs #4/#5).
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import gowebp_tpu
+from gowebp_tpu.config import EncoderConfig
+from gowebp_tpu.errors import WebPError
+
+
+def synth_photo(h, w, seed=0):
+    """Photographic stand-in: smooth structure + texture + noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.float64)
+    img[..., 0] = 120 + 60 * np.sin(xx / 53) + 35 * np.cos(yy / 71)
+    img[..., 1] = 105 + 65 * np.cos((xx + yy) / 87) + 20 * np.sin(xx / 13)
+    img[..., 2] = 95 + 55 * np.sin(yy / 43) + 15 * np.cos(xx / 7)
+    img += rng.normal(0, 5, (h, w, 3))
+    # local texture patches
+    img += (12 * np.sin(xx / 3.1) * np.cos(yy / 2.7)
+            * ((xx // 128 + yy // 128) % 3 == 0))[..., None]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_1080p_rd_dominates_libwebp():
+    """BASELINE config #4: 1080p q=75 — PSNR >= libwebp at matched (or
+    smaller) size, allowing the usual rate/distortion trade window."""
+    img = synth_photo(1080, 1920, seed=4)
+    data = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=75.0, method=4))
+    ours = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    p_ours = _psnr(ours, img)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=75, method=4)
+    ref_data = buf.getvalue()
+    ref = np.asarray(Image.open(io.BytesIO(ref_data)).convert("RGB"))
+    p_ref = _psnr(ref, img)
+
+    # RD dominance: not meaningfully worse on either axis, and strictly
+    # better on at least one.
+    size_ok = len(data) <= 1.02 * len(ref_data)
+    psnr_ok = p_ours >= p_ref - 0.25
+    better = len(data) < 0.98 * len(ref_data) or p_ours > p_ref + 0.1
+    assert size_ok and psnr_ok and better, (
+        f"ours {len(data)}B {p_ours:.2f}dB vs libwebp "
+        f"{len(ref_data)}B {p_ref:.2f}dB")
+
+
+def test_4k_lossy_roundtrip_bit_exact_decode():
+    """BASELINE config #5 (single-chip slice): 4K encode, and our decode
+    of the stream equals libwebp's decode bit for bit."""
+    img = synth_photo(2160, 3840, seed=5)
+    data = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=75.0))
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    ours = gowebp_tpu.decode_rgba(data)[..., :3]
+    np.testing.assert_array_equal(ours, ref)
+    assert _psnr(ref, img) > 30.0
+
+
+@pytest.mark.parametrize("method", [0, 1, 2, 3, 4, 5, 6])
+def test_lossy_method_sweep_decodes_everywhere(method):
+    img = synth_photo(96, 128, seed=method)
+    for q in (10, 50, 75, 95):
+        data = gowebp_tpu.encode_rgba(
+            img, config=EncoderConfig(lossless=False, quality=float(q),
+                                      method=method))
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        ours = gowebp_tpu.decode_rgba(data)[..., :3]
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("method", [0, 3, 6])
+def test_lossless_method_sweep_roundtrips(method):
+    img = synth_photo(80, 96, seed=10 + method)
+    for q in (10, 50, 90):
+        data = gowebp_tpu.encode_rgba(
+            img, config=EncoderConfig(lossless=True, quality=float(q),
+                                      method=method))
+        assert np.array_equal(gowebp_tpu.decode_rgba(data)[..., :3], img)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(pil, img)
+
+
+def test_multipass_target_size_and_qbounds():
+    from gowebp_tpu.stats import EncodeStats
+
+    img = synth_photo(256, 256, seed=9)
+    free = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=90.0))
+    target = int(len(free) * 0.6)
+    data = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=90.0, passes=6,
+                                  target_size=target))
+    assert len(data) <= target * 1.1, (len(data), target)
+    # qmin/qmax clamp the quantizer index.
+    st = EncodeStats()
+    gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=95.0,
+                                  qmin=40, qmax=70), stats=st)
+    assert 40 * 127 // 100 <= st.quantizer <= 70 * 127 // 100
+
+
+def _fixtures():
+    img = synth_photo(64, 80, seed=2)
+    lossy = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=75.0))
+    lossless = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=True, quality=75.0))
+    rgba = np.dstack([img, ((np.arange(64 * 80) % 256)
+                            .reshape(64, 80)).astype(np.uint8)])
+    alpha = gowebp_tpu.encode_rgba(
+        rgba, config=EncoderConfig(lossless=False, quality=75.0))
+    return [lossy, lossless, alpha]
+
+
+def test_truncation_fuzz_never_hangs_or_crashes():
+    """Every truncation either raises a typed WebPError or returns a
+    well-formed array — no hangs, no unhandled exceptions."""
+    for data in _fixtures():
+        # Fine stride near the start (headers), coarser in the payload.
+        cuts = list(range(0, min(64, len(data)))) + \
+            list(range(64, len(data), 97))
+        for n in cuts:
+            try:
+                out = gowebp_tpu.decode_rgba(data[:n])
+            except WebPError:
+                continue
+            assert isinstance(out, np.ndarray) and out.ndim == 3
+
+
+def test_corruption_fuzz_never_hangs_or_crashes():
+    rng = np.random.default_rng(17)
+    for data in _fixtures():
+        buf = bytearray(data)
+        for _ in range(120):
+            i = int(rng.integers(0, len(buf)))
+            old = buf[i]
+            buf[i] = int(rng.integers(0, 256))
+            try:
+                out = gowebp_tpu.decode_rgba(bytes(buf))
+                assert isinstance(out, np.ndarray)
+            except WebPError:
+                pass
+            buf[i] = old
+
+
+def test_garbage_and_empty_inputs():
+    rng = np.random.default_rng(23)
+    for blob in (b"", b"RIFF", bytes(rng.integers(0, 256, 64, np.uint8)),
+                 b"RIFF\x00\x00\x00\x00WEBP"):
+        with pytest.raises(WebPError):
+            gowebp_tpu.decode_rgba(blob)
