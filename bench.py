@@ -99,6 +99,23 @@ def main() -> None:
             best = max(best, mps_for / (time.perf_counter() - t0))
         return best
 
+    # --- extra: batch decode with device-resident output ---
+    from PIL import Image
+
+    datas = []
+    for b in range(16):
+        buf = io.BytesIO()
+        Image.fromarray(imgs[b]).save(buf, "WEBP", quality=75, method=4)
+        datas.append(buf.getvalue())
+    outs = decode_rgba_batch(datas, device_out=True)  # warm
+    jax.block_until_ready(outs)
+
+    def run_dec():
+        jax.block_until_ready(decode_rgba_batch(datas, device_out=True))
+
+    dec = best_of(run_dec, len(datas) * mp, reps=3)
+
+
     # --- headline: end-to-end batch encode (open-loop engine) ---
     encode_rgba_batch_pipelined(lst[:2 * chunk], quality=75.0, threads=8,
                                 chunk=chunk, engine="openloop")  # warm
@@ -140,22 +157,6 @@ def main() -> None:
         out = encode_plane_step(y, u, v, **quants)
     jax.block_until_ready(out)
     dense = iters * nb * mp / (time.perf_counter() - t0)
-
-    # --- extra: batch decode with device-resident output ---
-    from PIL import Image
-
-    datas = []
-    for b in range(16):
-        buf = io.BytesIO()
-        Image.fromarray(imgs[b]).save(buf, "WEBP", quality=75, method=4)
-        datas.append(buf.getvalue())
-    outs = decode_rgba_batch(datas, device_out=True)  # warm
-    jax.block_until_ready(outs)
-
-    def run_dec():
-        jax.block_until_ready(decode_rgba_batch(datas, device_out=True))
-
-    dec = best_of(run_dec, len(datas) * mp, reps=3)
 
     enc_base = libwebp_encode_mps(imgs[0])
     dec_base = libwebp_decode_mps(datas, size)

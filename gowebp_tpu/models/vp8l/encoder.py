@@ -1166,19 +1166,58 @@ def _tree_entropy(H: np.ndarray, a: int, b: int) -> np.ndarray:
     return n_log_n - (sub * _log2f(sub + 1e-9)).sum(axis=1)
 
 
-def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 48,
+def _stochastic_merge(rows, cost, group_of, alive, slices,
+                      down_to: int, seed: int = 7):
+    """Reference-style stochastic pair merging (HistogramCombineStochastic,
+    enc/histogram_enc.go:941-1051): sample random live pairs, vectorized
+    savings evaluation, apply the best beneficial merge; give up after a
+    streak of fruitless rounds.  Reduces ~1000 groups to a size the
+    exact greedy stage can afford (O(G²))."""
+    rng = np.random.default_rng(seed)
+    fails = 0
+    while int(alive.sum()) > down_to and fails < 8:
+        live = np.flatnonzero(alive)
+        n = len(live)
+        if n <= 1:
+            break
+        k = min(max(16, 4 * int(np.sqrt(n))), n * (n - 1) // 2)
+        ii = rng.integers(0, n, k)
+        jj = (ii + 1 + rng.integers(0, n - 1, k)) % n
+        i_idx, j_idx = live[ii], live[jj]
+        merged = rows[i_idx] + rows[j_idx]
+        ent = _entropy_of_rows(merged, slices)
+        sav = cost[i_idx] + cost[j_idx] - ent
+        b = int(np.argmax(sav))
+        # A merge removes one group header; accept anything cheaper
+        # than that (matches the greedy stage's stop criterion).
+        if sav[b] > -GROUP_HEADER_BITS or int(alive.sum()) > 4 * down_to:
+            i, j = int(i_idx[b]), int(j_idx[b])
+            rows[i] += rows[j]
+            cost[i] = float(_entropy_of_rows(rows[i][None, :], slices)[0])
+            alive[j] = False
+            group_of[group_of == j] = i
+            fails = 0
+        else:
+            fails += 1
+
+
+def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 256,
                         refine_iters: int = 2):
     """Tile-histogram clustering → (group_map, merged_rows).
 
-    Three stages, all vectorized (the TPU-shaped re-expression of the
+    Four stages, all vectorized (the TPU-shaped re-expression of the
     reference's histogram_enc.go combine path):
-      1. entropy-bin preclustering — tiles whose (literal, red, blue)
-         entropy signature lands in the same discretized bin share a
-         group;
-      2. exact greedy pairwise merging with an incrementally-maintained
+      1. entropy-bin preclustering — tiles whose (literal, red, blue
+         [, distance]) entropy signature lands in the same discretized
+         bin share a group; the signature resolution scales with the
+         tile count so large heterogeneous images keep ≥several hundred
+         initial groups instead of being crushed into 64 bins;
+      2. stochastic pair merging down to a greedy-affordable count
+         (the reference's HistogramCombineStochastic);
+      3. exact greedy pairwise merging with an incrementally-maintained
          savings matrix, stopping when the best merge loses more than a
          group's header cost;
-      3. k-means-style refinement: reassign every tile to the group
+      4. k-means-style refinement: reassign every tile to the group
          whose code distribution codes it cheapest, then rebuild.
     """
     T = len(H)
@@ -1187,22 +1226,40 @@ def _cluster_histograms(H: np.ndarray, slices, max_groups: int = 48,
     H = H.astype(np.int64)
 
     # --- Stage 1: precluster by discretized entropy signature. ---
+    levels = 4 if T <= 256 else 6
+    comps = (slices[0], slices[1], slices[2]) + (
+        (slices[4],) if T > 256 and len(slices) > 4 else ())
     sig = []
-    for a, b in (slices[0], slices[1], slices[2]):
+    for a, b in comps:
         e = _tree_entropy(H, a, b)
         hi = e.max()
-        levels = 4
-        q = np.minimum((e / max(hi, 1e-9) * levels).astype(np.int64), levels - 1)
+        q = np.minimum((e / max(hi, 1e-9) * levels).astype(np.int64),
+                       levels - 1)
         sig.append(q)
-    bin_id = (sig[0] * 4 + sig[1]) * 4 + sig[2]
+    bin_id = sig[0]
+    for s in sig[1:]:
+        bin_id = bin_id * levels + s
     uniq, bin_of = np.unique(bin_id, return_inverse=True)
     G = len(uniq)
     rows = np.zeros((G, H.shape[1]), np.int64)
     np.add.at(rows, bin_of, H)
     group_of = bin_of.astype(np.int64)
 
-    # --- Stage 2: exact greedy merging with incremental savings. ---
     cost = _entropy_of_rows(rows, slices)
+
+    # --- Stage 2: stochastic merge while the pair matrix is too big. ---
+    if G > 96:
+        alive0 = np.ones(G, bool)
+        _stochastic_merge(rows, cost, group_of, alive0, slices, down_to=96)
+        live_idx = np.flatnonzero(alive0)
+        remap = np.full(G, -1, np.int64)
+        remap[live_idx] = np.arange(len(live_idx))
+        group_of = remap[group_of]
+        rows = rows[live_idx].copy()
+        cost = cost[live_idx]
+        G = len(live_idx)
+
+    # --- Stage 3: exact greedy merging with incremental savings. ---
 
     def pair_savings(i, rows, cost, alive_mask):
         merged = rows[i][None, :] + rows
