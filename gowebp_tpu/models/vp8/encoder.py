@@ -273,6 +273,22 @@ def _i4_penalty_scale(partition_limit: int) -> float | None:
     return (100.0 * 100.0) / (limit * limit)
 
 
+# _mul_shr16 (encode_wavefront_jax) and the native encoder's int64 score
+# math are exact only for lambda < 2^19; a quadratically scaled
+# partition_limit penalty can exceed that (and wrap through ctypes
+# c_int), so every computed penalty is clamped to this ceiling.  Beyond
+# it i4 effectively never wins, so the clamp is behaviour-preserving.
+I4_PENALTY_MAX = (1 << 19) - 1
+
+
+def _i4_config(q_ac: int, method: int, partition_limit: int):
+    """(try_i4, clamped penalty) shared by host/JAX/pipelined encoders."""
+    scale = _i4_penalty_scale(partition_limit)
+    pen = int(I4_LAMBDA_MULT * q_ac * q_ac
+              * (scale if scale is not None else 1.0))
+    return (method >= 4 and scale is not None), min(pen, I4_PENALTY_MAX)
+
+
 @dataclass
 class QuantPair:
     q: int      # quantizer step
@@ -994,10 +1010,8 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     yr = np.zeros_like(ys)
     ur = np.zeros_like(us)
     vr = np.zeros_like(vs)
-    scale = _i4_penalty_scale(partition_limit)
-    try_i4 = 1 if (method >= 4 and scale is not None) else 0
-    i4_penalty = int(I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
-                     * (scale if scale is not None else 1.0))
+    _try, i4_penalty = _i4_config(q.y1_ac.q, method, partition_limit)
+    try_i4 = 1 if _try else 0
     # Note: with two-pass probability adaptation the marginal rate saved
     # by lowering a level is near zero, so trellis trades PSNR for very
     # few bits; it is reserved for the smallest-size method setting.
@@ -1608,15 +1622,14 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
         tp0, tp1, tval = _default_cost_tables()
         tables = tuple(jnp.asarray(t.astype(np.int32))
                        for t in (tp0, tp1, tval))
-        _scale = _i4_penalty_scale(config.partition_limit)
+        _try_i4, _i4_pen = _i4_config(q.y1_ac.q, config.method,
+                                      config.partition_limit)
         out = encode_wavefront_core(
             np.asarray(y, np.int32)[None],
             np.asarray(u, np.int32)[None],
             np.asarray(v, np.int32)[None],
             seg_arr[None], qsteps[None], tables,
-            try_i4=config.method >= 4 and _scale is not None,
-            i4_penalty=int(I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
-                           * (_scale if _scale is not None else 1.0)),
+            try_i4=_try_i4, i4_penalty=_i4_pen,
         )
         ymode = np.asarray(out["ymode"])[0]
         uvmode = np.asarray(out["uvmode"])[0]

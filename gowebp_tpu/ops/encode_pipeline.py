@@ -495,7 +495,6 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
     from ..constants import CHUNK_VP8
     from ..container.riff import Chunk, assemble_simple
     from ..models.vp8.encoder import (
-        I4_LAMBDA_MULT,
         _default_cost_tables,
         _segment_tree_probs,
         emit_frame_arrays,
@@ -518,15 +517,13 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
     )
     wavefront = engine == "wavefront"
     if wavefront:
-        from ..models.vp8.encoder import _i4_penalty_scale
+        from ..models.vp8.encoder import _i4_config
 
         tp0, tp1, tval = _default_cost_tables()
         tables = tuple(jnp.asarray(t.astype(np.int32))
                        for t in (tp0, tp1, tval))
-        scale = _i4_penalty_scale(config.partition_limit)
-        i4_penalty = int(I4_LAMBDA_MULT * q.y1_ac.q * q.y1_ac.q
-                         * (scale if scale is not None else 1.0))
-        try_i4 = config.method >= 4 and scale is not None
+        try_i4, i4_penalty = _i4_config(q.y1_ac.q, config.method,
+                                        config.partition_limit)
 
     def qrow(sq):
         return (sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,

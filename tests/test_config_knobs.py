@@ -67,6 +67,25 @@ def test_partition_limit_suppresses_i4():
     assert s50.block_count_i4 <= s0.block_count_i4
 
 
+@pytest.mark.parametrize("plim", [90, 95, 99])
+def test_partition_limit_high_values_bit_identical_jax(plim):
+    """ADVICE r2 (medium): the quadratically scaled i4 penalty must stay
+    inside _mul_shr16's int32-exact domain (< 2^19) so the JAX wavefront
+    and native host encoders agree at extreme partition_limit values."""
+    img = _img(96)
+    host = encode_rgba(img, config=EncoderConfig(
+        lossless=False, quality=75.0, method=4, partition_limit=plim))
+    jaxb = encode_rgba(img, config=EncoderConfig(
+        lossless=False, quality=75.0, method=4, partition_limit=plim,
+        plane_backend="jax"))
+    assert host == jaxb
+    # Very low quality + plim=99 previously overflowed at trace time.
+    lowq = encode_rgba(img, config=EncoderConfig(
+        lossless=False, quality=1.0, method=4, partition_limit=99,
+        plane_backend="jax"))
+    assert decode_rgba(lowq).shape == (96, 96, 4)
+
+
 def test_emulate_jpeg_size_changes_quantizer():
     from gowebp_tpu.stats import EncodeStats
 
