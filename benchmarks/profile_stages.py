@@ -95,6 +95,7 @@ def main():
         ks *= 2
     while kb < int(np.asarray(out["hdr"])[:, 1].max()):
         kb *= 2
+    ks, kb = min(ks, cap_s), min(kb, cap_b)
     buf2 = _export_packed_v2(out, ks=ks, kb=kb, with_i4=False)
     jax.block_until_ready(buf2)
     nb = np.asarray(buf2).nbytes
@@ -130,6 +131,14 @@ def main():
         yd, ud, vd, segm, qs, tables, cap_s=cap_s, cap_b=cap_b,
         try_i4=False, i4_penalty=i4_pen)), reps=2)
     print(f"device wavefront(i16): {dt*1000:.0f} ms -> {mp/dt:.1f} MP/s")
+    hb = planes_wavefront_packed_step(
+        yd, ud, vd, segm, qs, tables, cap_s=cap_s, cap_b=cap_b,
+        try_i4=True, i4_penalty=i4_pen, search="open")
+    jax.block_until_ready(hb)
+    dt = t(lambda: jax.block_until_ready(planes_wavefront_packed_step(
+        yd, ud, vd, segm, qs, tables, cap_s=cap_s, cap_b=cap_b,
+        try_i4=True, i4_penalty=i4_pen, search="open")), reps=2)
+    print(f"device hybrid: {dt*1000:.0f} ms -> {mp/dt:.1f} MP/s")
 
     # --- host unpack + tokenize + emit (per image, single thread) ---
     hdr = np.asarray(out["hdr"])

@@ -16,8 +16,33 @@ import jax.numpy as jnp
 
 from ..models.vp8.tables import ZIGZAG
 
-_ZIGZAG = jnp.array(ZIGZAG, jnp.int32)
-_INV_ZIGZAG = jnp.array([ZIGZAG.index(i) for i in range(16)], jnp.int32)
+# NumPy (not jnp!) constants: they embed as HLO literals.  A module-
+# level jnp.array becomes a hoisted jit const — an extra executable
+# parameter re-uploaded on every launch, ~23 ms each through the
+# remote-TPU tunnel (measured; see benchmarks/profile_stages.py).
+import numpy as _np
+
+_ZIGZAG = _np.array(ZIGZAG, _np.int32)
+_INV_ZIGZAG = _np.array([ZIGZAG.index(i) for i in range(16)], _np.int32)
+
+# Permutations as one-hot f32 matmuls: TPU serializes gathers (even
+# static ones), while a (..., 16) @ (16, 16) select matrix rides the
+# MXU and is exact for |values| < 2^24 (true of all VP8 coefficients).
+_ZZ_SEL = _np.zeros((16, 16), _np.float32)
+_ZZ_SEL[_ZIGZAG, _np.arange(16)] = 1.0             # out[i] = in[ZIGZAG[i]]
+_INV_SEL = _ZZ_SEL.T                               # out[i] = in[INVZZ[i]]
+
+
+def zigzag_fwd(flat: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) raster → zigzag order (exact, MXU select)."""
+    return jnp.matmul(flat.astype(jnp.float32), _ZZ_SEL,
+                      preferred_element_type=jnp.float32).astype(flat.dtype)
+
+
+def zigzag_inv(zz: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) zigzag → raster order (exact, MXU select)."""
+    return jnp.matmul(zz.astype(jnp.float32), _INV_SEL,
+                      preferred_element_type=jnp.float32).astype(zz.dtype)
 
 
 def _mul1(a):
@@ -126,7 +151,7 @@ def quantize(coeffs: jnp.ndarray, dc_iq, dc_bias, ac_iq, ac_bias,
              first_ac: bool = False) -> jnp.ndarray:
     """(..., 4, 4) raster coeffs → (..., 16) zigzag levels (QUANTDIV)."""
     flat = coeffs.reshape(coeffs.shape[:-2] + (16,))
-    zz = jnp.take(flat, _ZIGZAG, axis=-1)
+    zz = zigzag_fwd(flat)
     iq = jnp.full((16,), ac_iq, jnp.int32).at[0].set(dc_iq)
     bias = jnp.full((16,), ac_bias, jnp.int32).at[0].set(dc_bias)
     sign = zz < 0
@@ -141,7 +166,7 @@ def dequantize(levels: jnp.ndarray, dc_q, ac_q) -> jnp.ndarray:
     """(..., 16) zigzag levels → (..., 4, 4) raster coefficients."""
     q = jnp.full((16,), ac_q, jnp.int32).at[0].set(dc_q)
     deq = levels.astype(jnp.int32) * q
-    raster = jnp.take(deq, _INV_ZIGZAG, axis=-1)
+    raster = zigzag_inv(deq)
     return raster.reshape(levels.shape[:-1] + (4, 4))
 
 

@@ -358,17 +358,26 @@ def activity_step(y):
 
 
 @partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4",
-                                   "i4_penalty"))
+                                   "i4_penalty", "search"))
 def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
-                                 cap_s, cap_b, try_i4, i4_penalty):
-    """Closed-loop wavefront encode from uint8 planes + G4PACKv2."""
+                                 cap_s, cap_b, try_i4, i4_penalty,
+                                 search: str = "closed"):
+    """Closed-loop wavefront encode from uint8 planes + G4PACKv2.
+
+    search="closed": full in-loop RD mode search (bit-identical to the
+    sequential host encoder).  search="open": hybrid engine — open-loop
+    parallel mode search, exact fixed-mode closed-loop coding (~30x
+    less sequential work, same zero-drift stream).
+    """
     import jax.numpy as jnp
 
-    from .encode_wavefront_jax import encode_wavefront_core
+    from .encode_wavefront_jax import (
+        encode_hybrid_core, encode_wavefront_core)
 
     B, H, W = y.shape
     plan = _plan(H, W)
-    out = encode_wavefront_core(
+    dense = encode_hybrid_core if search == "open" else encode_wavefront_core
+    out = dense(
         y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
         seg_map, qsteps, tables, try_i4=try_i4, i4_penalty=i4_penalty)
     flat = _levels_to_flat(out, plan)
@@ -515,7 +524,7 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         y1_dc=q.y1_dc.q, y1_ac=q.y1_ac.q, y2_dc=q.y2_dc.q, y2_ac=q.y2_ac.q,
         uv_dc=q.uv_dc.q, uv_ac=q.uv_ac.q,
     )
-    wavefront = engine == "wavefront"
+    wavefront = engine in ("wavefront", "hybrid")
     if wavefront:
         from ..models.vp8.encoder import _i4_config
 
@@ -632,7 +641,8 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         out = planes_wavefront_packed_step(
             yd, ud, vd,
             jax.device_put(seg_maps), jax.device_put(qs), tables,
-            cap_s=cap_s, cap_b=cap_b, try_i4=try_i4, i4_penalty=i4_penalty)
+            cap_s=cap_s, cap_b=cap_b, try_i4=try_i4, i4_penalty=i4_penalty,
+            search=("open" if engine == "hybrid" else "closed"))
         return out, idxs, segs
 
     # Sticky export buckets: start minimal, grow on overflow; every

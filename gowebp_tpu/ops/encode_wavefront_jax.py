@@ -52,15 +52,19 @@ from .vp8_recon_jax import (
     _pred_luma4_all,
     _shift_down,
     _skew_index,
+    _unskew_plane,
     num_diagonals,
 )
 
 I32 = jnp.int32
 
 # 1/256-bit header-cost estimates of the 10 kf bmode symbols (must match
-# kMode4Bits256 in entropy/native/vp8_dec.cpp).
-_MODE4_BITS256 = jnp.array(
-    [256, 704, 768, 768, 960, 1024, 960, 1024, 1024, 960], I32)
+# kMode4Bits256 in entropy/native/vp8_dec.cpp).  NumPy so it embeds as
+# an HLO literal instead of a per-launch-uploaded jit const.
+import numpy as _np
+
+_MODE4_BITS256 = _np.array(
+    [256, 704, 768, 768, 960, 1024, 960, 1024, 1024, 960], _np.int32)
 
 _BIAS = {  # b8 << 9 quantizer bias per coefficient class
     "y1_dc": 96 << 9, "y1_ac": 110 << 9,
@@ -99,7 +103,7 @@ def _quant_lanes(coeffs, iq_dc, iq_ac, bias_dc, bias_ac, first_ac=False):
     iq_dc/iq_ac broadcastable to coeffs.shape[:-2]; biases static ints.
     """
     flat = coeffs.reshape(coeffs.shape[:-2] + (16,))
-    zz = jnp.take(flat, dct_jax._ZIGZAG, axis=-1)
+    zz = dct_jax.zigzag_fwd(flat)
     pos0 = jnp.arange(16) == 0
     iq = jnp.where(pos0, iq_dc[..., None], iq_ac[..., None])
     bias = jnp.where(pos0, bias_dc, bias_ac)
@@ -115,8 +119,21 @@ def _dequant_lanes(levels, q_dc, q_ac):
     pos0 = jnp.arange(16) == 0
     q = jnp.where(pos0, q_dc[..., None], q_ac[..., None])
     deq = levels.astype(I32) * q
-    raster = jnp.take(deq, dct_jax._INV_ZIGZAG, axis=-1)
+    raster = dct_jax.zigzag_inv(deq)
     return raster.reshape(levels.shape[:-1] + (4, 4))
+
+
+def _switch(idx, branches, expand: int):
+    """branches[idx] per element — a where-chain, never a TPU gather.
+
+    idx (...) int; each branch broadcastable to the output; ``expand``
+    trailing dims are appended to idx for the compare.
+    """
+    out = branches[-1]
+    for k in range(len(branches) - 2, -1, -1):
+        cond = (idx == k).reshape(idx.shape + (1,) * expand)
+        out = jnp.where(cond, branches[k], out)
+    return out
 
 
 def _mul_shr16(lamq: int, rate):
@@ -151,9 +168,201 @@ def _skew_tiles(plane, mb_w, mb_h, size):
     return tiles[:, my, mx]
 
 
-@partial(jax.jit, static_argnames=("try_i4", "i4_penalty"))
+def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
+                         try_i4: bool, i4_penalty: int = 0, ctx=None):
+    """Fully parallel mode search with SOURCE-pixel prediction context.
+
+    ``ctx`` (refinement passes): a (y_rec, u_rec, v_rec) tuple of
+    reconstruction planes from a previous fixed-mode wavefront pass.
+    Prediction context then comes from the actual reconstruction (the
+    closed-loop encoder's context, up to not-yet-converged mode flips)
+    while distortion stays against the source — bringing the parallel
+    decisions within a whisker of the sequential search's.
+
+    The hybrid engine's phase 1: every decision the exact wavefront
+    makes (i16 mode, per-block i4 modes, i4-vs-i16 adoption, uv mode)
+    is evaluated for all MBs of all images at once, substituting the
+    source plane for the not-yet-available reconstruction.  At normal
+    qualities recon ≈ source, so the decisions match the closed-loop
+    search almost everywhere; the levels themselves are then produced
+    by the exact fixed-mode wavefront (phase 2), so the output stream
+    has zero prediction drift regardless.
+
+    Returns dense (B, mh, mw[, 16]) int32 ymode/uvmode/is_i4/imodes.
+    """
+    B, H, W = y.shape
+    mh, mw = H // 16, W // 16
+    N = mh * mw
+    cy, cu, cv = ctx if ctx is not None else (y, u, v)
+
+    qs = qsteps.astype(I32)
+    iqs = (1 << 17) // jnp.maximum(qs, 1)
+    seg = seg_map.reshape(B, N)
+    qlane = _switch(seg, [qs[:, k][:, None] for k in range(4)], 1)
+    iqlane = _switch(seg, [iqs[:, k][:, None] for k in range(4)], 1)
+    lane = lambda k: iqlane[..., k]
+    qv = lambda k: qlane[..., k]
+
+    # ---- MB-level context (exact engine edge conventions) ----
+    yt = y.reshape(B, mh, 16, mw, 16).transpose(0, 1, 3, 2, 4)
+    src = yt.reshape(B, N, 16, 16)
+    myv = jnp.repeat(jnp.arange(mh, dtype=I32), mw)     # (N,)
+    mxv = jnp.tile(jnp.arange(mw, dtype=I32), mh)
+    htv = (myv > 0)[None, :]
+    hlv = (mxv > 0)[None, :]
+    lastv = (mxv == mw - 1)[None, :]
+
+    # row_above[b, my] = context row 16*my-1 (row 0's copy for my=0 is
+    # masked off below), extended 4 px right by edge replication.
+    row_above = jnp.pad(cy, ((0, 0), (16, 0), (0, 4)), mode="edge")[
+        :, 15::16][:, :mh]                              # (B, mh, W+4)
+    top16 = row_above[:, :, :W].reshape(B, mh, mw, 16).reshape(B, N, 16)
+    top16 = jnp.where(htv[..., None], top16, 127)
+    # tr4 for MB column mx = row_above cols 16(mx+1)..16(mx+1)+3; slice
+    # and reshape instead of a gather (the last column's slot holds
+    # padding, overridden by the ``lastv`` select below).
+    tr4 = jnp.pad(row_above[:, :, 16:W + 4],
+                  ((0, 0), (0, 0), (0, 12)))            # (B, mh, 16*mw)
+    tr4 = tr4.reshape(B, mh, mw, 16)[..., :4].reshape(B, N, 4)
+    tr4 = jnp.where(lastv[..., None], top16[:, :, 15:16], tr4)
+    tr4 = jnp.where(htv[..., None], tr4, 127)
+    col_left = jnp.pad(cy, ((0, 0), (0, 0), (16, 0)))[:, :, 15::16][:, :, :mw]
+    left16 = col_left.reshape(B, mh, 16, mw).transpose(0, 1, 3, 2).reshape(
+        B, N, 16)
+    left16 = jnp.where(hlv[..., None], left16, 129)
+    tl_src = jnp.pad(cy, ((0, 0), (16, 0), (16, 0)))[
+        :, 15::16, 15::16][:, :mh, :mw]
+    tlpx = tl_src.reshape(B, N)
+    tlpx = jnp.where(htv, jnp.where(hlv, tlpx, 129), 127)
+
+    # ---- i16 candidate (identical math to the wavefront step) ----
+    ht1, hl1 = htv[0], hlv[0]
+    pred4 = _predict4_blocks(top16, left16, tlpx, ht1, hl1, 16)
+    sse = _sse(src[None], pred4, (-1, -2))
+    ymode = jnp.argmin(sse, axis=0).astype(I32)         # (B, N)
+    pred = _switch(ymode, [pred4[k] for k in range(4)], 2)
+    res = src.astype(I32) - pred.astype(I32)
+    blk = res.reshape(B, N, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+    coeffs = dct_jax.fdct4x4(blk)
+    y2 = dct_jax.fwht4x4(coeffs[..., 0, 0])
+    y2_levels = _quant_lanes(y2, lane(2), lane(3),
+                             _BIAS["y2_dc"], _BIAS["y2_ac"])
+    y_levels = _quant_lanes(
+        coeffs.reshape(B, N, 16, 4, 4),
+        lane(0)[..., None], lane(1)[..., None],
+        _BIAS["y1_dc"], _BIAS["y1_ac"], first_ac=True)
+
+    is4 = jnp.zeros((B, N), I32)
+    imodes = jnp.broadcast_to(ymode[..., None], (B, N, 16))
+    if try_i4:
+        # Open-loop i16 reconstruction for the score's distortion term.
+        y2_deq = _dequant_lanes(y2_levels, qv(2), qv(3))
+        y2_any_ac = (y2_levels[..., 1:] != 0).any(axis=-1)
+        iwht = dct_jax.iwht4x4(y2_deq)
+        dc_only = jnp.broadcast_to(
+            ((y2_deq[..., 0, 0] + 3) >> 3)[..., None, None], iwht.shape)
+        rdcs = jnp.where(y2_any_ac[..., None, None], iwht, dc_only)
+        deq = _dequant_lanes(y_levels, qv(0)[..., None], qv(1)[..., None])
+        deq = deq.reshape(B, N, 4, 4, 4, 4).at[..., 0, 0].set(rdcs)
+        pred_blk = pred.reshape(B, N, 4, 4, 4, 4).transpose(
+            0, 1, 2, 4, 3, 5)
+        recon_blk = dct_jax.idct_add_clip(deq, pred_blk)
+        recon16 = recon_blk.transpose(0, 1, 2, 4, 3, 5).reshape(
+            B, N, 16, 16)
+        d16 = _sse(src, recon16, (-1, -2))
+        rate16 = block_rate256(y2_levels, tables, type=1, first=0, ctx0=1)
+        rate16 = rate16 + block_rate256(
+            y_levels, tables, type=0, first=1, ctx0=1).sum(axis=-1)
+        s16 = d16 + _mul_shr16(i4_penalty, rate16)
+
+        # The exact engine's scr scratch, dense over every MB at once.
+        # The MB-boundary rows/cols come from ``ctx`` (source on pass 0,
+        # real recon on refinement passes); the interior is filled by
+        # the 16-sub-block Gauss-Seidel loop below, so the within-MB
+        # greedy search semantics match the sequential encoder exactly.
+        scr = jnp.zeros((B, N, 17, 21), I32)
+        scr = scr.at[:, :, 0, 0].set(tlpx)
+        scr = scr.at[:, :, 0, 1:17].set(top16)
+        scr = scr.at[:, :, 0, 17:21].set(tr4)
+        scr = scr.at[:, :, 1:17, 0].set(left16)
+
+        bmodes = jnp.zeros((B, N, 16), I32)
+        s4 = jnp.zeros((B, N), I32)
+
+        def sub(n, carry):
+            scr, bmodes, s4 = carry
+            gy, gx = n >> 2, n & 3
+            r, c = 4 * gy, 4 * gx
+            row = lax.dynamic_slice(scr, (0, 0, r, c), (B, N, 1, 9))
+            tl = row[..., 0, 0]
+            top = row[..., 0, 1:5]
+            tr_in = row[..., 0, 5:9]
+            tr = jnp.where(jnp.equal(gx, 3), scr[:, :, 0, 17:21], tr_in)
+            left = lax.dynamic_slice(scr, (0, 0, r + 1, c),
+                                     (B, N, 4, 1))[..., 0]
+            src4 = lax.dynamic_slice_in_dim(
+                lax.dynamic_slice_in_dim(src, r, 4, axis=2), c, 4, axis=3)
+            preds = _pred_luma4_all(tl, top, tr, left)  # (B,N,10,4,4)
+            res4 = src4[:, :, None].astype(I32) - preds
+            cf = dct_jax.fdct4x4(res4)
+            lv = _quant_lanes(cf, lane(0)[..., None], lane(1)[..., None],
+                              _BIAS["y1_dc"], _BIAS["y1_ac"])
+            dq = _dequant_lanes(lv, qv(0)[..., None], qv(1)[..., None])
+            rec = dct_jax.idct_add_clip(dq, preds)
+            dist = _sse(src4[:, :, None], rec, (-1, -2))
+            rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
+            cost = dist + _mul_shr16(i4_penalty, rate + _MODE4_BITS256)
+            bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, N)
+            bcost = cost.min(axis=-1)
+            brec = _switch(bmode, [rec[:, :, k] for k in range(10)], 2)
+            scr = lax.dynamic_update_slice(scr, brec, (0, 0, r + 1, c + 1))
+            bmodes = lax.dynamic_update_slice(
+                bmodes, bmode[..., None], (0, 0, n))
+            return scr, bmodes, s4 + bcost
+
+        scr, bmode, s4 = lax.fori_loop(0, 16, sub, (scr, bmodes, s4))
+        adopt = s4 < s16
+        is4 = adopt.astype(I32)
+        imodes = jnp.where(adopt[..., None], bmode, imodes)
+
+    # ---- chroma ----
+    def cctx(p, cp):
+        hh, hw = p.shape[1] // 8, p.shape[2] // 8
+        n8 = hh * hw
+        ra = jnp.pad(cp, ((0, 0), (8, 0), (0, 0)), mode="edge")[
+            :, 7::8][:, :hh]
+        t8 = ra.reshape(B, hh, hw, 8).reshape(B, n8, 8)
+        t8 = jnp.where(htv[..., None], t8, 127)
+        cl = jnp.pad(cp, ((0, 0), (0, 0), (8, 0)))[:, :, 7::8][:, :, :hw]
+        l8 = cl.reshape(B, hh, 8, hw).transpose(0, 1, 3, 2).reshape(B, n8, 8)
+        l8 = jnp.where(hlv[..., None], l8, 129)
+        tl8 = jnp.pad(cp, ((0, 0), (8, 0), (8, 0)))[
+            :, 7::8, 7::8][:, :hh, :hw].reshape(B, n8)
+        tl8 = jnp.where(htv, jnp.where(hlv, tl8, 129), 127)
+        blocks = p.reshape(B, hh, 8, hw, 8).transpose(0, 1, 3, 2, 4).reshape(
+            B, n8, 8, 8)
+        return blocks, t8, l8, tl8
+
+    ub, ut, ul, utl = cctx(u, cu)
+    vb, vt, vl, vtl = cctx(v, cv)
+    upred4 = _predict4_blocks(ut, ul, utl, ht1, hl1, 8)
+    vpred4 = _predict4_blocks(vt, vl, vtl, ht1, hl1, 8)
+    usse = _sse(ub[None], upred4, (-1, -2))
+    vsse = _sse(vb[None], vpred4, (-1, -2))
+    uvmode = jnp.argmin(usse + vsse, axis=0).astype(I32)
+
+    return {
+        "ymode": ymode.reshape(B, mh, mw),
+        "uvmode": uvmode.reshape(B, mh, mw),
+        "is_i4": is4.reshape(B, mh, mw),
+        "imodes": imodes.reshape(B, mh, mw, 16),
+    }
+
+
+@partial(jax.jit, static_argnames=("try_i4", "i4_penalty", "want_recon"))
 def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
-                          try_i4: bool, i4_penalty: int = 0):
+                          try_i4: bool, i4_penalty: int = 0, modes=None,
+                          want_recon: bool = False):
     """Exact closed-loop batched dense encode (i16 + optional i4).
 
     y: (B, H16, W16) int32; u, v: (B, H16//2, W16//2) int32.
@@ -164,6 +373,14 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     tables: (p0, p1, val) int32 token-cost tables (rate_jax layout).
     Returns per-MB tensors bit-identical to the host encoder
     (wtpu_vp8_encode_frame) under the same parameters.
+
+    ``modes`` (hybrid engine phase 2): a (ymode, uvmode, is_i4, imodes)
+    tuple of dense (B, mh, mw[, 16]) int32 decisions.  The mode search
+    and the RD rate model are skipped entirely — each step predicts
+    with the given mode, quantizes, and reconstructs, so the stream is
+    still exactly closed-loop (zero drift) at a fraction of the
+    sequential cost (the 10-candidate i4 search is what dominates the
+    full wavefront).
     """
     B, H, W = y.shape
     mh, mw = H // 16, W // 16
@@ -177,6 +394,13 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     Vsrc = _skew_tiles(v, mw, mh, 8)
     flat, _ = _skew_index(mw, mh)
     seg_sk = seg_map.reshape(B, mh * mw)[:, flat]   # (B, M, T)
+    fixed = modes is not None
+    if fixed:
+        ym_d, um_d, i4_d, im_d = modes
+        ym_sk = ym_d.reshape(B, mh * mw)[:, flat].astype(I32)
+        um_sk = um_d.reshape(B, mh * mw)[:, flat].astype(I32)
+        i4_sk = i4_d.reshape(B, mh * mw)[:, flat].astype(I32)
+        im_sk = im_d.reshape(B, mh * mw, 16)[:, flat].astype(I32)
 
     Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
     Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
@@ -202,9 +426,8 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
         hl3 = hlv[None, :, None]
 
         seg = lax.dynamic_slice(seg_sk, (0, 0, t), (B, M, 1))[..., 0]
-        segb = jnp.broadcast_to(seg[..., None], (B, M, 6))
-        qlane = jnp.take_along_axis(qs, segb, axis=1)    # (B, M, 6)
-        iqlane = jnp.take_along_axis(iqs, segb, axis=1)
+        qlane = _switch(seg, [qs[:, k][:, None] for k in range(4)], 1)
+        iqlane = _switch(seg, [iqs[:, k][:, None] for k in range(4)], 1)
 
         # ---- luma context from the skewed recon state ----
         win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0), (B, M, 3, 16, 16))
@@ -226,10 +449,12 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
 
         # ---- i16 candidate ----
         pred4 = _predict4_blocks(top16, left16, tlpx, htv, hlv, 16)
-        sse = _sse(src[None], pred4, (-1, -2))
-        ymode = jnp.argmin(sse, axis=0).astype(I32)  # (B, M)
-        pred = jnp.take_along_axis(
-            pred4, ymode[None, ..., None, None], axis=0)[0]
+        if fixed:
+            ymode = lax.dynamic_slice(ym_sk, (0, 0, t), (B, M, 1))[..., 0]
+        else:
+            sse = _sse(src[None], pred4, (-1, -2))
+            ymode = jnp.argmin(sse, axis=0).astype(I32)  # (B, M)
+        pred = _switch(ymode, [pred4[k] for k in range(4)], 2)
         res = src.astype(I32) - pred.astype(I32)
         blk = res.reshape(B, M, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
         coeffs = dct_jax.fdct4x4(blk)                # (B,M,gy,gx,4,4)
@@ -263,12 +488,16 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
 
         # ---- i4 candidate ----
         if try_i4:
-            d16 = _sse(src, recon16, (-1, -2))
-            rate16 = block_rate256(y2_levels, tables, type=1, first=0,
-                                   ctx0=1)
-            rate16 = rate16 + block_rate256(
-                y_levels, tables, type=0, first=1, ctx0=1).sum(axis=-1)
-            s16 = d16 + _mul_shr16(i4_penalty, rate16)
+            if not fixed:
+                d16 = _sse(src, recon16, (-1, -2))
+                rate16 = block_rate256(y2_levels, tables, type=1, first=0,
+                                       ctx0=1)
+                rate16 = rate16 + block_rate256(
+                    y_levels, tables, type=0, first=1, ctx0=1).sum(axis=-1)
+                s16 = d16 + _mul_shr16(i4_penalty, rate16)
+            else:
+                given4 = lax.dynamic_slice(
+                    im_sk, (0, 0, t, 0), (B, M, 1, 16))[:, :, 0]
 
             scr = jnp.zeros((B, M, 17, 21), I32)
             scr = scr.at[:, :, 0, 0].set(tlpx)
@@ -294,23 +523,40 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
                 src4 = lax.dynamic_slice_in_dim(
                     lax.dynamic_slice_in_dim(src, r, 4, axis=2),
                     c, 4, axis=3)
-                preds = _pred_luma4_all(tl, top, tr, left)  # (B,M,10,4,4)
-                res4 = src4[:, :, None].astype(I32) - preds
-                cf = dct_jax.fdct4x4(res4)
-                lv = _quant_lanes(cf, lane(0)[..., None], lane(1)[..., None],
-                                  _BIAS["y1_dc"], _BIAS["y1_ac"])
-                dq = _dequant_lanes(lv, qv(0)[..., None], qv(1)[..., None])
-                rec = dct_jax.idct_add_clip(dq, preds)      # (B,M,10,4,4)
-                dist = _sse(src4[:, :, None], rec, (-1, -2))
-                rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
-                cost = dist + _mul_shr16(i4_penalty, rate + _MODE4_BITS256)
-                bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, M)
-                bm = bmode[..., None]
-                bcost = jnp.take_along_axis(cost, bm, axis=-1)[..., 0]
-                blv = jnp.take_along_axis(
-                    lv, bm[..., None], axis=2)[:, :, 0]
-                brec = jnp.take_along_axis(
-                    rec, bm[..., None, None], axis=2)[:, :, 0]
+                if fixed:
+                    # One candidate: the given mode.  No heavy 10-wide
+                    # DCT/quant/recon, no rate model.
+                    bmode = lax.dynamic_slice(
+                        given4, (0, 0, n), (B, M, 1))[..., 0]
+                    preds = _pred_luma4_all(tl, top, tr, left)
+                    pred1 = _switch(
+                        bmode, [preds[:, :, k] for k in range(10)], 2)
+                    res4 = src4.astype(I32) - pred1
+                    cf = dct_jax.fdct4x4(res4)
+                    blv = _quant_lanes(cf, lane(0), lane(1),
+                                       _BIAS["y1_dc"], _BIAS["y1_ac"])
+                    dq = _dequant_lanes(blv, qv(0), qv(1))
+                    brec = dct_jax.idct_add_clip(dq, pred1)
+                    bcost = jnp.zeros((B, M), I32)
+                else:
+                    preds = _pred_luma4_all(tl, top, tr, left)  # (B,M,10,4,4)
+                    res4 = src4[:, :, None].astype(I32) - preds
+                    cf = dct_jax.fdct4x4(res4)
+                    lv = _quant_lanes(cf, lane(0)[..., None],
+                                      lane(1)[..., None],
+                                      _BIAS["y1_dc"], _BIAS["y1_ac"])
+                    dq = _dequant_lanes(lv, qv(0)[..., None],
+                                        qv(1)[..., None])
+                    rec = dct_jax.idct_add_clip(dq, preds)      # (B,M,10,4,4)
+                    dist = _sse(src4[:, :, None], rec, (-1, -2))
+                    rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
+                    cost = dist + _mul_shr16(i4_penalty,
+                                             rate + _MODE4_BITS256)
+                    bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, M)
+                    bcost = cost.min(axis=-1)
+                    blv = _switch(bmode, [lv[:, :, k] for k in range(10)], 1)
+                    brec = _switch(
+                        bmode, [rec[:, :, k] for k in range(10)], 2)
                 scr = lax.dynamic_update_slice(
                     scr, brec, (0, 0, r + 1, c + 1))
                 yl4 = lax.dynamic_update_slice(
@@ -322,7 +568,11 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
             scr, yl4, modes4, s4 = lax.fori_loop(
                 0, 16, sub, (scr, yl4, modes4, s4))
 
-            adopt = s4 < s16                           # (B, M)
+            if fixed:
+                adopt = lax.dynamic_slice(
+                    i4_sk, (0, 0, t), (B, M, 1))[..., 0] != 0
+            else:
+                adopt = s4 < s16                       # (B, M)
             a2 = adopt[..., None]
             a4 = adopt[..., None, None]
             is4 = adopt.astype(I32)
@@ -349,11 +599,13 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
                         127)
         cpred4 = _predict4_blocks(top8, left8, tlc, htv, hlv, 8)  # (4,2B,M,8,8)
         csrc = jnp.concatenate([usrc, vsrc], axis=0)
-        csse = _sse(csrc[None], cpred4, (-1, -2))     # (4, 2B, M)
-        uvmode = jnp.argmin(csse[:, :B] + csse[:, B:], axis=0).astype(I32)
+        if fixed:
+            uvmode = lax.dynamic_slice(um_sk, (0, 0, t), (B, M, 1))[..., 0]
+        else:
+            csse = _sse(csrc[None], cpred4, (-1, -2))     # (4, 2B, M)
+            uvmode = jnp.argmin(csse[:, :B] + csse[:, B:], axis=0).astype(I32)
         uvm2 = jnp.concatenate([uvmode, uvmode], axis=0)
-        cpred = jnp.take_along_axis(
-            cpred4, uvm2[None, ..., None, None], axis=0)[0]
+        cpred = _switch(uvm2, [cpred4[k] for k in range(4)], 2)
         cres = csrc.astype(I32) - cpred.astype(I32)
         cblk = cres.reshape(2 * B, M, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
         ccf = dct_jax.fdct4x4(cblk)                   # (2B,M,2,2,4,4)
@@ -394,11 +646,11 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
 
     carry = (Sk_y, Sk_u, Sk_v, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
     carry = lax.fori_loop(0, T, step, carry)
-    (_, _, _, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
+    (Sk_y, Sk_u, Sk_v, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
 
     un = lambda O: _unskew_tiles(O, mw, mh)
     # Narrow dtypes on-device: halves the device→host transfer.
-    return {
+    out = {
         "ymode": un(O_ym).astype(jnp.uint8),
         "uvmode": un(O_um).astype(jnp.uint8),
         "is_i4": un(O_i4).astype(jnp.uint8),
@@ -407,6 +659,11 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
         "y2_levels": un(O_y2).astype(jnp.int16),
         "uv_levels": un(O_uv).astype(jnp.int16),
     }
+    if want_recon:
+        out["recon_y"] = _unskew_plane(Sk_y, mw, mh, 16)
+        out["recon_u"] = _unskew_plane(Sk_u, mw, mh, 8)
+        out["recon_v"] = _unskew_plane(Sk_v, mw, mh, 8)
+    return out
 
 
 _ZERO_TABLES = None
@@ -446,4 +703,41 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
             ("ymode", "uvmode", "y_levels", "y2_levels", "uv_levels")}
 
 
-__all__ = ["encode_wavefront", "encode_wavefront_core"]
+@partial(jax.jit, static_argnames=("try_i4", "i4_penalty", "refine"))
+def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
+                       try_i4: bool, i4_penalty: int = 0, refine: int = 1):
+    """Hybrid engine: parallel mode search + fixed-mode exact wavefront.
+
+    Phase 1 (fully parallel) decides ymode/uvmode/is_i4/imodes from
+    source-pixel context; phase 2 (cheap wavefront) produces the exact
+    closed-loop levels for those decisions.  ``refine`` extra rounds
+    re-run the parallel search with the previous round's actual
+    reconstruction as prediction context — a fixed-point iteration that
+    converges onto the sequential search's decisions (source context
+    alone flips ~60% of i4 sub-modes; one refinement round brings the
+    decisions and the bitrate within a few % of the full search).
+
+    Output streams always decode bit-exactly regardless of ``refine``
+    (levels are true closed-loop for whatever modes were chosen).
+    """
+    modes = openloop_mode_search(
+        y, u, v, seg_map, qsteps, tables,
+        try_i4=try_i4, i4_penalty=i4_penalty)
+    for r in range(refine + 1):
+        last = r == refine
+        out = encode_wavefront_core(
+            y, u, v, seg_map, qsteps, tables,
+            try_i4=try_i4, i4_penalty=i4_penalty,
+            modes=(modes["ymode"], modes["uvmode"],
+                   modes["is_i4"], modes["imodes"]),
+            want_recon=not last)
+        if not last:
+            modes = openloop_mode_search(
+                y, u, v, seg_map, qsteps, tables,
+                try_i4=try_i4, i4_penalty=i4_penalty,
+                ctx=(out["recon_y"], out["recon_u"], out["recon_v"]))
+    return out
+
+
+__all__ = ["encode_hybrid_core", "encode_wavefront", "encode_wavefront_core",
+           "openloop_mode_search"]

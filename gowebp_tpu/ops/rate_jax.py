@@ -27,7 +27,11 @@ from ..models.vp8.tables import BANDS
 
 I32 = jnp.int32
 
-_BANDS16 = jnp.array(BANDS[:16], I32)                 # band of position n
+# NumPy constant (embeds as an HLO literal; a jnp constant would be a
+# hoisted jit const re-uploaded per launch — ~23 ms on the TPU tunnel).
+import numpy as _np
+
+_BANDS16 = _np.array(BANDS[:16], _np.int32)           # band of position n
 
 
 def block_rate256(lv, tables, *, type: int, first: int, ctx0: int):
@@ -75,11 +79,18 @@ def block_rate256(lv, tables, *, type: int, first: int, ctx0: int):
     p0_0 = by_ctx(p0_n[:, :, 0])
     p1_0 = by_ctx(p1_n[:, :, 0])
     p1_1 = by_ctx(p1_n[:, :, 1])
-    vc_shape = ctx.shape[:-1] + (16, 3 * 68)
-    vcost = jnp.take_along_axis(
-        jnp.broadcast_to(val_n.reshape(16, 3 * 68), vc_shape),
-        (ctx * 68 + v)[..., None], axis=-1,
-    )[..., 0]
+    # Value-token cost lookup as a fused one-hot reduce, NOT a gather:
+    # TPU serializes dynamic gathers (~8 ns/element — dominates the
+    # whole dense i4 search), while (v == k) * table broadcast-compare
+    # fuses into a VPU reduction loop.  ctx has 3 values → 2 selects.
+    karr = _np.arange(68, dtype=_np.int32)
+    onehot = (v[..., None] == karr)
+
+    def vdot(c):                                       # val_n (16, 3, 68)
+        return (onehot * val_n[:, c]).sum(-1)
+
+    vcost = jnp.where(ctx == 0, vdot(0),
+                      jnp.where(ctx == 1, vdot(1), vdot(2)))
 
     active = pos_ok & (idx <= last[..., None])
     charge = jnp.where(decision, p0_1, 0) + jnp.where(
@@ -90,8 +101,7 @@ def block_rate256(lv, tables, *, type: int, first: int, ctx0: int):
     # End-of-block: p0(...,0) at position last+1 (skipped when last==15),
     # or at `first` with ctx0 for an empty block.
     eob_pos = jnp.clip(jnp.where(has, last + 1, first), first, 15)
-    eob = jnp.take_along_axis(
-        p0_0.astype(I32), eob_pos[..., None], axis=-1)[..., 0]
+    eob = (p0_0.astype(I32) * (idx == eob_pos[..., None])).sum(-1)
     eob = jnp.where(has & (last == 15), 0, eob)
     return r + eob
 

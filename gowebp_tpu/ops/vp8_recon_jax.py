@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax import lax
 
 I32 = jnp.int32
@@ -241,6 +242,8 @@ def _b4_index_tables():
 
 
 _B4_IDX = _b4_index_tables()                       # (8, 4, 4)
+_B4_SEL = _np.zeros((42, 128), _np.float32)        # one-hot select matrix
+_B4_SEL[_B4_IDX.reshape(-1), _np.arange(128)] = 1.0
 
 
 def _pred_luma4_all(tl, top, tr, left):
@@ -260,8 +263,12 @@ def _pred_luma4_all(tl, top, tr, left):
     a2 = _avg2(Z[..., :-1], Z[..., 1:])             # (B,M,14)
     a3 = _avg3(Z[..., :-2], Z[..., 1:-1], Z[..., 2:])  # (B,M,13)
     feat = jnp.concatenate([Z, a2, a3], axis=-1)    # (B,M,42)
-    preds8 = jnp.take(feat, _B4_IDX.reshape(-1), axis=-1).reshape(
-        lead + (8, 4, 4))
+    # Static index selection as an exact f32 matmul (one-hot columns):
+    # TPU serializes even static-index gathers; a (42, 128) matmul runs
+    # on the MXU and is exact (pixel features < 2^24).
+    preds8 = jnp.matmul(
+        feat.astype(jnp.float32), _B4_SEL, preferred_element_type=jnp.float32
+    ).astype(I32).reshape(lead + (8, 4, 4))
 
     dc = (top.sum(-1) + left.sum(-1) + 4) >> 3
     p_dc = jnp.broadcast_to(dc[..., None, None], lead + (4, 4))
