@@ -339,6 +339,22 @@ def planes_packed_step(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc,
     }
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def _split_flat(buf, *, H, W):
+    """One fused h2d buffer (B, H*W*3/2) uint8 → (y, u, v) planes.
+
+    Three separate device_puts cost three tunnel round trips (~30 ms
+    each); one large transfer runs at full link bandwidth.
+    """
+    B = buf.shape[0]
+    ys = H * W
+    cs = (H // 2) * (W // 2)
+    y = buf[:, :ys].reshape(B, H, W)
+    u = buf[:, ys:ys + cs].reshape(B, H // 2, W // 2)
+    v = buf[:, ys + cs:].reshape(B, H // 2, W // 2)
+    return y, u, v
+
+
 @jax.jit
 def activity_step(y):
     """Padded uint8 Y plane → per-MB int32 activity sums (see
@@ -480,7 +496,7 @@ def unpack_g4(mask: np.ndarray, vals: np.ndarray, count: int, plan: dict):
 def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                                 threads: int = 2, chunk: int = 8,
                                 config=None, engine: str = "wavefront",
-                                depth: int = 3):
+                                depth: int = 3, timings: dict | None = None):
     """Lossy-encode same-shaped uint8 RGB(A) images, fully pipelined.
 
     Returns a list of complete .webp byte strings (order preserved).
@@ -509,11 +525,21 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         emit_frame_arrays,
         make_quants,
         quality_to_q,
-        segments_from_activity,
     )
 
     if not images:
         return []
+    import time as _time
+
+    if timings is None:
+        timings = {}
+    for k in ("prep", "h2d", "fetch", "emit_thread_s", "total"):
+        timings.setdefault(k, 0.0)
+
+    def _acc(key, t0):
+        timings[key] += _time.perf_counter() - t0
+
+    _t_total = _time.perf_counter()
     if config is None:
         config = EncoderConfig(lossless=False, quality=quality)
     base_q = quality_to_q(config.quality)
@@ -569,26 +595,17 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                     mode="edge")
         return yp, up, vp
 
-    def segment_image(act_sums):
-        """Device activity sums (one image) → (seg dict | None, qs row)."""
-        if config.segments <= 1:
-            return None, np.broadcast_to(base_row, (4, 6))
-        seg_map, deltas = segments_from_activity(
-            act_sums.astype(np.float64) / 256.0,
-            config.segments, config.sns_strength, base_q)
-        if len(set(deltas[: config.segments])) <= 1:
-            return None, np.broadcast_to(base_row, (4, 6))
-        seg = {
-            "map": seg_map,
-            "deltas": deltas,
-            "probs": _segment_tree_probs(seg_map),
-            "quants": [make_quants(max(0, min(127, base_q + d)))
-                       for d in deltas],
-        }
-        return seg, np.array([qrow(s) for s in seg["quants"]], np.int32)
-
     def emit_one(small_pack, big_vals, count_b, ymode, uvmode, dense=None,
                  is_i4=None, imodes=None, seg=None):
+        _t0 = _time.perf_counter()
+        try:
+            return _emit_one(small_pack, big_vals, count_b, ymode, uvmode,
+                             dense, is_i4, imodes, seg)
+        finally:
+            _acc("emit_thread_s", _t0)
+
+    def _emit_one(small_pack, big_vals, count_b, ymode, uvmode, dense,
+                  is_i4, imodes, seg):
         if dense is None:
             mask2, small, count_s = small_pack
             y2, yl, uvl = unpack_g4v2(mask2, small, big_vals, count_s,
@@ -610,28 +627,61 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
     chunk = max(1, chunk)
     starts = list(range(0, n, chunk))
 
+    ys_len = H * W
+    cs_len = (H // 2) * (W // 2)
+
+    def prep_one(im):
+        """Host: planes + flat wire buffer slice + segmentation.
+
+        Segmentation runs here (host, thread pool) instead of a
+        device activity round trip — the per-chunk d2h latency (~30 ms
+        through the tunnel) used to serialize the dispatch loop.
+        """
+        yp, up, vp = prep_planes(im)
+        flat = np.empty(ys_len + 2 * cs_len, np.uint8)
+        flat[:ys_len] = yp.reshape(-1)
+        flat[ys_len:ys_len + cs_len] = up.reshape(-1)
+        flat[ys_len + cs_len:] = vp.reshape(-1)
+        if not wavefront or config.segments <= 1:
+            return flat, None, np.broadcast_to(base_row, (4, 6))
+        from ..models.vp8.encoder import analyze_segments
+
+        seg_map, deltas = analyze_segments(
+            yp, plan["mb_w"], plan["mb_h"],
+            config.segments, config.sns_strength, base_q)
+        if len(set(deltas[: config.segments])) <= 1:
+            return flat, None, np.broadcast_to(base_row, (4, 6))
+        seg = {
+            "map": seg_map,
+            "deltas": deltas,
+            "probs": _segment_tree_probs(seg_map),
+            "quants": [make_quants(max(0, min(127, base_q + d)))
+                       for d in deltas],
+        }
+        return flat, seg, np.array([qrow(s) for s in seg["quants"]],
+                                   np.int32)
+
     def prep_chunk(s, pool):
         idxs = list(range(s, min(s + chunk, n)))
-        planes = list(pool.map(prep_planes, (images[i] for i in idxs)))
-        while len(planes) < chunk:  # keep one compiled shape
-            planes.append(planes[-1])
-        y = np.stack([p[0] for p in planes])
-        u = np.stack([p[1] for p in planes])
-        v = np.stack([p[2] for p in planes])
-        return y, u, v, idxs
+        prepped = list(pool.map(prep_one, (images[i] for i in idxs)))
+        while len(prepped) < chunk:  # keep one compiled shape
+            prepped.append(prepped[-1])
+        buf = np.stack([p[0] for p in prepped])
+        segs = [p[1] for p in prepped]
+        qs = np.stack([p[2] for p in prepped])
+        return buf, segs, qs, idxs
 
     def dispatch(prepped):
-        y, u, v, idxs = prepped
-        yd, ud, vd = jax.device_put(y), jax.device_put(u), jax.device_put(v)
+        buf, segs, qs, idxs = prepped
+        _t0 = _time.perf_counter()
+        bd = jax.device_put(buf)                     # ONE h2d transfer
+        jax.block_until_ready(bd)
+        _acc("h2d", _t0)
+        yd, ud, vd = _split_flat(bd, H=H, W=W)
         if not wavefront:
             out = planes_packed_step(yd, ud, vd, cap_s=cap_s, cap_b=cap_b,
                                      **quants)
             return out, idxs, None
-        act = np.asarray(activity_step(yd))          # small d2h (4 B/MB)
-        segs, qs = [], np.empty((len(act), 4, 6), np.int32)
-        for j in range(len(act)):
-            seg, qs[j] = segment_image(act[j])
-            segs.append(seg)
         seg_maps = np.stack([
             (seg["map"].reshape(plan["mb_h"], plan["mb_w"]).astype(np.int32)
              if seg is not None
@@ -643,7 +693,7 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
             jax.device_put(seg_maps), jax.device_put(qs), tables,
             cap_s=cap_s, cap_b=cap_b, try_i4=try_i4, i4_penalty=i4_penalty,
             search=("open" if engine == "hybrid" else "closed"))
-        return out, idxs, segs
+        return out, idxs, segs[: len(idxs)]
 
     # Sticky export buckets: start minimal, grow on overflow; every
     # (ks, kb) pair compiles one export executable, so growth is
@@ -662,8 +712,10 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         n_mask = plan["n_group_pad"] // 4
 
         def fetch(ks, kb):
+            _t0 = _time.perf_counter()
             buf = np.asarray(_export_packed_v2(out, ks=ks, kb=kb,
                                                with_i4=with_i4))
+            _acc("fetch", _t0)
             hdr = buf[:, :12].copy().view(np.int32).reshape(-1, 3)
             return buf, hdr[:, 0], hdr[:, 1], hdr[:, 2]
 
@@ -711,22 +763,43 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
 
     from collections import deque
 
+    def prep_timed(s, pool):
+        _t0 = _time.perf_counter()
+        try:
+            return prep_chunk(s, pool)
+        finally:
+            _acc("prep", _t0)
+
+    ahead = max(1, depth)
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as emit_pool, \
+            cf.ThreadPoolExecutor(max_workers=2) as prep_pool, \
             cf.ThreadPoolExecutor(max_workers=1) as fetch_pool:
         emit_futs = []
         pending = deque()
-        for s in starts:
-            prepped = prep_chunk(s, emit_pool)
+        # Look-ahead prep: host YUV/segmentation for the next `depth`
+        # chunks runs in the pools while the main thread is busy with
+        # the current chunk's h2d upload (the two used to serialize,
+        # costing ~2/3 of the wall clock).
+        prep_futs = deque(
+            prep_pool.submit(prep_timed, s, emit_pool)
+            for s in starts[:ahead])
+        for i in range(len(starts)):
+            prepped = prep_futs.popleft().result()
+            if i + ahead < len(starts):
+                prep_futs.append(
+                    prep_pool.submit(prep_timed, starts[i + ahead],
+                                     emit_pool))
             out, idxs, segs = dispatch(prepped)
             pending.append(
                 fetch_pool.submit(fetch_and_emit, out, idxs, segs,
                                   emit_pool))
-            while len(pending) >= max(1, depth):
+            while len(pending) >= ahead:
                 emit_futs.extend(pending.popleft().result())
         while pending:
             emit_futs.extend(pending.popleft().result())
         for gi, fut in emit_futs:
             results[gi] = fut.result()
+    _acc("total", _t_total)
     return results
 
 

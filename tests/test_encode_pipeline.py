@@ -87,6 +87,73 @@ def test_pipelined_decodes_with_reasonable_psnr():
         assert psnr(decode_rgba(data)[..., :3], im) > 24.0
 
 
+def test_hybrid_engine_quality_and_validity():
+    """Hybrid (parallel search + fixed-mode closed-loop wavefront):
+    streams must be fully valid (zero prediction drift) and the quality
+    must stay within a whisker of the exact in-loop search."""
+    imgs = _images(3, 96, 112)
+    hyb = encode_rgba_batch_pipelined(imgs, quality=75.0, chunk=4,
+                                      engine="hybrid")
+    exact = encode_rgba_batch_pipelined(imgs, quality=75.0, chunk=4,
+                                        engine="wavefront")
+    from PIL import Image
+    import io
+
+    for im, h, e in zip(imgs, hyb, exact):
+        dh = decode_rgba(h)[..., :3]
+        # Independent decoder agrees bit-exactly -> no drift.
+        pil = np.asarray(Image.open(io.BytesIO(h)).convert("RGB"))
+        np.testing.assert_array_equal(dh, pil)
+        p_h = psnr(dh, im)
+        p_e = psnr(decode_rgba(e)[..., :3], im)
+        assert p_h > p_e - 0.3, (p_h, p_e)
+        assert len(h) < len(e) * 1.12, (len(h), len(e))
+
+
+def test_hybrid_fixed_point_reproduces_exact_search():
+    """The sequential search's decisions are a stable fixed point of the
+    parallel search: given the exact engine's own recon as context, the
+    parallel search reproduces them, and the fixed-mode wavefront then
+    emits bit-identical levels."""
+    import jax.numpy as jnp
+
+    from gowebp_tpu.models.vp8.encoder import (
+        _default_cost_tables, _i4_config, make_quants, quality_to_q,
+        rgb_to_yuv420)
+    from gowebp_tpu.ops.encode_wavefront_jax import (
+        encode_wavefront_core, openloop_mode_search)
+
+    im = _images(1, 64, 64)[0]
+    y, u, v = rgb_to_yuv420(im)
+    y = y.astype(np.int32)[None]
+    u = u.astype(np.int32)[None]
+    v = v.astype(np.int32)[None]
+    q = make_quants(quality_to_q(75.0))
+    row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                    q.uv_dc.q, q.uv_ac.q], np.int32)
+    qs = np.broadcast_to(row, (1, 4, 6)).copy()
+    seg = np.zeros((1, 4, 4), np.int32)
+    tables = tuple(jnp.asarray(t.astype(np.int32))
+                   for t in _default_cost_tables())
+    _, pen = _i4_config(q.y1_ac.q, 4, 0)
+    full = encode_wavefront_core(y, u, v, seg, qs, tables,
+                                 try_i4=True, i4_penalty=pen)
+    modes = tuple(full[k].astype(np.int32)
+                  for k in ("ymode", "uvmode", "is_i4", "imodes"))
+    fixed = encode_wavefront_core(y, u, v, seg, qs, tables,
+                                  try_i4=True, i4_penalty=pen,
+                                  modes=modes, want_recon=True)
+    for k in ("y_levels", "y2_levels", "uv_levels"):
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(fixed[k]))
+    redo = openloop_mode_search(
+        y, u, v, seg, qs, tables, try_i4=True, i4_penalty=pen,
+        ctx=(fixed["recon_y"], fixed["recon_u"], fixed["recon_v"]))
+    for k in ("ymode", "uvmode", "is_i4", "imodes"):
+        np.testing.assert_array_equal(np.asarray(full[k]).astype(np.int32),
+                                      np.asarray(redo[k]))
+
+
 def test_pipelined_odd_dimensions():
     imgs = _images(2, 61, 47)
     out = encode_rgba_batch_pipelined(imgs, quality=80.0)
