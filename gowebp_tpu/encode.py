@@ -147,27 +147,22 @@ def encode_rgba_batch(
     quality: float = 75.0,
     threads: int = 0,
     use_tpu: bool = True,
+    engine: str = "hybrid",
 ) -> list:
-    """Lossy-encode a batch of same-shaped images.
+    """Lossy-encode a batch of same-shaped images (full-quality path).
 
-    The dense phase (mode search + transforms + quantization) runs as ONE
-    exact closed-loop wavefront launch on the TPU for the whole batch;
-    the per-image entropy emission fans out across host threads (the C++
-    emitters release the GIL).
+    Thin wrapper over the pipelined engine (ops/encode_pipeline.py) —
+    segmentation, i4 mode search, per-segment quantizers, overlapped
+    h2d/device/d2h/emit stages.  ``engine`` picks the dense encoder:
+    "hybrid" (default: parallel mode search + exact fixed-mode
+    closed-loop wavefront), "wavefront" (full in-loop RD search,
+    bit-identical to ``encode_rgba(im)`` with plane_backend="jax"), or
+    "openloop" (fastest, prediction drift).  Falls back to per-image
+    host encoding when TPU/native emission is unavailable or shapes
+    differ.  VERDICT r2 item 9: this used to duplicate a reduced
+    (no-segmentation, no-i4) wavefront path.
     """
-    import concurrent.futures as cf
-
     import numpy as np
-
-    from .models.vp8.encoder import (
-        _pad_to_mb,
-        emit_frame_arrays,
-        make_quants,
-        quality_to_q,
-        rgb_to_yuv420,
-    )
-    from .container.riff import Chunk, assemble_simple
-    from .constants import CHUNK_VP8
 
     if not images:
         return []
@@ -175,49 +170,15 @@ def encode_rgba_batch(
     config = EncoderConfig(lossless=False, quality=quality)
     if not use_tpu or any(np.asarray(im).shape != shape for im in images):
         return [encode_rgba(im, config=config) for im in images]
+    try:
+        from .ops.encode_pipeline import encode_rgba_batch_pipelined
 
-    base_q = quality_to_q(quality)
-    q = make_quants(base_q)
-    ys, us, vs = [], [], []
-    for im in images:
-        y, u, v = rgb_to_yuv420(np.asarray(im))
-        ys.append(_pad_to_mb(y, 16))
-        us.append(_pad_to_mb(u, 8))
-        vs.append(_pad_to_mb(v, 8))
-    yb = np.stack(ys).astype(np.int32)
-    ub = np.stack(us).astype(np.int32)
-    vb = np.stack(vs).astype(np.int32)
-
-    from .ops.encode_wavefront_jax import encode_wavefront
-
-    out = encode_wavefront(
-        yb, ub, vb,
-        y1_dc=q.y1_dc.q, y1_ac=q.y1_ac.q, y2_dc=q.y2_dc.q, y2_ac=q.y2_ac.q,
-        uv_dc=q.uv_dc.q, uv_ac=q.uv_ac.q,
-    )
-    ymode = np.asarray(out["ymode"])
-    uvmode = np.asarray(out["uvmode"])
-    y_levels = np.asarray(out["y_levels"])
-    y2_levels = np.asarray(out["y2_levels"])
-    uv_levels = np.asarray(out["uv_levels"])
-    B, mb_h, mb_w = ymode.shape
-    h, w = shape[:2]
-
-    def emit_one(b):
-        payload = emit_frame_arrays(
-            y2_levels[b], y_levels[b], uv_levels[b],
-            np.zeros(mb_h * mb_w, np.uint8), ymode[b], uvmode[b],
-            mb_w, mb_h, w, h, base_q, config,
-        )
-        if payload is None:  # no native lib: single-image fallback
-            return encode_rgba(images[b], config=config)
-        return assemble_simple(Chunk(CHUNK_VP8, payload))
-
-    workers = threads if threads > 0 else min(8, B)
-    if workers <= 1:
-        return [emit_one(b) for b in range(B)]
-    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-        return list(pool.map(emit_one, range(B)))
+        return encode_rgba_batch_pipelined(
+            images, quality=quality,
+            threads=(threads if threads > 0 else min(8, len(images))),
+            chunk=min(16, len(images)), engine=engine, config=config)
+    except RuntimeError:  # native tokenizer unavailable
+        return [encode_rgba(im, config=config) for im in images]
 
 
 def _cleanup_transparent_area(rgba: np.ndarray) -> np.ndarray:

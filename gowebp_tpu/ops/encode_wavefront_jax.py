@@ -52,6 +52,7 @@ from .vp8_recon_jax import (
     _pred_luma4_all,
     _shift_down,
     _skew_index,
+    _switch,
     _unskew_plane,
     num_diagonals,
 )
@@ -123,17 +124,6 @@ def _dequant_lanes(levels, q_dc, q_ac):
     return raster.reshape(levels.shape[:-1] + (4, 4))
 
 
-def _switch(idx, branches, expand: int):
-    """branches[idx] per element — a where-chain, never a TPU gather.
-
-    idx (...) int; each branch broadcastable to the output; ``expand``
-    trailing dims are appended to idx for the compare.
-    """
-    out = branches[-1]
-    for k in range(len(branches) - 2, -1, -1):
-        cond = (idx == k).reshape(idx.shape + (1,) * expand)
-        out = jnp.where(cond, branches[k], out)
-    return out
 
 
 def _mul_shr16(lamq: int, rate):

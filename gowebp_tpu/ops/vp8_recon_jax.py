@@ -44,6 +44,21 @@ def _clip8(x):
     return jnp.clip(x, 0, 255)
 
 
+def _switch(idx, branches, expand: int):
+    """branches[idx] per element — a where-chain, never a TPU gather.
+
+    TPU serializes dynamic gathers (take_along_axis), which dominated
+    the wavefront loops; a K-way select chain fuses on the VPU.
+    idx (...) int; each branch broadcastable to the output; ``expand``
+    trailing dims are appended to idx for the compare.
+    """
+    out = branches[-1]
+    for k in range(len(branches) - 2, -1, -1):
+        cond = (idx == k).reshape(idx.shape + (1,) * expand)
+        out = jnp.where(cond, branches[k], out)
+    return out
+
+
 def _avg2(a, b):
     return (a + b + 1) >> 1
 
@@ -136,9 +151,7 @@ def _pred16(top, left, tl, res, ymode, ht, hl, size):
     p_tm = _clip8(left[..., :, None] + top[..., None, :] - tl[..., None, None])
     p_ve = jnp.broadcast_to(top[..., None, :], res.shape)
     p_he = jnp.broadcast_to(left[..., :, None], res.shape)
-    preds = jnp.stack([p_dc, p_tm, p_ve, p_he], axis=2)    # (B,M,4,N,N)
-    idx = ymode.astype(I32)[..., None, None, None]
-    pred = jnp.take_along_axis(preds, idx, axis=2)[:, :, 0]
+    pred = _switch(ymode.astype(I32), [p_dc, p_tm, p_ve, p_he], 2)
     return _clip8(pred + res)
 
 
@@ -398,8 +411,8 @@ def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h):
             res4 = lax.dynamic_slice_in_dim(
                 lax.dynamic_slice_in_dim(yres, r, 4, axis=2), c, 4, axis=3)
             preds = _pred_luma4_all(tl, top, tr, left)     # (B,M,10,4,4)
-            idx = mode.astype(I32)[..., None, None, None]
-            pred = jnp.take_along_axis(preds, idx, axis=2)[:, :, 0]
+            pred = _switch(mode.astype(I32),
+                           [preds[:, :, k] for k in range(10)], 2)
             blk = _clip8(pred + res4)
             cur = lax.dynamic_slice(scr, (0, 0, r + 1, c + 1), (B, M, 4, 4))
             blk = jnp.where(is4[..., None, None] > 0, blk, cur)
