@@ -174,15 +174,34 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     def host_one(data):
         parsed = parse_riff(data)
         vp8 = parsed.find(CHUNK_VP8)
-        if (
-            not use_tpu
-            or vp8 is None
-            or parsed.find(CHUNK_ALPHA) is not None
-        ):
+        if not use_tpu:
             return ("full", decode_rgba(data))
+        if vp8 is None:
+            vp8l = parsed.find(CHUNK_VP8L)
+            if vp8l is None:
+                return ("full", decode_rgba(data))
+            # VP8L: the sequential Huffman + inverse-transform phases run
+            # here (native, GIL-released, parallel across images); only
+            # the embarrassingly-parallel ARGB→RGBA conversion batches
+            # on device.  The predictor inverse is a per-pixel raster
+            # recurrence (SURVEY §7 hard part #2) — host C++ is the
+            # right engine for it.
+            from .models.vp8l.decoder import decode_vp8l
+
+            return ("rgba", decode_vp8l(vp8l.payload))
+        alpha = parsed.find(CHUNK_ALPHA)
         if use_jax_recon:
             st, coeffs, modes = decode_vp8_symbols(vp8.payload)
-            return ("syms", (st, coeffs, modes, vp8_filter_params(st, modes)))
+            alpha_plane = None
+            if alpha is not None:
+                from .models.vp8.alpha import decode_alpha
+
+                alpha_plane = decode_alpha(alpha.payload, st.width,
+                                           st.height)
+            return ("syms", (st, coeffs, modes, vp8_filter_params(st, modes),
+                             alpha_plane))
+        if alpha is not None:
+            return ("full", decode_rgba(data))
         return ("planes", decode_vp8_yuv(vp8.payload))
 
     workers = threads if threads > 0 else min(8, max(1, len(datas)))
@@ -195,14 +214,18 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     results = [None] * len(datas)
     planes_groups = {}
     syms_groups = {}
+    rgba_groups = {}
     for i, (kind, val) in enumerate(host):
         if kind == "full":
             results[i] = val
+        elif kind == "rgba":
+            rgba_groups.setdefault(val.shape, []).append((i, val))
         elif kind == "planes":
             planes_groups.setdefault(val[0].shape, []).append((i, val))
         else:
             st = val[0]
-            key = (st.width, st.height, st.filter_type)
+            key = (st.width, st.height, st.filter_type,
+                   val[4] is not None)
             syms_groups.setdefault(key, []).append((i, val))
 
     import numpy as np
@@ -222,6 +245,17 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         for k, (i, _) in enumerate(items):
             results[i] = out[k]
 
+    for shape, items in rgba_groups.items():
+        if device_out:
+            import jax
+
+            dev = jax.device_put(np.stack([r for _, r in items]))
+            for k, (i, _) in enumerate(items):
+                results[i] = dev[k]
+        else:
+            for i, r in items:
+                results[i] = r
+
     for shape, items in planes_groups.items():
         y = np.stack([p[0] for _, p in items]).astype(np.int32)
         u = np.stack([p[1] for _, p in items]).astype(np.int32)
@@ -231,7 +265,7 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     if syms_groups:
         from .ops.vp8_recon_jax import recon_frame
 
-        for (W, H, ftype), items in syms_groups.items():
+        for (W, H, ftype, has_alpha), items in syms_groups.items():
             st0 = items[0][1][0]
             coeffs = np.stack([v[1] for _, v in items])
             modes = np.stack([v[2] for _, v in items])
@@ -244,11 +278,28 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
                 fps,
                 mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=ftype)
             h2, w2 = (H + 1) // 2, (W + 1) // 2
-            materialize(batch_yuv_to_rgba(
+            rgba = batch_yuv_to_rgba(
                 Y[:, :H, :W].astype(np.int32),
                 U[:, :h2, :w2].astype(np.int32),
-                V[:, :h2, :w2].astype(np.int32)), items)
+                V[:, :h2, :w2].astype(np.int32))
+            if has_alpha:
+                alpha = np.stack([v[4] for _, v in items])
+                rgba = _set_alpha_batch(rgba, alpha)
+            materialize(rgba, items)
     return results
+
+
+def _set_alpha_batch(rgba, alpha):
+    """(B, H, W, 4) device RGBA + (B, H, W) uint8 alpha planes → merged."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _merge(rgba, alpha):
+        return jnp.concatenate(
+            [rgba[..., :3], alpha[..., None].astype(jnp.uint8)], axis=-1)
+
+    return _merge(rgba, jax.device_put(alpha))
 
 
 def features(data: bytes) -> WebPFeatures:

