@@ -1750,14 +1750,16 @@ static void dequant_block(const int16_t* levels, int dc_q, int ac_q,
 extern "C" {
 
 // Closed-loop dense encode: source planes → levels/modes.
-// try_i4: 0 = i16 only; >0 = evaluate 4x4 modes per MB with the given
-// mode-bits penalty (distortion units) and pick the better of i16/i4.
+// try_i4: 0 = i16 only; >0 = evaluate 4x4 modes per MB with the
+// per-segment mode-bits penalties (distortion units, one RD lambda per
+// segment — libwebp derives lambda from each segment's quantizer,
+// quant_enc.c.go SetupMatrices) and pick the better of i16/i4.
 // imodes_out: mbs*16 sub-block modes (i16 MBs: replicated ymode).
 // Layouts match wtpu_vp8_token_stats.  rec planes are scratch outputs.
 int wtpu_vp8_encode_frame(
     const uint8_t* y_src, const uint8_t* u_src, const uint8_t* v_src,
     int mb_w, int mb_h, const int32_t* qsteps,  // [4][6]: y1dc..uvac per seg
-    int try_i4, int i4_penalty,
+    int try_i4, const int32_t* i4_penalty,      // [4] per-segment lambda
     const uint8_t* segments,                    // per-MB segment id or NULL
     const uint16_t* t_p0, const uint16_t* t_p1, const uint16_t* t_val,
     const int32_t* lambdas,                     // per segment; NULL = no trellis
@@ -1929,7 +1931,7 @@ int wtpu_vp8_encode_frame(
         // (DC near-free under the default trees; diagonals the dearest).
         static const int kMode4Bits256[10] = {256, 704, 768, 768, 960, 1024,
                                               960, 1024, 1024, 960};
-        int64_t lamq = i4_penalty;
+        int64_t lamq = i4_penalty[seg];
         int64_t s4 = 0;
         int64_t s16 = have_tt
             ? d16 + ((lamq * rate16_256) >> 16)

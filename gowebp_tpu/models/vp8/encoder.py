@@ -289,6 +289,26 @@ def _i4_config(q_ac: int, method: int, partition_limit: int):
     return (method >= 4 and scale is not None), min(pen, I4_PENALTY_MAX)
 
 
+def _i4_config_seg(qsteps_rows, method: int, partition_limit: int):
+    """(try_i4, (4,) int32 per-segment penalties).
+
+    The RD lambda must follow each segment's own quantizer (the
+    reference derives lambda per segment in SetupMatrices,
+    quant_enc.c.go:125) — a single base-segment lambda over-weighs rate
+    in low-q segments and under-weighs it in high-q ones, which is what
+    made segmentation a net RD loss in round 2.
+    qsteps_rows: (4, 6) rows of quant steps (column 1 = y1_ac).
+    """
+    scale = _i4_penalty_scale(partition_limit)
+    pens = np.empty(4, np.int32)
+    for s in range(4):
+        q_ac = int(qsteps_rows[s][1])
+        pens[s] = min(int(I4_LAMBDA_MULT * q_ac * q_ac
+                          * (scale if scale is not None else 1.0)),
+                      I4_PENALTY_MAX)
+    return (method >= 4 and scale is not None), pens
+
+
 @dataclass
 class QuantPair:
     q: int      # quantizer step
@@ -1010,7 +1030,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     yr = np.zeros_like(ys)
     ur = np.zeros_like(us)
     vr = np.zeros_like(vs)
-    _try, i4_penalty = _i4_config(q.y1_ac.q, method, partition_limit)
+    _try, i4_penalties = _i4_config_seg(qsteps, method, partition_limit)
     try_i4 = 1 if _try else 0
     # Note: with two-pass probability adaptation the marginal rate saved
     # by lowering a level is near zero, so trellis trades PSNR for very
@@ -1040,7 +1060,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
     lib.wtpu_vp8_encode_frame(
         p(ys, ctypes.c_uint8), p(us, ctypes.c_uint8), p(vs, ctypes.c_uint8),
         mb_w, mb_h, p(qsteps, ctypes.c_int32),
-        try_i4, i4_penalty,
+        try_i4, p(np.ascontiguousarray(i4_penalties), ctypes.c_int32),
         p(seg_arr, ctypes.c_uint8) if seg_arr is not None else None,
         p(tp0, ctypes.c_uint16),
         p(tp1, ctypes.c_uint16),
@@ -1477,10 +1497,24 @@ def segments_from_activity(act, num_segments: int, sns_strength: int,
     s = min(100, sns_strength) / 50.0
     amp_lo = 0.45 * s * rel
     amp_hi = 0.50 * s * rel
-    deltas = [
-        int(round(base_q * (amp_hi * a - amp_lo * (1.0 - a))))
-        for a in a_norm
-    ]
+    raw = np.array([
+        base_q * (amp_hi * a - amp_lo * (1.0 - a)) for a in a_norm
+    ])
+    # Rate-neutral centering: shift the spread so the MB-population-
+    # weighted mean quantizer stays at base_q.  Without it, whichever
+    # side of the spread holds most MBs drags the whole image's rate
+    # up or down (measured +3.5% size on a mid-activity corpus) —
+    # segmentation should redistribute bits, not add them.
+    counts = np.bincount(seg_map, minlength=n)[:n].astype(np.float64)
+    raw -= float((counts * raw).sum() / max(1.0, counts.sum()))
+    deltas = [int(round(d)) for d in raw]
+    # Low relative activity spread = the quantiles split measurement
+    # noise, not maskable structure (uniform-texture corpus: rel≈0.09
+    # vs ≈0.8 for flat-fill graphics).  Masking noise costs PSNR and
+    # the segment-id header (~2 bits/MB) with no rate win (measured
+    # -0.4 dB / +1-3% size), so collapse to a single segment.
+    if rel < 0.25 or max(deltas) - min(deltas) <= 2:
+        deltas = [0] * n
     deltas += [0] * (4 - n)
     return seg_map, deltas
 
@@ -1622,14 +1656,14 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
         tp0, tp1, tval = _default_cost_tables()
         tables = tuple(jnp.asarray(t.astype(np.int32))
                        for t in (tp0, tp1, tval))
-        _try_i4, _i4_pen = _i4_config(q.y1_ac.q, config.method,
-                                      config.partition_limit)
+        _try_i4, _i4_pens = _i4_config_seg(qsteps, config.method,
+                                           config.partition_limit)
         out = encode_wavefront_core(
             np.asarray(y, np.int32)[None],
             np.asarray(u, np.int32)[None],
             np.asarray(v, np.int32)[None],
             seg_arr[None], qsteps[None], tables,
-            try_i4=_try_i4, i4_penalty=_i4_pen,
+            try_i4=_try_i4, i4_penalty=_i4_pens[None],
         )
         ymode = np.asarray(out["ymode"])[0]
         uvmode = np.asarray(out["uvmode"])[0]

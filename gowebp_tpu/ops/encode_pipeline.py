@@ -180,7 +180,7 @@ def yuv_activity_step(rgb):
     return {"y": y, "u": u, "v": v, "act": act.reshape(B, -1)}
 
 
-@partial(jax.jit, static_argnames=("cap_g", "try_i4", "i4_penalty"))
+@partial(jax.jit, static_argnames=("cap_g", "try_i4"))
 def wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *, cap_g,
                           try_i4, i4_penalty):
     """Phase B: full closed-loop wavefront encode + G4PACK of levels.
@@ -373,8 +373,7 @@ def activity_step(y):
     return act.reshape(B, -1)
 
 
-@partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4",
-                                   "i4_penalty", "search"))
+@partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4", "search"))
 def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
                                  cap_s, cap_b, try_i4, i4_penalty,
                                  search: str = "closed"):
@@ -552,13 +551,13 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
     )
     wavefront = engine in ("wavefront", "hybrid")
     if wavefront:
-        from ..models.vp8.encoder import _i4_config
+        from ..models.vp8.encoder import _i4_config_seg
 
         tp0, tp1, tval = _default_cost_tables()
         tables = tuple(jnp.asarray(t.astype(np.int32))
                        for t in (tp0, tp1, tval))
-        try_i4, i4_penalty = _i4_config(q.y1_ac.q, config.method,
-                                        config.partition_limit)
+        try_i4, _ = _i4_config_seg(np.zeros((4, 6), np.int32),
+                                   config.method, config.partition_limit)
 
     def qrow(sq):
         return (sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,
@@ -642,24 +641,31 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         flat[:ys_len] = yp.reshape(-1)
         flat[ys_len:ys_len + cs_len] = up.reshape(-1)
         flat[ys_len + cs_len:] = vp.reshape(-1)
-        if not wavefront or config.segments <= 1:
-            return flat, None, np.broadcast_to(base_row, (4, 6))
-        from ..models.vp8.encoder import analyze_segments
+        rows = np.broadcast_to(base_row, (4, 6))
+        seg = None
+        if wavefront and config.segments > 1:
+            from ..models.vp8.encoder import analyze_segments
 
-        seg_map, deltas = analyze_segments(
-            yp, plan["mb_w"], plan["mb_h"],
-            config.segments, config.sns_strength, base_q)
-        if len(set(deltas[: config.segments])) <= 1:
-            return flat, None, np.broadcast_to(base_row, (4, 6))
-        seg = {
-            "map": seg_map,
-            "deltas": deltas,
-            "probs": _segment_tree_probs(seg_map),
-            "quants": [make_quants(max(0, min(127, base_q + d)))
-                       for d in deltas],
-        }
-        return flat, seg, np.array([qrow(s) for s in seg["quants"]],
-                                   np.int32)
+            seg_map, deltas = analyze_segments(
+                yp, plan["mb_w"], plan["mb_h"],
+                config.segments, config.sns_strength, base_q)
+            if len(set(deltas[: config.segments])) > 1:
+                seg = {
+                    "map": seg_map,
+                    "deltas": deltas,
+                    "probs": _segment_tree_probs(seg_map),
+                    "quants": [make_quants(max(0, min(127, base_q + d)))
+                               for d in deltas],
+                }
+                rows = np.array([qrow(s) for s in seg["quants"]], np.int32)
+        if wavefront:
+            from ..models.vp8.encoder import _i4_config_seg
+
+            _, pens = _i4_config_seg(rows, config.method,
+                                     config.partition_limit)
+        else:
+            pens = np.zeros(4, np.int32)
+        return flat, seg, rows, pens
 
     def prep_chunk(s, pool):
         idxs = list(range(s, min(s + chunk, n)))
@@ -669,10 +675,11 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         buf = np.stack([p[0] for p in prepped])
         segs = [p[1] for p in prepped]
         qs = np.stack([p[2] for p in prepped])
-        return buf, segs, qs, idxs
+        pens = np.stack([p[3] for p in prepped])
+        return buf, segs, qs, pens, idxs
 
     def dispatch(prepped):
-        buf, segs, qs, idxs = prepped
+        buf, segs, qs, pens, idxs = prepped
         _t0 = _time.perf_counter()
         bd = jax.device_put(buf)                     # ONE h2d transfer
         jax.block_until_ready(bd)
@@ -691,7 +698,8 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
         out = planes_wavefront_packed_step(
             yd, ud, vd,
             jax.device_put(seg_maps), jax.device_put(qs), tables,
-            cap_s=cap_s, cap_b=cap_b, try_i4=try_i4, i4_penalty=i4_penalty,
+            cap_s=cap_s, cap_b=cap_b, try_i4=try_i4,
+            i4_penalty=jax.device_put(pens),
             search=("open" if engine == "hybrid" else "closed"))
         return out, idxs, segs[: len(idxs)]
 

@@ -126,13 +126,32 @@ def _dequant_lanes(levels, q_dc, q_ac):
 
 
 
-def _mul_shr16(lamq: int, rate):
-    """Exact (lamq * rate) >> 16 in int32 for static 0 ≤ lamq < 2^19."""
+def _mul_shr16(lamq, rate):
+    """Exact (lamq * rate) >> 16 in int32 for 0 ≤ lamq < 2^19.
+
+    Works for static ints AND traced arrays (the per-segment lambda is
+    a traced (B, lanes) tensor): every partial product stays < 2^30 —
+    lamq*rh < 2^19·2^10, lh*rl < 2^11·2^16, ll*rl < 2^24.
+    """
     lh, ll = lamq >> 8, lamq & 0xFF
     rh = rate >> 16
     rl = rate & 0xFFFF
     low = (lh * rl + ((ll * rl) >> 8)) >> 8          # == (lamq*rl)>>16
     return lamq * rh + low
+
+
+def _pen_lanes(i4_penalty, seg, B):
+    """Per-segment penalty → per-MB lambda lanes (same shape as seg).
+
+    Accepts a static int (broadcast to every segment) or a (4,) /
+    (B, 4) array of per-segment lambdas.
+    """
+    pen = jnp.asarray(i4_penalty, I32)
+    if pen.ndim == 0:
+        return jnp.broadcast_to(pen, seg.shape)
+    pen = jnp.broadcast_to(pen.reshape(-1, 4)[-1:] if pen.ndim == 1 else pen,
+                           (B, 4))
+    return _switch(seg, [pen[:, k][:, None] for k in range(4)], 0)
 
 
 def _sse(a, b, axes):
@@ -263,7 +282,8 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
         rate16 = block_rate256(y2_levels, tables, type=1, first=0, ctx0=1)
         rate16 = rate16 + block_rate256(
             y_levels, tables, type=0, first=1, ctx0=1).sum(axis=-1)
-        s16 = d16 + _mul_shr16(i4_penalty, rate16)
+        pen_n = _pen_lanes(i4_penalty, seg, B)         # (B, N)
+        s16 = d16 + _mul_shr16(pen_n, rate16)
 
         # The exact engine's scr scratch, dense over every MB at once.
         # The MB-boundary rows/cols come from ``ctx`` (source on pass 0,
@@ -301,7 +321,8 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
             rec = dct_jax.idct_add_clip(dq, preds)
             dist = _sse(src4[:, :, None], rec, (-1, -2))
             rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
-            cost = dist + _mul_shr16(i4_penalty, rate + _MODE4_BITS256)
+            cost = dist + _mul_shr16(pen_n[..., None],
+                                     rate + _MODE4_BITS256)
             bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, N)
             bcost = cost.min(axis=-1)
             brec = _switch(bmode, [rec[:, :, k] for k in range(10)], 2)
@@ -349,9 +370,9 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
     }
 
 
-@partial(jax.jit, static_argnames=("try_i4", "i4_penalty", "want_recon"))
+@partial(jax.jit, static_argnames=("try_i4", "want_recon"))
 def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
-                          try_i4: bool, i4_penalty: int = 0, modes=None,
+                          try_i4: bool, i4_penalty=0, modes=None,
                           want_recon: bool = False):
     """Exact closed-loop batched dense encode (i16 + optional i4).
 
@@ -484,7 +505,8 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
                                        ctx0=1)
                 rate16 = rate16 + block_rate256(
                     y_levels, tables, type=0, first=1, ctx0=1).sum(axis=-1)
-                s16 = d16 + _mul_shr16(i4_penalty, rate16)
+                pen_mb = _pen_lanes(i4_penalty, seg, B)   # (B, M)
+                s16 = d16 + _mul_shr16(pen_mb, rate16)
             else:
                 given4 = lax.dynamic_slice(
                     im_sk, (0, 0, t, 0), (B, M, 1, 16))[:, :, 0]
@@ -540,7 +562,7 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
                     rec = dct_jax.idct_add_clip(dq, preds)      # (B,M,10,4,4)
                     dist = _sse(src4[:, :, None], rec, (-1, -2))
                     rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
-                    cost = dist + _mul_shr16(i4_penalty,
+                    cost = dist + _mul_shr16(pen_mb[..., None],
                                              rate + _MODE4_BITS256)
                     bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, M)
                     bcost = cost.min(axis=-1)
@@ -693,9 +715,9 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
             ("ymode", "uvmode", "y_levels", "y2_levels", "uv_levels")}
 
 
-@partial(jax.jit, static_argnames=("try_i4", "i4_penalty", "refine"))
+@partial(jax.jit, static_argnames=("try_i4", "refine"))
 def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
-                       try_i4: bool, i4_penalty: int = 0, refine: int = 1):
+                       try_i4: bool, i4_penalty=0, refine: int = 1):
     """Hybrid engine: parallel mode search + fixed-mode exact wavefront.
 
     Phase 1 (fully parallel) decides ymode/uvmode/is_i4/imodes from

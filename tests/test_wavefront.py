@@ -46,9 +46,9 @@ def test_wavefront_i4_segments_equals_sequential():
     import jax.numpy as jnp
 
     from gowebp_tpu.models.vp8.encoder import (
-        I4_LAMBDA_MULT,
         _default_cost_tables,
         _encode_frame_dense_native,
+        _i4_config_seg,
         make_quants,
     )
     from gowebp_tpu.ops.encode_wavefront_jax import encode_wavefront_core
@@ -72,11 +72,13 @@ def test_wavefront_i4_segments_equals_sequential():
     tp0, tp1, tval = _default_cost_tables()
     tables = tuple(jnp.asarray(t.astype(np.int32)) for t in (tp0, tp1, tval))
     q0 = quants[0]
-    i4_pen = I4_LAMBDA_MULT * q0.y1_ac.q * q0.y1_ac.q
+    # Per-segment RD lambdas (each segment's own quantizer drives its
+    # i4 penalty, matching the native engine).
+    _, i4_pens = _i4_config_seg(qsteps, 4, 0)
     out = encode_wavefront_core(
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), jnp.asarray(seg_np),
         jnp.asarray(np.broadcast_to(qsteps, (B, 4, 6))), tables,
-        try_i4=True, i4_penalty=i4_pen)
+        try_i4=True, i4_penalty=np.broadcast_to(i4_pens, (B, 4)))
     adopted = 0
     for b in range(B):
         seg = {"map": seg_np[b].reshape(-1).astype(np.uint8),
