@@ -267,6 +267,67 @@ def build_backward_refs(argb: np.ndarray, width: int) -> RefStream:
     )
 
 
+def _greedy_refs_from_best(flat: np.ndarray, best_len: np.ndarray,
+                           best_dist: np.ndarray) -> RefStream:
+    """Greedy left-to-right parse given per-position best matches.
+
+    Literal stretches between viable copies are emitted in bulk, so the
+    Python loop runs once per op-run, not per pixel.
+    """
+    n = len(flat)
+    cand = np.flatnonzero(best_len >= MIN_COPY_LEN)
+    ops_l, argb_l, len_l, dist_l = [], [], [], []
+    i = 0
+    while i < n:
+        ci = np.searchsorted(cand, i)
+        j = int(cand[ci]) if ci < len(cand) else n
+        if j > i:
+            seg = flat[i:j]
+            ops_l.append(np.zeros(j - i, np.uint8))
+            argb_l.append(seg.astype(np.uint32))
+            len_l.append(np.ones(j - i, np.int32))
+            dist_l.append(np.zeros(j - i, np.int32))
+            i = j
+            continue
+        length = min(int(best_len[i]), MAX_COPY_LEN)
+        ops_l.append(np.ones(1, np.uint8))
+        argb_l.append(np.zeros(1, np.uint32))
+        len_l.append(np.array([length], np.int32))
+        dist_l.append(np.array([int(best_dist[i])], np.int32))
+        i += length
+    return RefStream(
+        np.concatenate(ops_l) if ops_l else np.zeros(0, np.uint8),
+        np.concatenate(argb_l) if argb_l else np.zeros(0, np.uint32),
+        np.concatenate(len_l) if len_l else np.zeros(0, np.int32),
+        np.concatenate(dist_l) if dist_l else np.zeros(0, np.int32),
+    )
+
+
+def build_refs_box(argb: np.ndarray, width: int) -> RefStream:
+    """2D-locality ("box") LZ77: matches only at the 120 plane-coded
+    neighbour distances (reference BackwardReferencesLz77Box,
+    backward_references_enc.c.go:427-677 — the variant that wins on
+    hard-edged/palettized graphics, where short 2D-local distances get
+    the cheap single-symbol distance codes)."""
+    flat = np.ascontiguousarray(argb.reshape(-1), np.uint32)
+    n = flat.size
+    best_len = np.zeros(n, np.int32)
+    best_dist = np.zeros(n, np.int32)
+    from .decoder import DIST_MAP
+
+    dists = sorted({max(1, dy * width + dx) for dx, dy in DIST_MAP
+                    if 1 <= dy * width + dx < n})
+    eq = np.empty(n, bool)
+    for d in dists:
+        eq[:d] = False
+        np.equal(flat[d:], flat[:-d], out=eq[d:])
+        rl = _forward_run_lengths_fast(eq).astype(np.int32)
+        better = rl > best_len
+        np.copyto(best_len, rl, where=better)
+        np.copyto(best_dist, np.int32(d), where=better)
+    return _greedy_refs_from_best(flat, best_len, best_dist)
+
+
 def _build_backward_refs_native(argb: np.ndarray, width: int) -> RefStream | None:
     import ctypes
 
@@ -1372,28 +1433,48 @@ def _emit_refs_grouped_native(bw, refs, codes_flat, groups_per_op, width,
 
 def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
                           quality: int = 75, stats=None,
-                          method: int = 4) -> None:
+                          method: int = 4, is_palette: bool = False) -> None:
     """Top-level spatially-coded image body (after transform headers)."""
     height = argb.shape[0]
     lut = _build_dist_code_lut(width)
     best = None
     if quality >= 20:
-        # One cache-less greedy parse; all cache sizes 0..10 are then
-        # scored by native single-pass simulation over the refs (the
-        # reference's CalculateBestCacheSize strategy,
-        # backward_references_enc.c.go:696) and the winner applied by an
-        # in-place literal→cache rewrite — no re-parsing per candidate.
+        # LZ77 variant trials (reference GetBackwardReferences,
+        # backward_references_enc.c.go:427-677): the standard hash-chain
+        # parse always competes against the RLE parse (distances 1 and
+        # width only — wins on vertical/horizontal fills), and palette
+        # streams additionally try the 2D-locality "box" parse.  Each
+        # candidate is scored cache-less by total histogram entropy.
         refs = build_refs_lz77(argb, width, quality, 0)
+        cand_refs = [refs] if refs is not None else []
+        if quality >= 25 and refs is not None:
+            cand_refs.append(build_backward_refs(argb, width))
+        if is_palette and method >= 2:
+            cand_refs.append(build_refs_box(argb, width))
+        scored = []
+        for r in cand_refs:
+            h = _build_histograms(r, width, lut, 0)
+            scored.append((_entropy_bits(h), r))
+        refs = min(scored, key=lambda sr: sr[0])[1] if scored else None
         if refs is not None:
+            # All cache sizes 0..10 scored by native single-pass
+            # simulation over the winning refs (the reference's
+            # CalculateBestCacheSize strategy) and the winner applied
+            # by an in-place literal→cache rewrite — no re-parsing.
             cb = _pick_cache_bits(refs, argb)
             if cb is None:
                 # Native scorer unavailable: fall back to two trials.
                 for cand in (0, 8):
                     r2 = build_refs_lz77(argb, width, quality, cand)
+                    if r2 is None:
+                        continue
                     h2 = _build_histograms(r2, width, lut, cand)
                     c2 = _entropy_bits(h2)
                     if best is None or c2 < best[0]:
                         best = (c2, cand, r2, h2)
+                if best is None:
+                    hists = _build_histograms(refs, width, lut, 0)
+                    best = (_entropy_bits(hists), 0, refs, hists)
             else:
                 if cb:
                     _apply_cache_native(refs, argb, cb)
@@ -1439,10 +1520,11 @@ def _write_spatial_stream(bw: BitWriter, argb: np.ndarray, width: int,
     # image is big enough for spatial adaptivity to pay.
     use_meta = quality >= 30 and width * height >= (1 << 12)
     if use_meta:
-        # Small tiles for spatial adaptivity, grown only while the tile
-        # grid stays too large to cluster (reference histo-bits rule,
-        # vp8l_encoder.go GetHistoBits: start fine, cap grid ~2600).
-        bits = 3
+        # Histogram tile bits scale with method and content class
+        # (reference GetHistoBits, vp8l_encoder.go:167-199:
+        # (palette ? 9 : 7) - method), then grow while the tile grid
+        # stays too large to cluster (grid cap ~2600).
+        bits = max(2, min(9, (9 if is_palette else 7) - method))
         while bits < 9 and tnp.subsample_size(width, bits) * tnp.subsample_size(
             height, bits
         ) > 2600:
@@ -1584,7 +1666,8 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
     if palette is not None:
         if len(palette) > 64 and quality >= 50:
             pal_bw = BitWriter()
-            _encode_stream_palette(pal_bw, argb, palette, quality, None)
+            _encode_stream_palette(pal_bw, argb, palette, quality, None,
+                                   method=method)
             photo_bw = BitWriter()
             _encode_stream_photo(photo_bw, argb, quality, method,
                                  use_predictor, None, hint=hint)
@@ -1592,12 +1675,14 @@ def encode_vp8l_stream(argb: np.ndarray, *, quality: int = 75,
                 bw.append_writer(pal_bw if pal_bw.bit_count
                                  <= photo_bw.bit_count else photo_bw)
             elif pal_bw.bit_count <= photo_bw.bit_count:
-                _encode_stream_palette(bw, argb, palette, quality, stats)
+                _encode_stream_palette(bw, argb, palette, quality, stats,
+                                       method=method)
             else:
                 _encode_stream_photo(bw, argb, quality, method,
                                      use_predictor, stats, hint=hint)
         else:
-            _encode_stream_palette(bw, argb, palette, quality, stats)
+            _encode_stream_palette(bw, argb, palette, quality, stats,
+                                   method=method)
     else:
         _encode_stream_photo(bw, argb, quality, method, use_predictor, stats,
                              hint=hint)
@@ -1655,7 +1740,7 @@ def _choose_palette_order(palette: np.ndarray, argb: np.ndarray,
 
 
 def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
-                           quality: int, stats) -> None:
+                           quality: int, stats, method: int = 4) -> None:
     palette = _choose_palette_order(palette, argb, quality)
     bw.put_bits(1, 1)
     bw.put_bits(3, 2)              # COLOR_INDEXING_TRANSFORM
@@ -1672,7 +1757,8 @@ def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
     if stats is not None:
         stats.palette_size = len(palette)
         stats.transforms.append("color-indexing")
-    _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats)
+    _write_spatial_stream(bw, packed, packed.shape[1], quality, stats=stats,
+                          method=method, is_palette=True)
 
 
 def _crunch_params(quality: int, method: int, n_pixels: int,
