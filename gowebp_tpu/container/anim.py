@@ -137,6 +137,7 @@ class AnimationEncoder:
         self._since_key = 0
         self._last_blend = False
         self._canvas: np.ndarray | None = None
+        self._prev_rect: tuple | None = None
 
     def _candidates(self, sub: np.ndarray, changed: np.ndarray | None,
                     lossless: bool, quality: float) -> bytes:
@@ -170,42 +171,75 @@ class AnimationEncoder:
             rgba = np.concatenate(
                 [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], -1
             )
-        x = y = 0
-        sub = rgba
-        changed = None
         force_key = (self._kmax == 1
                      or (self._kmax > 1 and self._since_key >= self._kmax))
         try_key = (self._kmax > 1 and self._since_key >= self._kmin)
-        if self._minimize and self._canvas is not None \
-                and self._canvas.shape == rgba.shape:
-            diff = (rgba != self._canvas).any(axis=-1)
+
+        def delta_against(ref_canvas):
+            """(sub, changed, x, y) minimal even-aligned change rect of
+            ``rgba`` vs ``ref_canvas`` (None if identical)."""
+            diff = (rgba != ref_canvas).any(axis=-1)
             if not diff.any():
+                return None
+            ys, xs = np.nonzero(diff)
+            y0, y1 = int(ys.min()), int(ys.max()) + 1
+            x0, x1 = int(xs.min()), int(xs.max()) + 1
+            x0 &= ~1               # ANMF offsets must be even
+            y0 &= ~1
+            return rgba[y0:y1, x0:x1], diff[y0:y1, x0:x1], x0, y0
+
+        x = y = 0
+        sub = rgba
+        changed = None
+        prev_bg = False
+        prev_canvas = self._canvas      # decoder state after prev frame
+        if self._minimize and prev_canvas is not None \
+                and prev_canvas.shape == rgba.shape:
+            d_none = delta_against(prev_canvas)
+            if d_none is None:
                 # Identical frame: merge into the previous duration
                 # (before any keyframe policy — no new frame is emitted).
                 if self._mux.frames:
                     self._mux.frames[-1].duration_ms += duration_ms
                     self._canvas = rgba.copy()
                     return
-            elif not force_key:
-                ys, xs = np.nonzero(diff)
-                y0, y1 = int(ys.min()), int(ys.max()) + 1
-                x0, x1 = int(xs.min()), int(xs.max()) + 1
-                # ANMF offsets must be even; sizes stay within canvas.
-                x0 &= ~1
-                y0 &= ~1
-                x, y = x0, y0
-                sub = rgba[y0:y1, x0:x1]
-                changed = diff[y0:y1, x0:x1]
+            if not force_key:
+                sub, changed, x, y = d_none
         self._canvas = rgba.copy()
 
         data = self._candidates(sub, changed, lossless, quality)
         blend = self._last_blend
+
+        # Dispose-to-BACKGROUND candidates (reference PickBestCandidate's
+        # 4-way search, anim_encode.go:780-860): re-derive the delta as
+        # if the PREVIOUS frame's rect were cleared to transparent
+        # before compositing this frame.  This is the only way a frame
+        # can cheaply "erase" content — src-over blending can never
+        # lower alpha.
+        if (self._minimize and not force_key and changed is not None
+                and self._prev_rect is not None and self._mux.frames
+                and prev_canvas is not None):
+            px, py, ph, pw = self._prev_rect
+            bg_canvas = prev_canvas.copy()
+            bg_canvas[py:py + ph, px:px + pw] = 0
+            d_bg = delta_against(bg_canvas)
+            if d_bg is not None:
+                sub2, changed2, x2, y2 = d_bg
+                data2 = self._candidates(sub2, changed2, lossless, quality)
+                if len(data2) < len(data):
+                    data, blend = data2, self._last_blend
+                    sub, changed, x, y = sub2, changed2, x2, y2
+                    prev_bg = True
+
         is_delta = sub.shape[:2] != rgba.shape[:2] or blend
         if is_delta and try_key:
             key_data = _encode_candidate(rgba, lossless, quality)
             if len(key_data) <= len(data):
                 data, blend, x, y, is_delta = key_data, False, 0, 0, False
+                prev_bg = False
 
+        if prev_bg:
+            self._mux.frames[-1].dispose_background = True
         frame = _payloads(data)
         frame.duration_ms = duration_ms
         frame.blend = blend
@@ -213,6 +247,7 @@ class AnimationEncoder:
         frame.y = y
         self._mux.push_frame(frame)
         self._since_key = self._since_key + 1 if is_delta else 1
+        self._prev_rect = (x, y, sub.shape[0], sub.shape[1])
 
     def assemble(self) -> bytes:
         # Single-frame animation collapses to a still image (reference

@@ -272,6 +272,38 @@ class TestKeyframesAndBlanking:
         for got, want in zip(out, frames):
             np.testing.assert_array_equal(got.rgba, want)
 
+    def test_dispose_background_candidate_erases_cheaply(self):
+        """A frame that erases content (alpha drops to 0 over a large
+        area) should flip the previous frame's dispose method to
+        BACKGROUND (the reference's 4-way candidate search) — and stay
+        pixel-exact through both our decoder and Pillow."""
+        W = H = 64
+        f0 = np.zeros((H, W, 4), np.uint8)          # transparent canvas
+        f1 = f0.copy()
+        rng = np.random.default_rng(5)
+        f1[8:56, 8:56] = np.concatenate(
+            [rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
+             np.full((48, 48, 1), 255, np.uint8)], axis=-1)  # big sprite
+        f2 = f0.copy()
+        f2[10:18, 10:18] = (0, 255, 0, 255)          # sprite mostly gone
+        enc = AnimationEncoder()
+        enc.add_frame(f0, 50, lossless=True)
+        enc.add_frame(f1, 50, lossless=True)
+        enc.add_frame(f2, 50, lossless=True)
+        data = enc.assemble()
+        out, d = decode_animation(data)
+        np.testing.assert_array_equal(out[0].rgba, f0)
+        np.testing.assert_array_equal(out[1].rgba, f1)
+        np.testing.assert_array_equal(out[2].rgba, f2)
+        # Erasure is only expressible via dispose-to-background.
+        assert d.frames[1].dispose_background
+
+        import io as _io
+        from PIL import Image as _Image
+        im = _Image.open(_io.BytesIO(data))
+        im.seek(2)
+        np.testing.assert_array_equal(np.asarray(im.convert("RGBA")), f2)
+
     def test_blanking_candidate_shrinks_and_is_exact(self):
         rng = np.random.default_rng(12)
         base = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
