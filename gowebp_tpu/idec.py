@@ -186,6 +186,7 @@ class _VP8RowDecoder:
         self.ctx_above = [[0, 0] for _ in range(self.st.mb_w)]
         self.intra_t = np.full(4 * self.st.mb_w, 0, np.int32)
         self.rows_done = 0
+        self._reset_row_cursor()
 
     def update_data(self, payload: bytes) -> None:
         """More bytes arrived: extend the partition buffers in place."""
@@ -199,65 +200,82 @@ class _VP8RowDecoder:
             old.data = new.data
         self.st.partition_bytes = st.partition_bytes
 
+    def _reset_row_cursor(self) -> None:
+        """Per-row MB-granular progress (reference MBContext,
+        idec_dec.c.go:271-283): both passes resume mid-row."""
+        self._modes_x = 0
+        self._resid_x = 0
+        self._intra_l = np.full(4, 0, np.int32)
+        self._ctx_left = [0, 0]
+
     def decode_available_rows(self) -> None:
-        V = self.V
         st = self.st
         while self.rows_done < st.mb_h:
-            mb_y = self.rows_done
-            token_bd = st.partitions[mb_y & (len(st.partitions) - 1)]
-            saved = (
-                _bd_state(self.bd),
-                _bd_state(token_bd),
-                [list(c) for c in self.ctx_above],
-                self.intra_t.copy(),
-            )
-            try:
-                self._decode_row(mb_y)
-            except (BitstreamError, NotEnoughData):
-                # Starvation: restore and wait for more data.
-                (bd_s, tk_s, ctx_s, it_s) = saved
-                _bd_restore(self.bd, bd_s)
-                _bd_restore(token_bd, tk_s)
-                self.ctx_above = ctx_s
-                self.intra_t = it_s
-                return
+            if not self._decode_row_incremental(self.rows_done):
+                return                  # starved mid-row; cursor kept
             self.rows_done += 1
+            self._reset_row_cursor()
 
-    def _decode_row(self, mb_y: int) -> None:
+    def _decode_row_incremental(self, mb_y: int) -> bool:
+        """Advance the row's two passes MB by MB; True when complete.
+
+        Each macroblock saves the minimal context (boolean-decoder
+        state + the nz/intra context it mutates) before decoding, so a
+        mid-row starvation discards only the unfinished MB — the
+        reference's MBContext save/restore, not a whole-row replay.
+        """
         V = self.V
         st = self.st
-        intra_l = np.full(4, 0, np.int32)
-        ctx_left = [0, 0]
         token_bd = st.partitions[mb_y & (len(st.partitions) - 1)]
         row = self.mbs[mb_y]
-        for mb_x in range(st.mb_w):
+        while self._modes_x < st.mb_w:
+            mb_x = self._modes_x
             mb = row[mb_x]
-            (mb.segment, mb.skip, mb.is_i4, mb.imodes, mb.uvmode) = \
-                V._parse_intra_mode(
-                    self.bd, st, self.intra_t[4 * mb_x : 4 * mb_x + 4], intra_l
-                )
-            if self.bd.exhausted():
-                raise NotEnoughData("partition 0 starved")
-        for mb_x in range(st.mb_w):
+            sl = self.intra_t[4 * mb_x : 4 * mb_x + 4]
+            saved = (_bd_state(self.bd), sl.copy(), self._intra_l.copy())
+            try:
+                (mb.segment, mb.skip, mb.is_i4, mb.imodes, mb.uvmode) = \
+                    V._parse_intra_mode(self.bd, st, sl, self._intra_l)
+                if self.bd.exhausted():
+                    raise NotEnoughData("partition 0 starved")
+            except (BitstreamError, NotEnoughData):
+                _bd_restore(self.bd, saved[0])
+                sl[:] = saved[1]
+                self._intra_l = saved[2]
+                return False
+            self._modes_x += 1
+        while self._resid_x < st.mb_w:
+            mb_x = self._resid_x
             mb = row[mb_x]
-            skip = mb.skip if st.use_skip_proba else 0
-            if not skip:
-                empty = V._parse_residuals(
-                    token_bd, st, mb, self.ctx_above[mb_x], ctx_left
-                )
-                mb.skip = int(empty)
-            else:
-                self.ctx_above[mb_x][0] = 0
-                ctx_left[0] = 0
-                if not mb.is_i4:
-                    self.ctx_above[mb_x][1] = 0
-                    ctx_left[1] = 0
-                mb.coeffs = np.zeros((25, 16), np.int32)
-                mb.non_zero_y = 0
-                mb.non_zero_uv = 0
-                mb.skip = 1
-            if token_bd.exhausted():
-                raise NotEnoughData("token partition starved")
+            saved = (_bd_state(token_bd), list(self.ctx_above[mb_x]),
+                     list(self._ctx_left))
+            try:
+                skip = mb.skip if st.use_skip_proba else 0
+                if not skip:
+                    empty = V._parse_residuals(
+                        token_bd, st, mb, self.ctx_above[mb_x],
+                        self._ctx_left
+                    )
+                    mb.skip = int(empty)
+                else:
+                    self.ctx_above[mb_x][0] = 0
+                    self._ctx_left[0] = 0
+                    if not mb.is_i4:
+                        self.ctx_above[mb_x][1] = 0
+                        self._ctx_left[1] = 0
+                    mb.coeffs = np.zeros((25, 16), np.int32)
+                    mb.non_zero_y = 0
+                    mb.non_zero_uv = 0
+                    mb.skip = 1
+                if token_bd.exhausted():
+                    raise NotEnoughData("token partition starved")
+            except (BitstreamError, NotEnoughData):
+                _bd_restore(token_bd, saved[0])
+                self.ctx_above[mb_x][:] = saved[1]
+                self._ctx_left[:] = saved[2]
+                return False
+            self._resid_x += 1
+        return True
 
     def partial_rgba(self, n_rows: int) -> np.ndarray:
         """Reconstruct + filter + convert the finalized rows."""

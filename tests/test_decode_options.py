@@ -88,6 +88,23 @@ class TestIncremental:
         dec.append(LOSSY[len(LOSSY) * 2 // 3 :])
         assert dec.state == STATE_DONE
 
+    def test_mb_granular_resume(self):
+        """VERDICT r2 item 8: VP8 incremental decode resumes per
+        MACROBLOCK (reference MBContext, idec_dec.c.go:271), not per
+        row — mid-row progress must be observable under tiny appends,
+        and the result must stay bit-exact."""
+        dec = IncrementalDecoder()
+        saw_mid_row = False
+        step = 37
+        for i in range(0, len(LOSSY), step):
+            dec.append(LOSSY[i : i + step])
+            v = getattr(dec, "_vp8", None)
+            if v is not None and (v._modes_x > 0 or v._resid_x > 0):
+                saw_mid_row = True
+        assert dec.state == STATE_DONE
+        np.testing.assert_array_equal(dec.get_output(), decode_rgba(LOSSY))
+        assert saw_mid_row, "decoder never held mid-row progress"
+
     def test_chunked_lossless(self):
         dec = IncrementalDecoder()
         for i in range(0, len(LOSSLESS), 50):
