@@ -1793,12 +1793,72 @@ def _crunch_params(quality: int, method: int, n_pixels: int,
                 refine_iters=refine_iters, rescore=rescore)
 
 
+def _bits_entropy(h: np.ndarray) -> float:
+    tot = float(h.sum())
+    if tot <= 0:
+        return 0.0
+    p = h[h > 0].astype(np.float64) / tot
+    return float(-(p * np.log2(p)).sum() * tot)
+
+
+def analyze_entropy(argb: np.ndarray) -> str:
+    """One-pass entropy-mode analysis (reference AnalyzeEntropy,
+    vp8l_encoder.go:56-164): score kDirect / kSpatial / kSubGreen /
+    kSpatialSubGreen from per-channel histograms of the raw pixels and
+    their left-neighbour deltas, all gathered in a single sweep.
+
+    Used to pick the transform set directly at low effort (method ≤ 2)
+    instead of running trial encodes.
+    """
+    flat = argb.reshape(-1).astype(np.uint32)
+    prev = np.concatenate([flat[:1], flat[:-1]])
+    diff = _sub_pixels_vec(flat, prev)
+
+    def chans(v):
+        return ((v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                (v >> 8) & 0xFF, v & 0xFF)
+
+    def ent4(a, r, g, b):
+        return sum(_bits_entropy(np.bincount(x, minlength=256))
+                   for x in (a, r, g, b))
+
+    a, r, g, b = chans(flat)
+    da, dr, dg, db = chans(diff)
+    direct = ent4(a, r, g, b)
+    spatial = ent4(da, dr, dg, db)
+    subgreen = ent4(a, (r - g) & 0xFF, g, (b - g) & 0xFF)
+    sg_flat = ((flat & 0xFF00FF00)
+               | (((r - g) & 0xFF) << 16) | ((b - g) & 0xFF))
+    sgd = _sub_pixels_vec(sg_flat.astype(np.uint32), np.concatenate(
+        [sg_flat[:1], sg_flat[:-1]]).astype(np.uint32))
+    sa, sr, sgc, sb = chans(sgd)
+    spatial_subgreen = ent4(sa, sr, sgc, sb)
+    # Spatial modes pay for the predictor mode image; sub-green is a
+    # 2-bit signal (the reference charges analogous overheads).
+    n = flat.size
+    overhead = max(64.0, n / 256.0)
+    scores = {
+        "direct": direct,
+        "subgreen": subgreen + 2,
+        "spatial": spatial + overhead,
+        "spatial-subgreen": spatial_subgreen + overhead + 2,
+    }
+    return min(scores, key=scores.get)
+
+
 def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                          method: int, use_predictor, stats,
                          hint: int = 0) -> None:
     w = argb.shape[1]
     h = argb.shape[0]
 
+    analysis_mode = None
+    if method <= 2 and use_predictor is None and quality >= 10:
+        # Low effort: one-pass 13-histogram analysis picks the
+        # transform set outright — no trial encodes (reference
+        # EncoderAnalyze at low method).
+        analysis_mode = analyze_entropy(argb)
+        use_predictor = analysis_mode in ("spatial", "spatial-subgreen")
     if use_predictor is None:
         use_predictor = quality >= 10
     if use_predictor:
@@ -1815,6 +1875,8 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         crunch = _crunch_params(quality, method, h * w, hint=hint)
         bit_cands = crunch["bit_cands"]
         sg_opts = crunch["sg_opts"]
+        if analysis_mode is not None:
+            sg_opts = ((analysis_mode == "spatial-subgreen"),)
         iters = crunch["refine_iters"]
         use_cross = quality >= 50
         cc_bits = 4
@@ -1924,8 +1986,9 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             _write_image_stream(bw, cc_img, cc_img.shape[1])
             if stats is not None:
                 stats.transforms.append("cross-color")
-    elif quality >= 50:
-        # No predictor: subtract-green always, then gated cross-color.
+    elif quality >= 50 and analysis_mode != "direct":
+        # No predictor: subtract-green (unless the one-pass analysis
+        # picked kDirect), then gated cross-color.
         use_sg = True
         work = tnp.subtract_green_forward(argb)
         bw.put_bits(1, 1)
