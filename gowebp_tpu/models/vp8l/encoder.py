@@ -1726,14 +1726,24 @@ def _palette_orderings(palette: np.ndarray, argb: np.ndarray,
 
 
 def _choose_palette_order(palette: np.ndarray, argb: np.ndarray,
-                          quality: int) -> np.ndarray:
+                          quality: int, method: int = 4) -> np.ndarray:
     cands = _palette_orderings(palette, argb, quality)
     if len(cands) == 1:
         return cands[0]
     best = None
     for cand in cands:
         packed = _pack_palette_indices(argb, cand)
-        cost = _refs_cost_bits(packed, packed.shape[1], 25)
+        if method >= 6 and quality >= 90:
+            # m6/q100 brute force (reference CrunchConfig,
+            # vp8l_encoder.go:220-320): every ordering gets a FULL
+            # scratch emission — the probe estimate cannot see cache /
+            # meta-huffman / LZ77-variant interactions.
+            sbw = BitWriter()
+            _write_spatial_stream(sbw, packed, packed.shape[1], quality,
+                                  method=method, is_palette=True)
+            cost = float(sbw.bit_count)
+        else:
+            cost = _refs_cost_bits(packed, packed.shape[1], 25)
         if best is None or cost < best[0]:
             best = (cost, cand)
     return best[1]
@@ -1741,7 +1751,7 @@ def _choose_palette_order(palette: np.ndarray, argb: np.ndarray,
 
 def _encode_stream_palette(bw: BitWriter, argb: np.ndarray, palette,
                            quality: int, stats, method: int = 4) -> None:
-    palette = _choose_palette_order(palette, argb, quality)
+    palette = _choose_palette_order(palette, argb, quality, method)
     bw.put_bits(1, 1)
     bw.put_bits(3, 2)              # COLOR_INDEXING_TRANSFORM
     bw.put_bits(len(palette) - 1, 8)
