@@ -130,6 +130,17 @@ def main() -> None:
                 Image.open(io.BytesIO(buf.getvalue())).convert("RGB")),
                 imgs[b]))
 
+    # --- extra: batch decode with device-resident output (measured
+    # BEFORE the encode rounds: the tunnel degrades for a while after
+    # sustained bulk transfers, which once cost this metric 9x) ---
+    outs_d = decode_rgba_batch(datas, device_out=True)  # warm
+    jax.block_until_ready(outs_d)
+    dec, _ = best_of(
+        lambda: jax.block_until_ready(
+            decode_rgba_batch(datas, device_out=True)),
+        len(datas) * mp, reps=3)
+    dec_base = libwebp_decode_mps(datas, size)
+
     # --- headline: end-to-end batch encode, HYBRID engine ---
     encode_rgba_batch_pipelined(lst[:chunk], quality=75.0, threads=8,
                                 chunk=chunk, engine="hybrid")  # warm
@@ -190,15 +201,6 @@ def main() -> None:
 
     run_dev()
     dev_mps, _ = best_of(run_dev, nb * mp, reps=2)
-
-    # --- extra: batch decode with device-resident output ---
-    outs_d = decode_rgba_batch(datas, device_out=True)  # warm
-    jax.block_until_ready(outs_d)
-    dec, _ = best_of(
-        lambda: jax.block_until_ready(
-            decode_rgba_batch(datas, device_out=True)),
-        len(datas) * mp, reps=3)
-    dec_base = libwebp_decode_mps(datas, size)
 
     result = {
         "metric": "vp8_e2e_encode_throughput_hybrid",
