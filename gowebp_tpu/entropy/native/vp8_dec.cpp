@@ -1760,6 +1760,7 @@ int wtpu_vp8_encode_frame(
     const uint8_t* y_src, const uint8_t* u_src, const uint8_t* v_src,
     int mb_w, int mb_h, const int32_t* qsteps,  // [4][6]: y1dc..uvac per seg
     int try_i4, const int32_t* i4_penalty,      // [4] per-segment lambda
+    int use_derr,                               // UV DC error diffusion
     const uint8_t* segments,                    // per-MB segment id or NULL
     const uint16_t* t_p0, const uint16_t* t_p1, const uint16_t* t_val,
     const int32_t* lambdas,                     // per segment; NULL = no trellis
@@ -1782,8 +1783,14 @@ int wtpu_vp8_encode_frame(
   std::vector<uint8_t> ybuf(17 * BUFS), ubuf(9 * BUFS), vbuf(9 * BUFS);
   std::vector<uint8_t> trial(17 * BUFS);
   int16_t src16[16 * 16];
+  // UV DC error diffusion state (reference CorrectDCValues /
+  // StoreDiffusionErrors, quant_enc.c.go:732-780): per-MB-column top
+  // errors [mb_w][ch][2] and the running left errors [ch][2].
+  std::vector<int8_t> top_derr((size_t)mb_w * 4, 0);
+  int8_t left_derr[4] = {0, 0, 0, 0};
 
   for (int my = 0; my < mb_h; my++) {
+    left_derr[0] = left_derr[1] = left_derr[2] = left_derr[3] = 0;
     for (int mx = 0; mx < mb_w; mx++) {
       size_t m = (size_t)my * mb_w + mx;
       int seg = segments ? segments[m] : 0;
@@ -2029,6 +2036,9 @@ int wtpu_vp8_encode_frame(
       for (int half = 0; half < 2; half++) {
         const uint8_t* cp = half == 0 ? us : vs;
         uint8_t* cb = half == 0 ? ubuf.data() : vbuf.data();
+        int8_t* dtop = &top_derr[((size_t)mx * 2 + half) * 2];
+        int8_t* dleft = &left_derr[half * 2];
+        int e0 = 0, e1 = 0, e2 = 0, e3 = 0;
         int16_t csrc[64];
         for (int r = 0; r < 8; r++)
           for (int cc = 0; cc < 8; cc++) csrc[r * 8 + cc] = cp[r * cs + cc];
@@ -2036,6 +2046,26 @@ int wtpu_vp8_encode_frame(
           int r = 4 * (n >> 1), cc = 4 * (n & 1);
           int16_t cf[16];
           fdct4x4(csrc + r * 8 + cc, &cb[(1 + r) * BUFS + 1 + cc], 8, BUFS, cf);
+          if (use_derr) {
+            // Diffuse quantization error of earlier DCs into this DC
+            // (weights 7/16 from above, 8/16 from the left; the
+            // missing 1/16 damps chessboard artefacts at q~0).
+            int corr;
+            if (n == 0)      corr = (7 * dtop[0] + 8 * dleft[0]) >> 3;
+            else if (n == 1) corr = (7 * dtop[1] + 8 * e0) >> 3;
+            else if (n == 2) corr = (7 * e0 + 8 * dleft[1]) >> 3;
+            else             corr = (7 * e1 + 8 * e2) >> 3;
+            cf[0] = (int16_t)(cf[0] + corr);
+            int V = cf[0];
+            int sgn = V < 0;
+            if (sgn) V = -V;
+            int lvl = (int)(((int64_t)V * uvdc.iq + uvdc.bias) >> 17);
+            if (lvl > 2047) lvl = 2047;
+            int err = V - lvl * uvdc.q;
+            if (sgn) err = -err;
+            err >>= 1;                 // DSCALE
+            (n == 0 ? e0 : n == 1 ? e1 : n == 2 ? e2 : e3) = err;
+          }
           int16_t* lv = uvl + (half * 4 + n) * 16;
           for (int k = 0; k < 16; k++) lv[k] = 0;
           quant_block(cf, uvdc, uvac, 0, lv);
@@ -2046,6 +2076,14 @@ int wtpu_vp8_encode_frame(
           bool any = false;
           for (int k = 0; k < 16; k++) if (deq[k]) { any = true; break; }
           if (any) idct_add(deq, &cb[(1 + r) * BUFS + 1 + cc], BUFS);
+        }
+        if (use_derr) {
+          // StoreDiffusionErrors: split err3 between left and top.
+          int lv1 = (3 * e3) >> 2;
+          dleft[0] = (int8_t)e1;
+          dleft[1] = (int8_t)lv1;
+          dtop[0] = (int8_t)e2;
+          dtop[1] = (int8_t)(e3 - lv1);
         }
       }
 

@@ -215,7 +215,7 @@ def _configure(lib) -> None:
     u16p = c.POINTER(c.c_uint16)
     lib.wtpu_vp8_encode_frame.argtypes = [
         u8p, u8p, u8p, c.c_int, c.c_int, i32p,
-        c.c_int, i32p, u8p,
+        c.c_int, i32p, c.c_int, u8p,
         u16p, u16p, u16p, i32p,
         i16p, i16p, i16p, u8p, u8p, u8p, u8p,
         u8p, u8p, u8p,

@@ -280,6 +280,9 @@ def _i4_penalty_scale(partition_limit: int) -> float | None:
 # it i4 effectively never wins, so the clamp is behaviour-preserving.
 I4_PENALTY_MAX = (1 << 19) - 1
 
+# Reference gate for UV DC error diffusion (encoder_iterator.go:57).
+ERROR_DIFFUSION_QUALITY = 98
+
 
 def _i4_config(q_ac: int, method: int, partition_limit: int):
     """(try_i4, clamped penalty) shared by host/JAX/pipelined encoders."""
@@ -807,9 +810,13 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
                 "quants": [make_quants(max(0, min(127, base_q + d)))
                            for d in deltas],
             }
+    # UV DC error diffusion at quality <= 98 (reference gate,
+    # webp_encoder.go:145 / ERROR_DIFFUSION_QUALITY).
+    use_derr = 1 if config.quality <= ERROR_DIFFUSION_QUALITY else 0
     native = _encode_frame_dense_native(y, u, v, mb_w, mb_h, q, config.method,
                                         seg=seg,
-                                        partition_limit=config.partition_limit)
+                                        partition_limit=config.partition_limit,
+                                        use_derr=use_derr)
     if native is not None and config.method >= 6 and not config.low_memory:
         # Second dense pass with trellis quantization, rate-modeled on the
         # first pass's adapted probabilities (default-proba costs are far
@@ -824,6 +831,7 @@ def encode_vp8_frame(y, u, v, width, height, config: EncoderConfig,
                 y, u, v, mb_w, mb_h, q, config.method, seg=seg,
                 trellis_probs=probs1,
                 partition_limit=config.partition_limit,
+                use_derr=use_derr,
             )
             if refined is not None:
                 native = refined
@@ -997,7 +1005,7 @@ def _default_cost_tables():
     return _COST_TABLE_CACHE
 
 
-def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None, trellis_probs=None, partition_limit: int = 0):
+def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int = 4, seg=None, trellis_probs=None, partition_limit: int = 0, use_derr: int = 0):
     """C++ closed-loop dense phase; returns level/mode arrays or None."""
     import ctypes
 
@@ -1061,6 +1069,7 @@ def _encode_frame_dense_native(y, u, v, mb_w, mb_h, q: SegmentQuant, method: int
         p(ys, ctypes.c_uint8), p(us, ctypes.c_uint8), p(vs, ctypes.c_uint8),
         mb_w, mb_h, p(qsteps, ctypes.c_int32),
         try_i4, p(np.ascontiguousarray(i4_penalties), ctypes.c_int32),
+        int(use_derr),
         p(seg_arr, ctypes.c_uint8) if seg_arr is not None else None,
         p(tp0, ctypes.c_uint16),
         p(tp1, ctypes.c_uint16),
@@ -1664,6 +1673,7 @@ def encode_vp8_frame_tpu(y, u, v, width, height, config: EncoderConfig) -> bytes
             np.asarray(v, np.int32)[None],
             seg_arr[None], qsteps[None], tables,
             try_i4=_try_i4, i4_penalty=_i4_pens[None],
+            use_derr=config.quality <= ERROR_DIFFUSION_QUALITY,
         )
         ymode = np.asarray(out["ymode"])[0]
         uvmode = np.asarray(out["uvmode"])[0]

@@ -373,10 +373,12 @@ def activity_step(y):
     return act.reshape(B, -1)
 
 
-@partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4", "search"))
+@partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4", "search",
+                                   "use_derr"))
 def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
                                  cap_s, cap_b, try_i4, i4_penalty,
-                                 search: str = "closed"):
+                                 search: str = "closed",
+                                 use_derr: bool = False):
     """Closed-loop wavefront encode from uint8 planes + G4PACKv2.
 
     search="closed": full in-loop RD mode search (bit-identical to the
@@ -394,7 +396,8 @@ def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
     dense = encode_hybrid_core if search == "open" else encode_wavefront_core
     out = dense(
         y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
-        seg_map, qsteps, tables, try_i4=try_i4, i4_penalty=i4_penalty)
+        seg_map, qsteps, tables, try_i4=try_i4, i4_penalty=i4_penalty,
+        use_derr=use_derr)
     flat = _levels_to_flat(out, plan)
     mask2, small, big, cs, cb, maxabs = _pack_g4v2(flat, cap_s, cap_b)
     return {
@@ -558,6 +561,9 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                        for t in (tp0, tp1, tval))
         try_i4, _ = _i4_config_seg(np.zeros((4, 6), np.int32),
                                    config.method, config.partition_limit)
+        from ..models.vp8.encoder import ERROR_DIFFUSION_QUALITY
+
+        use_derr = config.quality <= ERROR_DIFFUSION_QUALITY
 
     def qrow(sq):
         return (sq.y1_dc.q, sq.y1_ac.q, sq.y2_dc.q, sq.y2_ac.q,
@@ -700,7 +706,8 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
             jax.device_put(seg_maps), jax.device_put(qs), tables,
             cap_s=cap_s, cap_b=cap_b, try_i4=try_i4,
             i4_penalty=jax.device_put(pens),
-            search=("open" if engine == "hybrid" else "closed"))
+            search=("open" if engine == "hybrid" else "closed"),
+            use_derr=use_derr)
         return out, idxs, segs[: len(idxs)]
 
     # Sticky export buckets: start minimal, grow on overflow; every

@@ -370,10 +370,10 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
     }
 
 
-@partial(jax.jit, static_argnames=("try_i4", "want_recon"))
+@partial(jax.jit, static_argnames=("try_i4", "want_recon", "use_derr"))
 def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
                           try_i4: bool, i4_penalty=0, modes=None,
-                          want_recon: bool = False):
+                          want_recon: bool = False, use_derr: bool = False):
     """Exact closed-loop batched dense encode (i16 + optional i4).
 
     y: (B, H16, W16) int32; u, v: (B, H16//2, W16//2) int32.
@@ -416,6 +416,10 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
     Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
     Sk_v = jnp.zeros((B, M, T + 3, 8, 8), I32)
+    # UV DC error-diffusion carries (top pair for the MB below, left
+    # pair for the right neighbour), (..., ch, 2) per MB.
+    Sk_dt = jnp.zeros((B, M, T + 3, 2, 2), I32)
+    Sk_dl = jnp.zeros((B, M, T + 3, 2, 2), I32)
     O_yl = jnp.zeros((B, M, T, 16, 16), I32)
     O_y2 = jnp.zeros((B, M, T, 16), I32)
     O_uv = jnp.zeros((B, M, T, 8, 16), I32)
@@ -428,7 +432,7 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     htv = myv > 0
 
     def step(t, carry):
-        (Sk_y, Sk_u, Sk_v,
+        (Sk_y, Sk_u, Sk_v, Sk_dt, Sk_dl,
          O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
         mxv = t - 2 * myv                            # (M,)
         hlv = mxv > 0
@@ -623,6 +627,50 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
         ccf = dct_jax.fdct4x4(cblk)                   # (2B,M,2,2,4,4)
         iq2 = jnp.concatenate([iqlane, iqlane], axis=0)
         q2 = jnp.concatenate([qlane, qlane], axis=0)
+        if use_derr:
+            # UV DC error diffusion (CorrectDCValues): 2x2 chain per
+            # channel with carried top/left errors — bit-identical to
+            # the native host encoder.
+            dtop = _shift_down(lax.dynamic_slice(
+                Sk_dt, (0, 0, t + 1, 0, 0), (B, M, 1, 2, 2))[:, :, 0], 0)
+            dtop = jnp.where(htv[None, :, None, None], dtop, 0)
+            dleft = lax.dynamic_slice(
+                Sk_dl, (0, 0, t + 2, 0, 0), (B, M, 1, 2, 2))[:, :, 0]
+            dleft = jnp.where(hlv[None, :, None, None], dleft, 0)
+            # ch onto the 2B axis: [..., pair]
+            dt2 = jnp.concatenate([dtop[:, :, 0], dtop[:, :, 1]], axis=0)
+            dl2 = jnp.concatenate([dleft[:, :, 0], dleft[:, :, 1]], axis=0)
+            iqdc = iq2[..., 4]
+            qdc = q2[..., 4]
+
+            def qsingle(vv):
+                sgn = vv < 0
+                av = jnp.abs(vv)
+                lvl = jnp.minimum((av * iqdc + _BIAS["uv_dc"]) >> 17, 2047)
+                err = av - lvl * qdc
+                return jnp.where(sgn, -err, err) >> 1
+
+            dc = ccf[..., 0, 0]                       # (2B, M, 2, 2)
+            c00 = dc[..., 0, 0] + ((7 * dt2[..., 0] + 8 * dl2[..., 0]) >> 3)
+            e0 = qsingle(c00)
+            c01 = dc[..., 0, 1] + ((7 * dt2[..., 1] + 8 * e0) >> 3)
+            e1 = qsingle(c01)
+            c10 = dc[..., 1, 0] + ((7 * e0 + 8 * dl2[..., 1]) >> 3)
+            e2 = qsingle(c10)
+            c11 = dc[..., 1, 1] + ((7 * e1 + 8 * e2) >> 3)
+            e3 = qsingle(c11)
+            newdc = jnp.stack([jnp.stack([c00, c01], -1),
+                               jnp.stack([c10, c11], -1)], -2)
+            ccf = ccf.at[..., 0, 0].set(newdc)
+            lv1 = (3 * e3) >> 2
+            nl2 = jnp.stack([e1, lv1], -1)            # (2B, M, 2)
+            nt2 = jnp.stack([e2, e3 - lv1], -1)
+            nl = jnp.stack([nl2[:B], nl2[B:]], axis=2)   # (B, M, 2, 2)
+            nt = jnp.stack([nt2[:B], nt2[B:]], axis=2)
+            Sk_dl = lax.dynamic_update_slice(
+                Sk_dl, nl[:, :, None], (0, 0, t + 3, 0, 0))
+            Sk_dt = lax.dynamic_update_slice(
+                Sk_dt, nt[:, :, None], (0, 0, t + 3, 0, 0))
         clv = _quant_lanes(ccf.reshape(2 * B, M, 4, 4, 4),
                            iq2[..., 4][..., None], iq2[..., 5][..., None],
                            _BIAS["uv_dc"], _BIAS["uv_ac"])
@@ -653,12 +701,14 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
         O_i4 = lax.dynamic_update_slice(O_i4, is4[:, :, None], (0, 0, t))
         O_im = lax.dynamic_update_slice(
             O_im, imodes[:, :, None], (0, 0, t, 0))
-        return (Sk_y, Sk_u, Sk_v,
+        return (Sk_y, Sk_u, Sk_v, Sk_dt, Sk_dl,
                 O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
 
-    carry = (Sk_y, Sk_u, Sk_v, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
+    carry = (Sk_y, Sk_u, Sk_v, Sk_dt, Sk_dl,
+             O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
     carry = lax.fori_loop(0, T, step, carry)
-    (Sk_y, Sk_u, Sk_v, O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
+    (Sk_y, Sk_u, Sk_v, _, _,
+     O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
 
     un = lambda O: _unskew_tiles(O, mw, mh)
     # Narrow dtypes on-device: halves the device→host transfer.
@@ -715,9 +765,10 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
             ("ymode", "uvmode", "y_levels", "y2_levels", "uv_levels")}
 
 
-@partial(jax.jit, static_argnames=("try_i4", "refine"))
+@partial(jax.jit, static_argnames=("try_i4", "refine", "use_derr"))
 def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
-                       try_i4: bool, i4_penalty=0, refine: int = 1):
+                       try_i4: bool, i4_penalty=0, refine: int = 1,
+                       use_derr: bool = False):
     """Hybrid engine: parallel mode search + fixed-mode exact wavefront.
 
     Phase 1 (fully parallel) decides ymode/uvmode/is_i4/imodes from
@@ -742,7 +793,7 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
             try_i4=try_i4, i4_penalty=i4_penalty,
             modes=(modes["ymode"], modes["uvmode"],
                    modes["is_i4"], modes["imodes"]),
-            want_recon=not last)
+            want_recon=not last, use_derr=use_derr)
         if not last:
             modes = openloop_mode_search(
                 y, u, v, seg_map, qsteps, tables,

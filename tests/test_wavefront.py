@@ -98,6 +98,44 @@ def test_wavefront_i4_segments_equals_sequential():
     assert adopted > 0  # the search must actually trigger on this content
 
 
+def test_dc_error_diffusion_on_and_bit_identical():
+    """UV DC error diffusion (reference CorrectDCValues/
+    StoreDiffusionErrors, quant_enc.c.go:732-780): active at
+    quality <= 98, changes the UV levels on smooth gradients, and the
+    JAX wavefront reproduces the native chain bit for bit (covered by
+    the host==jax file assertions; here we check the feature actually
+    fires)."""
+    import jax.numpy as jnp
+
+    from gowebp_tpu.models.vp8.encoder import (
+        _default_cost_tables, make_quants)
+    from gowebp_tpu.ops.encode_wavefront_jax import encode_wavefront_core
+
+    # Smooth chroma gradient at low quality: DC quantization error is
+    # systematic, so diffusion must alter some DC levels.
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    y = np.full((1, H, W), 128, np.int32)
+    u = (96 + (xx[::2, ::2] + yy[::2, ::2]) // 16).astype(np.int32)[None]
+    v = (160 - (xx[::2, ::2]) // 20).astype(np.int32)[None]
+    q = make_quants(100)     # coarse quantizer
+    row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                    q.uv_dc.q, q.uv_ac.q], np.int32)
+    qs = np.broadcast_to(row, (1, 4, 6)).copy()
+    seg = np.zeros((1, 4, 4), np.int32)
+    tables = tuple(jnp.asarray(t.astype(np.int32))
+                   for t in _default_cost_tables())
+    off = encode_wavefront_core(y, u, v, seg, qs, tables, try_i4=False,
+                                use_derr=False)
+    on = encode_wavefront_core(y, u, v, seg, qs, tables, try_i4=False,
+                               use_derr=True)
+    assert not np.array_equal(np.asarray(off["uv_levels"]),
+                              np.asarray(on["uv_levels"]))
+    # Luma untouched by the UV-only diffusion.
+    np.testing.assert_array_equal(np.asarray(off["y_levels"]),
+                                  np.asarray(on["y_levels"]))
+
+
 def test_wavefront_stream_matches_host_encoder_method4():
     """plane_backend=jax at method 4 (i4 on, 4 segments) == host file."""
     img = make_test_images()["photo"][..., :3].copy()
