@@ -370,48 +370,78 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
     }
 
 
-@partial(jax.jit, static_argnames=("try_i4", "want_recon", "use_derr"))
-def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
-                          try_i4: bool, i4_penalty=0, modes=None,
-                          want_recon: bool = False, use_derr: bool = False):
-    """Exact closed-loop batched dense encode (i16 + optional i4).
+def _skew_tiles_off(plane, mb_w, mh_local, size, T, row_offset):
+    """(B, H_local, W) plane → (B, mh_local, T, s, s) skewed tiles with
+    GLOBAL diagonal columns (col = 2*(my_local+row_offset) + mx)."""
+    B = plane.shape[0]
+    tiles = plane.reshape(B, mh_local, size, mb_w, size).transpose(
+        0, 1, 3, 2, 4)
+    my = jnp.arange(mh_local, dtype=I32)[:, None]
+    mx = jnp.clip(jnp.arange(T, dtype=I32)[None, :]
+                  - 2 * (my + row_offset), 0, mb_w - 1)
+    return tiles[:, my, mx]
 
-    y: (B, H16, W16) int32; u, v: (B, H16//2, W16//2) int32.
-    seg_map: (B, mh, mw) int32 per-MB segment ids (zeros if unused).
-    qsteps: (B, 4, 6) int32 per-image per-segment quant steps
-    (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) — traced, so batches whose
-    images carry different segment deltas share one compilation.
-    tables: (p0, p1, val) int32 token-cost tables (rate_jax layout).
-    Returns per-MB tensors bit-identical to the host encoder
-    (wtpu_vp8_encode_frame) under the same parameters.
 
-    ``modes`` (hybrid engine phase 2): a (ymode, uvmode, is_i4, imodes)
-    tuple of dense (B, mh, mw[, 16]) int32 decisions.  The mode search
-    and the RD rate model are skipped entirely — each step predicts
-    with the given mode, quantizes, and reconstructs, so the stream is
-    still exactly closed-loop (zero drift) at a fraction of the
-    sequential cost (the 10-candidate i4 search is what dominates the
-    full wavefront).
+def _skew_flat_off(arr_bnm, mb_w, mh_local, T, row_offset):
+    """(B, mh_local*mb_w[, k]) → (B, mh_local, T[, k]) global-skewed."""
+    my = jnp.arange(mh_local, dtype=I32)[:, None]
+    mx = jnp.clip(jnp.arange(T, dtype=I32)[None, :]
+                  - 2 * (my + row_offset), 0, mb_w - 1)
+    return arr_bnm.reshape((arr_bnm.shape[0], mh_local, mb_w)
+                           + arr_bnm.shape[2:])[:, my, mx]
+
+
+def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
+                    try_i4: bool, i4_penalty=0, modes=None,
+                    want_recon: bool = False, use_derr: bool = False,
+                    axis_name=None, mb_h_global: int | None = None,
+                    n_shards: int = 1):
+    """Wavefront body, shardable along the MB-row axis.
+
+    With ``axis_name`` set (inside shard_map over ``n_shards`` row
+    shards), the per-step row-shift context reads become ppermute halo
+    exchanges of one MB edge strip over ICI; everything else is
+    shard-local.  Returns SKEWED output arrays (caller unskews).
     """
     B, H, W = y.shape
-    mh, mw = H // 16, W // 16
-    M, T = mh, num_diagonals(mw, mh)
+    mh, mw = H // 16, W // 16                       # local rows
+    mhg = mb_h_global if mb_h_global is not None else mh
+    M, T = mh, num_diagonals(mw, mhg)
+    if axis_name is not None:
+        row_offset = lax.axis_index(axis_name).astype(I32) * mh
+    else:
+        row_offset = jnp.int32(0)
 
     qs = qsteps.astype(I32)                         # (B, 4, 6)
     iqs = (1 << 17) // jnp.maximum(qs, 1)
 
-    Ysrc = _skew_tiles(y, mw, mh, 16)               # (B,M,T,16,16)
-    Usrc = _skew_tiles(u, mw, mh, 8)
-    Vsrc = _skew_tiles(v, mw, mh, 8)
-    flat, _ = _skew_index(mw, mh)
-    seg_sk = seg_map.reshape(B, mh * mw)[:, flat]   # (B, M, T)
+    Ysrc = _skew_tiles_off(y, mw, mh, 16, T, row_offset)
+    Usrc = _skew_tiles_off(u, mw, mh, 8, T, row_offset)
+    Vsrc = _skew_tiles_off(v, mw, mh, 8, T, row_offset)
+    seg_sk = _skew_flat_off(seg_map.reshape(B, mh * mw), mw, mh, T,
+                            row_offset)             # (B, M, T)
     fixed = modes is not None
     if fixed:
         ym_d, um_d, i4_d, im_d = modes
-        ym_sk = ym_d.reshape(B, mh * mw)[:, flat].astype(I32)
-        um_sk = um_d.reshape(B, mh * mw)[:, flat].astype(I32)
-        i4_sk = i4_d.reshape(B, mh * mw)[:, flat].astype(I32)
-        im_sk = im_d.reshape(B, mh * mw, 16)[:, flat].astype(I32)
+        sk = lambda a, *k: _skew_flat_off(
+            a.reshape((B, mh * mw) + k).astype(I32), mw, mh, T, row_offset)
+        ym_sk = sk(ym_d)
+        um_sk = sk(um_d)
+        i4_sk = sk(i4_d)
+        im_sk = sk(im_d, 16)
+
+    if axis_name is None:
+        shift_down = _shift_down
+    else:
+        perm = [(i, i + 1) for i in range(n_shards - 1)]
+
+        def shift_down(x, fill):
+            shifted = _shift_down(x, fill)
+            prev_last = lax.ppermute(x[:, -1:], axis_name, perm)
+            first = lax.axis_index(axis_name) == 0
+            row0 = jnp.where(first, jnp.full_like(prev_last, fill),
+                             prev_last)
+            return shifted.at[:, 0:1].set(row0)
 
     Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
     Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
@@ -428,7 +458,7 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     O_i4 = jnp.zeros((B, M, T), I32)
     O_im = jnp.zeros((B, M, T, 16), I32)
 
-    myv = jnp.arange(M, dtype=I32)
+    myv = jnp.arange(M, dtype=I32) + row_offset     # global row ids
     htv = myv > 0
 
     def step(t, carry):
@@ -446,10 +476,10 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
 
         # ---- luma context from the skewed recon state ----
         win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0), (B, M, 3, 16, 16))
-        tl_t = _shift_down(win[:, :, 0], 0)
-        top_t = _shift_down(win[:, :, 1], 0)
+        tl_t = shift_down(win[:, :, 0], 0)
+        top_t = shift_down(win[:, :, 1], 0)
         left_t = win[:, :, 2]
-        tr_t = _shift_down(win[:, :, 2], 0)
+        tr_t = shift_down(win[:, :, 2], 0)
         top16 = jnp.where(ht3, top_t[:, :, 15, :], 127)
         tr4 = tr_t[:, :, 15, 0:4]
         tr4 = jnp.where(lastv[None, :, None], top16[:, :, 15:16], tr4)
@@ -605,8 +635,8 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
         uwin = lax.dynamic_slice(Sk_u, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
         vwin = lax.dynamic_slice(Sk_v, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
         cwin = jnp.concatenate([uwin, vwin], axis=0)
-        tl_c = _shift_down(cwin[:, :, 0], 0)
-        top_c = _shift_down(cwin[:, :, 1], 0)
+        tl_c = shift_down(cwin[:, :, 0], 0)
+        top_c = shift_down(cwin[:, :, 1], 0)
         left_c = cwin[:, :, 2]
         top8 = jnp.where(ht3, top_c[:, :, 7, :], 127)
         left8 = jnp.where(hl3, left_c[:, :, :, 7], 129)
@@ -631,7 +661,7 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
             # UV DC error diffusion (CorrectDCValues): 2x2 chain per
             # channel with carried top/left errors — bit-identical to
             # the native host encoder.
-            dtop = _shift_down(lax.dynamic_slice(
+            dtop = shift_down(lax.dynamic_slice(
                 Sk_dt, (0, 0, t + 1, 0, 0), (B, M, 1, 2, 2))[:, :, 0], 0)
             dtop = jnp.where(htv[None, :, None, None], dtop, 0)
             dleft = lax.dynamic_slice(
@@ -710,22 +740,73 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     (Sk_y, Sk_u, Sk_v, _, _,
      O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
 
-    un = lambda O: _unskew_tiles(O, mw, mh)
-    # Narrow dtypes on-device: halves the device→host transfer.
     out = {
-        "ymode": un(O_ym).astype(jnp.uint8),
-        "uvmode": un(O_um).astype(jnp.uint8),
-        "is_i4": un(O_i4).astype(jnp.uint8),
-        "imodes": un(O_im).astype(jnp.uint8),
-        "y_levels": un(O_yl).astype(jnp.int16),
-        "y2_levels": un(O_y2).astype(jnp.int16),
-        "uv_levels": un(O_uv).astype(jnp.int16),
+        "ymode": O_ym, "uvmode": O_um, "is_i4": O_i4, "imodes": O_im,
+        "y_levels": O_yl, "y2_levels": O_y2, "uv_levels": O_uv,
     }
     if want_recon:
-        out["recon_y"] = _unskew_plane(Sk_y, mw, mh, 16)
-        out["recon_u"] = _unskew_plane(Sk_u, mw, mh, 8)
-        out["recon_v"] = _unskew_plane(Sk_v, mw, mh, 8)
+        out["recon_sk"] = (Sk_y, Sk_u, Sk_v)
     return out
+
+
+def _unskew_out(out, mw, mh, *, want_recon, row_offset0=True):
+    """Skewed impl outputs → the public per-MB contract (+ narrow
+    dtypes on-device: halves the device→host transfer).
+
+    Columns are global diagonals; with row 0 of the array = global MB
+    row 0 the standard unskew applies (sharded callers concatenate
+    shards along the row axis first, which restores that property).
+    """
+    my = jnp.arange(mh, dtype=I32)[:, None]
+    mx = jnp.arange(mw, dtype=I32)[None, :]
+    un = lambda O: O[:, my, 2 * my + mx]
+    res = {
+        "ymode": un(out["ymode"]).astype(jnp.uint8),
+        "uvmode": un(out["uvmode"]).astype(jnp.uint8),
+        "is_i4": un(out["is_i4"]).astype(jnp.uint8),
+        "imodes": un(out["imodes"]).astype(jnp.uint8),
+        "y_levels": un(out["y_levels"]).astype(jnp.int16),
+        "y2_levels": un(out["y2_levels"]).astype(jnp.int16),
+        "uv_levels": un(out["uv_levels"]).astype(jnp.int16),
+    }
+    if want_recon:
+        Sk_y, Sk_u, Sk_v = out["recon_sk"]
+        res["recon_y"] = _unskew_plane(Sk_y, mw, mh, 16)
+        res["recon_u"] = _unskew_plane(Sk_u, mw, mh, 8)
+        res["recon_v"] = _unskew_plane(Sk_v, mw, mh, 8)
+    return res
+
+
+@partial(jax.jit, static_argnames=("try_i4", "want_recon", "use_derr"))
+def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
+                          try_i4: bool, i4_penalty=0, modes=None,
+                          want_recon: bool = False, use_derr: bool = False):
+    """Exact closed-loop batched dense encode (i16 + optional i4).
+
+    y: (B, H16, W16) int32; u, v: (B, H16//2, W16//2) int32.
+    seg_map: (B, mh, mw) int32 per-MB segment ids (zeros if unused).
+    qsteps: (B, 4, 6) int32 per-image per-segment quant steps
+    (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) — traced, so batches whose
+    images carry different segment deltas share one compilation.
+    tables: (p0, p1, val) int32 token-cost tables (rate_jax layout).
+    i4_penalty: static int or (B, 4) per-segment RD lambdas.
+    Returns per-MB tensors bit-identical to the host encoder
+    (wtpu_vp8_encode_frame) under the same parameters.
+
+    ``modes`` (hybrid engine phase 2): a (ymode, uvmode, is_i4, imodes)
+    tuple of dense (B, mh, mw[, 16]) int32 decisions.  The mode search
+    and the RD rate model are skipped entirely — each step predicts
+    with the given mode, quantizes, and reconstructs, so the stream is
+    still exactly closed-loop (zero drift) at a fraction of the
+    sequential cost (the 10-candidate i4 search is what dominates the
+    full wavefront).
+    """
+    mh, mw = y.shape[1] // 16, y.shape[2] // 16
+    out = _wavefront_impl(
+        y, u, v, seg_map, qsteps, tables, try_i4=try_i4,
+        i4_penalty=i4_penalty, modes=modes, want_recon=want_recon,
+        use_derr=use_derr)
+    return _unskew_out(out, mw, mh, want_recon=want_recon)
 
 
 _ZERO_TABLES = None

@@ -76,6 +76,69 @@ def sharded_encode_plane_step(mesh: Mesh, y, u, v, *, quants):
     return jax.jit(fn)(y, u, v)
 
 
+def sharded_wavefront_encode(mesh: Mesh, y, u, v, seg_map, qsteps, tables,
+                             *, try_i4: bool, i4_penalty=0,
+                             use_derr: bool = False):
+    """The EXACT closed-loop wavefront tile-sharded over MB rows.
+
+    Batch shards over "data"; the image's MB ROWS shard over "tile".
+    Per diagonal step, the only cross-shard inputs are the row-shift
+    context reads (one reconstructed MB edge strip: 16 px luma + 8 px
+    chroma rows + the DC-diffusion pairs), exchanged with lax.ppermute
+    over ICI inside the step — SURVEY §2.10's halo-exchange plan
+    applied to the sequential-exact engine, so a single huge image can
+    use every device on the mesh.  Bit-identical to the single-device
+    `encode_wavefront_core` (asserted by tests and the multichip
+    dryrun).
+    """
+    from ..ops.encode_wavefront_jax import _unskew_out, _wavefront_impl
+
+    tile_n = mesh.devices.shape[mesh.axis_names.index("tile")]
+    B, H, W = y.shape
+    mh, mw = H // 16, W // 16
+    if mh % tile_n:
+        raise ValueError(f"mb_h={mh} not divisible by tile axis {tile_n}")
+
+    def body(y, u, v, seg, qs, pen, t0, t1, t2):
+        return _wavefront_impl(
+            y, u, v, seg, qs, (t0, t1, t2), try_i4=try_i4, i4_penalty=pen,
+            use_derr=use_derr, axis_name="tile", mb_h_global=mh,
+            n_shards=tile_n)
+
+    pen_arr = jnp.asarray(i4_penalty, jnp.int32)
+    if pen_arr.ndim == 0:
+        pen = jnp.full((B, 4), pen_arr, jnp.int32)
+    elif pen_arr.ndim == 1:
+        pen = jnp.broadcast_to(pen_arr[None], (B, 4))
+    else:
+        pen = pen_arr
+    specs_in = (
+        P("data", "tile", None),          # y (rows sharded)
+        P("data", "tile", None),
+        P("data", "tile", None),
+        P("data", "tile", None),          # seg_map (mh, mw)
+        P("data", None, None),            # qsteps
+        P("data", None),                  # penalties
+        P(), P(), P(),                    # tables replicated
+    )
+    sk = P("data", "tile", None)
+    specs_out = {
+        "ymode": sk, "uvmode": sk, "is_i4": sk,
+        "imodes": P("data", "tile", None, None),
+        "y_levels": P("data", "tile", None, None, None),
+        "y2_levels": P("data", "tile", None, None),
+        "uv_levels": P("data", "tile", None, None, None),
+    }
+    try:
+        fn = shard_map(body, mesh=mesh, in_specs=specs_in,
+                       out_specs=specs_out, check_vma=False)
+    except TypeError:  # pragma: no cover - pre-0.8 jax kwarg
+        fn = shard_map(body, mesh=mesh, in_specs=specs_in,
+                       out_specs=specs_out, check_rep=False)
+    out = jax.jit(fn)(y, u, v, seg_map, qsteps, pen, *tables)
+    return _unskew_out(out, mw, mh, want_recon=False)
+
+
 def _flat_batch_axes(mesh: Mesh) -> tuple:
     """All mesh axes as one flattened batch dimension."""
     return tuple(mesh.axis_names)

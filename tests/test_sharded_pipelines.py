@@ -73,3 +73,42 @@ def test_sharded_vp8l_inverse_matches_unsharded():
         want = np.asarray(add_green_inverse(
             predictor_inverse(res[k], modes, bits)))
         np.testing.assert_array_equal(got[k], want)
+
+
+def test_sharded_wavefront_bit_exact():
+    """The exact closed-loop wavefront row-sharded over the 'tile' axis
+    (per-step ppermute halos of the recon edge strips + DC-diffusion
+    pairs) must equal the single-device engine bit for bit — i4 search,
+    segmentation, per-segment lambdas and error diffusion all on.
+    VERDICT r2 item 4: a single huge image can use every device on the
+    exact path."""
+    import jax.numpy as jnp
+
+    from gowebp_tpu.models.vp8.encoder import (
+        _default_cost_tables, _i4_config_seg, make_quants, quality_to_q)
+    from gowebp_tpu.ops.encode_wavefront_jax import encode_wavefront_core
+    from gowebp_tpu.parallel.shard import sharded_wavefront_encode
+
+    rng = np.random.default_rng(21)
+    B, H, W = 2, 128, 80          # mb_h = 8 rows over 4 row shards
+    y = rng.integers(0, 256, (B, H, W)).astype(np.int32)
+    u = rng.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+    v = rng.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+    q = make_quants(quality_to_q(75.0))
+    row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                    q.uv_dc.q, q.uv_ac.q], np.int32)
+    qs = np.broadcast_to(row, (B, 4, 6)).copy()
+    seg = rng.integers(0, 4, (B, H // 16, W // 16)).astype(np.int32)
+    tables = tuple(jnp.asarray(t.astype(np.int32))
+                   for t in _default_cost_tables())
+    _, pens = _i4_config_seg(qs[0], 4, 0)
+    pens = np.broadcast_to(pens, (B, 4)).copy()
+    want = encode_wavefront_core(y, u, v, seg, qs, tables, try_i4=True,
+                                 i4_penalty=pens, use_derr=True)
+    mesh = make_mesh(8, data=2, tile=4)
+    got = sharded_wavefront_encode(mesh, y, u, v, seg, qs, tables,
+                                   try_i4=True, i4_penalty=pens,
+                                   use_derr=True)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]),
+                                      np.asarray(got[k]), err_msg=k)
