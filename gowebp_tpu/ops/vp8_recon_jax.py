@@ -330,30 +330,80 @@ def _unskew_plane(Sk, mb_w, mb_h, size):
 # Reconstruction wavefront (skewed)
 # ---------------------------------------------------------------------------
 
-def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h):
+def _halo_shifts(axis_name, n_shards):
+    """(shift_down, shift_up) row-shift helpers; ppermute halos under
+    shard_map along ``axis_name`` (MB-row sharding), plain shifts
+    otherwise."""
+    if axis_name is None:
+        def shift_up(x, last_rows):
+            return jnp.concatenate([x[:, 1:], last_rows], axis=1)
+
+        return _shift_down, shift_up
+
+    down_perm = [(i, i + 1) for i in range(n_shards - 1)]
+    up_perm = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def shift_down(x, fill):
+        shifted = _shift_down(x, fill)
+        prev_last = lax.ppermute(x[:, -1:], axis_name, down_perm)
+        first = lax.axis_index(axis_name) == 0
+        row0 = jnp.where(first, jnp.full_like(prev_last, fill), prev_last)
+        return shifted.at[:, 0:1].set(row0)
+
+    def shift_up(x, last_rows):
+        next_first = lax.ppermute(x[:, :1], axis_name, up_perm)
+        last = lax.axis_index(axis_name) == n_shards - 1
+        tail = jnp.where(last, last_rows, next_first)
+        return jnp.concatenate([x[:, 1:], tail], axis=1)
+
+    return shift_down, shift_up
+
+
+def _skew_rows(arr, mb_w, mh_local, T, row_offset):
+    """(B, mh_local*mb_w, ...) per-MB tensors → (B, mh_local, T, ...)
+    with GLOBAL diagonal columns (col = 2*(my+row_offset) + mx)."""
+    my = jnp.arange(mh_local, dtype=I32)[:, None]
+    mx = jnp.clip(jnp.arange(T, dtype=I32)[None, :]
+                  - 2 * (my + row_offset), 0, mb_w - 1)
+    return arr.reshape((arr.shape[0], mh_local, mb_w)
+                       + arr.shape[2:])[:, my, mx]
+
+
+def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h,
+                    axis_name=None, mb_h_global=None, n_shards=1):
     """Intra-predict + add residuals over the MB anti-diagonal wavefront.
 
     Inputs are per-MB tensors (B, N, ...); returns skewed tile arrays
     (Sk_y (B,mb_h,T+3,16,16), Sk_u, Sk_v (…,8,8)) int32.
+
+    With ``axis_name`` (inside shard_map over MB-row shards) the
+    row-shift context reads become ppermute halo exchanges; columns are
+    global diagonals so every shard runs the same program.
     """
     B = Yres.shape[0]
     M = mb_h
-    T = num_diagonals(mb_w, mb_h)
-    flat, _valid = _skew_index(mb_w, mb_h)
+    mhg = mb_h_global if mb_h_global is not None else mb_h
+    T = num_diagonals(mb_w, mhg)
+    if axis_name is not None:
+        row_offset = lax.axis_index(axis_name).astype(I32) * mb_h
+    else:
+        row_offset = jnp.int32(0)
+    _shift, _ = _halo_shifts(axis_name, n_shards)
 
     # One-time skew of all per-MB inputs (parallel gathers).
-    Yres_sk = Yres[:, flat]                        # (B, M, T, 16, 16)
-    Ures_sk = Ures[:, flat]
-    Vres_sk = Vres[:, flat]
-    is4_sk = is_i4[:, flat]                        # (B, M, T)
-    im_sk = imodes[:, flat]                        # (B, M, T, 16)
-    uv_sk = uvmode[:, flat]
+    sk = lambda a: _skew_rows(a, mb_w, M, T, row_offset)
+    Yres_sk = sk(Yres)                             # (B, M, T, 16, 16)
+    Ures_sk = sk(Ures)
+    Vres_sk = sk(Vres)
+    is4_sk = sk(is_i4)                             # (B, M, T)
+    im_sk = sk(imodes)                             # (B, M, T, 16)
+    uv_sk = sk(uvmode)
 
     Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
     Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
     Sk_v = jnp.zeros((B, M, T + 3, 8, 8), I32)
 
-    myv = jnp.arange(M, dtype=I32)
+    myv = jnp.arange(M, dtype=I32) + row_offset
     htv = myv > 0                                   # (M,)
 
     def step(t, carry):
@@ -364,10 +414,10 @@ def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h):
 
         # Logical columns t-3(TL), t-2(top), t-1(left/TR) = array t..t+2.
         win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0), (B, M, 3, 16, 16))
-        tl_t = _shift_down(win[:, :, 0], 0)         # TL tile at row my-1
-        top_t = _shift_down(win[:, :, 1], 0)        # top tile at row my-1
+        tl_t = _shift(win[:, :, 0], 0)              # TL tile at row my-1
+        top_t = _shift(win[:, :, 1], 0)             # top tile at row my-1
         left_t = win[:, :, 2]                       # left tile at row my
-        tr_t = _shift_down(win[:, :, 2], 0)         # top-right tile (my-1)
+        tr_t = _shift(win[:, :, 2], 0)              # top-right tile (my-1)
 
         ht3 = htv[None, :, None]
         hl3 = hlv[None, :, None]
@@ -429,8 +479,8 @@ def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h):
                                  (B, M, 1, 8, 8))[:, :, 0]
         cwin = jnp.concatenate([uwin, vwin], axis=0)
         cres = jnp.concatenate([ures, vres], axis=0)
-        tl_c = _shift_down(cwin[:, :, 0], 0)
-        top_c = _shift_down(cwin[:, :, 1], 0)
+        tl_c = _shift(cwin[:, :, 0], 0)
+        top_c = _shift(cwin[:, :, 1], 0)
         left_c = cwin[:, :, 2]
         top8 = jnp.where(ht3, top_c[:, :, 7, :], 127)
         left8 = jnp.where(hl3, left_c[:, :, :, 7], 129)
@@ -563,23 +613,35 @@ def _edge_v(w, row, c0, c1, params, mask, edge, simple):
 
 
 def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
-                          mb_w, mb_h, filter_type):
+                          mb_w, mb_h, filter_type,
+                          axis_name=None, mb_h_global=None, n_shards=1):
     """In-loop deblocking over the same slope-2 wavefront, in place.
 
     fparams: int32 (B, mb_h, mb_w, 4) = [limit, ilevel, hev_t, inner];
     limit < 0 disables the MB.  filter_type: 1 = simple (luma only),
     2 = complex (luma + chroma).
+
+    Under MB-row sharding the filtered bottom rows of each shard's top
+    tile flow back to the shard above with a reverse ppermute (the
+    filter's only up-going write), and the context reads use the same
+    down-halo as reconstruction.
     """
     if filter_type == 0:
         return Sk_y, Sk_u, Sk_v
     B = Sk_y.shape[0]
     M = mb_h
-    T = num_diagonals(mb_w, mb_h)
+    mhg = mb_h_global if mb_h_global is not None else mb_h
+    T = num_diagonals(mb_w, mhg)
     simple = filter_type == 1
-    flat, _ = _skew_index(mb_w, mb_h)
-    fp_sk = fparams.reshape(B, mb_h * mb_w, 4)[:, flat]      # (B,M,T,4)
+    if axis_name is not None:
+        row_offset = lax.axis_index(axis_name).astype(I32) * mb_h
+    else:
+        row_offset = jnp.int32(0)
+    _shift, _shift_up = _halo_shifts(axis_name, n_shards)
+    fp_sk = _skew_rows(fparams.reshape(B, mb_h * mb_w, 4), mb_w, M, T,
+                       row_offset)                           # (B,M,T,4)
 
-    myv = jnp.arange(M, dtype=I32)
+    myv = jnp.arange(M, dtype=I32) + row_offset
     htv = myv > 0
 
     def step(t, carry):
@@ -602,7 +664,7 @@ def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
 
         # ---- luma: window (B,M,20,20); tile at [4:20, 4:20] ----
         win = lax.dynamic_slice(Sk_y, (0, 0, t + 1, 0, 0), (B, M, 3, 16, 16))
-        top_t = _shift_down(win[:, :, 0], 0)                 # col t+1, row my-1
+        top_t = _shift(win[:, :, 0], 0)                      # col t+1, row my-1
         left_t = win[:, :, 1]                                # col t+2, row my
         self_t = win[:, :, 2]                                # col t+3, row my
         w = jnp.zeros((B, M, 20, 20), I32)
@@ -624,8 +686,7 @@ def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
             Sk_y, w[:, :, None, 4:20, 4:20], (0, 0, t + 3, 0, 0))
         Sk_y = lax.dynamic_update_slice(
             Sk_y, w[:, :, None, 4:20, 0:4], (0, 0, t + 2, 0, 12))
-        bot = jnp.concatenate(
-            [w[:, 1:, 0:4, 4:20], win[:, -1:, 0, 12:16, :]], axis=1)
+        bot = _shift_up(w[:, :, 0:4, 4:20], win[:, -1:, 0, 12:16, :])
         Sk_y = lax.dynamic_update_slice(
             Sk_y, bot[:, :, None], (0, 0, t + 1, 12, 0))
 
@@ -636,7 +697,7 @@ def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
         cwu = lax.dynamic_slice(Sk_u, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
         cwv = lax.dynamic_slice(Sk_v, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
         cw = jnp.concatenate([cwu, cwv], axis=0)
-        ctop = _shift_down(cw[:, :, 0], 0)
+        ctop = _shift(cw[:, :, 0], 0)
         cleft = cw[:, :, 1]
         cself = cw[:, :, 2]
         v = jnp.zeros((2 * B, M, 12, 12), I32)
@@ -659,8 +720,7 @@ def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
                 Sk, v[:, :, None, 4:12, 4:12], (0, 0, t + 3, 0, 0))
             Sk = lax.dynamic_update_slice(
                 Sk, v[:, :, None, 4:12, 0:4], (0, 0, t + 2, 0, 4))
-            cbot = jnp.concatenate(
-                [v[:, 1:, 0:4, 4:12], cw[:, -1:, 0, 4:8, :]], axis=1)
+            cbot = _shift_up(v[:, :, 0:4, 4:12], cw[:, -1:, 0, 4:8, :])
             return lax.dynamic_update_slice(
                 Sk, cbot[:, :, None], (0, 0, t + 1, 4, 0))
 

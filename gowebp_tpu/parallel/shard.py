@@ -139,6 +139,67 @@ def sharded_wavefront_encode(mesh: Mesh, y, u, v, seg_map, qsteps, tables,
     return _unskew_out(out, mw, mh, want_recon=False)
 
 
+def sharded_recon_frame(mesh: Mesh, coeffs, is_i4, imodes, uvmode, fparams,
+                        *, mb_w, mb_h, filter_type):
+    """The decode reconstruction + loop filter tile-sharded over MB rows.
+
+    Same halo structure as sharded_wavefront_encode for the recon pass;
+    the loop filter additionally sends each shard's filtered top-edge
+    rows back to the shard above with a reverse ppermute.  Bit-identical
+    to the single-device `recon_frame`.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.vp8_recon_jax import (
+        I32, _unskew_plane, loop_filter_wavefront, recon_wavefront,
+        residual_blocks)
+
+    tile_n = mesh.devices.shape[mesh.axis_names.index("tile")]
+    if mb_h % tile_n:
+        raise ValueError(f"mb_h={mb_h} not divisible by tile axis {tile_n}")
+    mh_local = mb_h // tile_n
+
+    def body(c3, is3, im3, uv3, fp):
+        nl = mh_local * mb_w
+        B_l = c3.shape[0]
+        coeffs_l = c3.reshape(B_l, nl, 24, 16)
+        Yres, Ures, Vres = residual_blocks(coeffs_l.astype(I32))
+        sk = recon_wavefront(
+            Yres, Ures, Vres,
+            is3.reshape(B_l, nl).astype(I32),
+            im3.reshape(B_l, nl, 16).astype(I32),
+            uv3.reshape(B_l, nl).astype(I32),
+            mb_w=mb_w, mb_h=mh_local,
+            axis_name="tile", mb_h_global=mb_h, n_shards=tile_n)
+        return loop_filter_wavefront(
+            *sk, fp, mb_w=mb_w, mb_h=mh_local, filter_type=filter_type,
+            axis_name="tile", mb_h_global=mb_h, n_shards=tile_n)
+
+    row3 = P("data", "tile", None)
+    specs_in = (row3, row3, row3, row3, P("data", "tile", None, None))
+    sk_spec = P("data", "tile", None, None, None)
+    specs_out = (sk_spec, sk_spec, sk_spec)
+    try:
+        fn = shard_map(body, mesh=mesh, in_specs=specs_in,
+                       out_specs=specs_out, check_vma=False)
+    except TypeError:  # pragma: no cover - pre-0.8 jax kwarg
+        fn = shard_map(body, mesh=mesh, in_specs=specs_in,
+                       out_specs=specs_out, check_rep=False)
+    B = coeffs.shape[0]
+    # Row-major N axis made explicit so rows shard over 'tile'.
+    Sk_y, Sk_u, Sk_v = jax.jit(fn)(
+        jnp.asarray(coeffs).reshape(B, mb_h, mb_w * 24 * 16),
+        jnp.asarray(is_i4).reshape(B, mb_h, mb_w),
+        jnp.asarray(imodes).reshape(B, mb_h, mb_w * 16),
+        jnp.asarray(uvmode).reshape(B, mb_h, mb_w),
+        jnp.asarray(fparams).reshape(B, mb_h, mb_w, 4),
+    )
+    Y = _unskew_plane(Sk_y, mb_w, mb_h, 16).astype(jnp.uint8)
+    U = _unskew_plane(Sk_u, mb_w, mb_h, 8).astype(jnp.uint8)
+    V = _unskew_plane(Sk_v, mb_w, mb_h, 8).astype(jnp.uint8)
+    return Y, U, V
+
+
 def _flat_batch_axes(mesh: Mesh) -> tuple:
     """All mesh axes as one flattened batch dimension."""
     return tuple(mesh.axis_names)

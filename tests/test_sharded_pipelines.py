@@ -112,3 +112,37 @@ def test_sharded_wavefront_bit_exact():
     for k in want:
         np.testing.assert_array_equal(np.asarray(want[k]),
                                       np.asarray(got[k]), err_msg=k)
+
+
+def test_sharded_recon_frame_bit_exact():
+    """Decode reconstruction + complex loop filter row-sharded over
+    'tile' (down-halos for prediction context, a reverse ppermute for
+    the filter's up-going edge write-back) == single-device recon_frame
+    bit for bit."""
+    from gowebp_tpu.models.vp8.decoder import (decode_vp8_symbols,
+                                               vp8_filter_params)
+    from gowebp_tpu.ops.vp8_recon_jax import recon_frame
+    from gowebp_tpu.parallel.shard import sharded_recon_frame
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (128, 80, 3), dtype=np.uint8)
+    data = encode_rgba(img, config=EncoderConfig(lossless=False,
+                                                 quality=60.0))
+    payload = parse_riff(data).find(CHUNK_VP8).payload
+    st, coeffs, modes = decode_vp8_symbols(payload)
+    fps = vp8_filter_params(st, modes)
+    B = 2
+    cb = np.broadcast_to(coeffs, (B,) + coeffs.shape).copy()
+    mb = np.broadcast_to(modes, (B,) + modes.shape).copy()
+    fb = np.broadcast_to(fps, (B,) + fps.shape).copy()
+    args = (cb, mb[:, :, 0].astype(np.int32),
+            mb[:, :, 5:21].astype(np.int32), mb[:, :, 1].astype(np.int32),
+            fb)
+    kw = dict(mb_w=st.mb_w, mb_h=st.mb_h, filter_type=st.filter_type)
+    assert st.filter_type == 2      # complex filter exercises all halos
+    want = recon_frame(*args, **kw)
+    mesh = make_mesh(8, data=2, tile=4)
+    got = sharded_recon_frame(mesh, *args, **kw)
+    for w, g, name in zip(want, got, "YUV"):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                      err_msg=name)
