@@ -250,5 +250,20 @@ def _configure(lib) -> None:
         i16p, u8p,                            # coeffs_out, modes_out
     ]
 
+    lib.wtpu_vp8_decode_symbols_batch.restype = c.c_int
+    lib.wtpu_vp8_decode_symbols_batch.argtypes = [
+        c.c_int,                              # n_img
+        u8p, u64p,                            # p0_all, p0_off
+        u64p, u32p, u32p, u32p,               # p0 pos/value/range/bitcount
+        u8p, u64p,                            # parts_all, parts_off
+        u64p, i32p,                           # part_bounds, part_bounds_off
+        i32p,                                 # num_parts
+        i32p, i32p,                           # mb_dims, hdr_flags
+        u8p, u8p, i32p,                       # seg_probs, coeff_probs, quants
+        i16p, u64p,                           # coeffs_all, coeffs_off
+        u8p, u64p,                            # modes_all, modes_off
+        i32p,                                 # rc_out
+    ]
+
 
 __all__ = ["get_lib", "available"]

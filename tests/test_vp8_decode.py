@@ -104,3 +104,53 @@ class TestDithering:
         v = v - (1 << 32) if v & 0x80000000 else v
         expect = ((v >> 24) * 255 >> 8) + 128
         assert rg.bits2(8, 255) == expect
+
+
+class TestBatchSymbolDecode:
+    """Interleaved multi-stream symbol decode == per-image oracle."""
+
+    def _payloads(self):
+        from gowebp_tpu.config import EncoderConfig
+        from gowebp_tpu.constants import CHUNK_VP8
+        from gowebp_tpu.container.riff import parse_riff
+        from gowebp_tpu.encode import encode_rgba
+
+        payloads = []
+        # libwebp-encoded (single partition)
+        for q in (30, 75):
+            data = pil_encode_lossy(IMAGES["photo"][..., :3].copy(),
+                                    quality=q)
+            payloads.append(parse_riff(data).find(CHUNK_VP8).payload)
+        # our encoder: multi-partition / segments / method sweep
+        rng = np.random.default_rng(11)
+        for q, m, parts, segs, sz in [(75, 4, 3, 4, 160), (30, 2, 2, 1, 96),
+                                      (95, 6, 1, 4, 128), (10, 0, 0, 2, 80)]:
+            im = np.clip(rng.normal(128, 40, (sz, sz + 16, 3)),
+                         0, 255).astype(np.uint8)
+            cfg = EncoderConfig(lossless=False, quality=float(q), method=m,
+                                partitions=parts, segments=segs)
+            data = encode_rgba(im, config=cfg)
+            payloads.append(parse_riff(data).find(CHUNK_VP8).payload)
+        return payloads
+
+    def test_matches_per_image_decode(self):
+        from gowebp_tpu.models.vp8.decoder import (decode_vp8_symbols,
+                                                   decode_vp8_symbols_batch)
+
+        payloads = self._payloads()
+        got = decode_vp8_symbols_batch(payloads)
+        for i, p in enumerate(payloads):
+            st, coeffs, modes = decode_vp8_symbols(p)
+            st2, c2, m2 = got[i]
+            assert (st2.mb_w, st2.mb_h) == (st.mb_w, st.mb_h)
+            np.testing.assert_array_equal(coeffs, c2, err_msg=f"img {i}")
+            np.testing.assert_array_equal(modes, m2, err_msg=f"img {i}")
+
+    def test_truncated_stream_fails_cleanly(self):
+        from gowebp_tpu.errors import BitstreamError
+        from gowebp_tpu.models.vp8.decoder import decode_vp8_symbols_batch
+
+        payloads = self._payloads()
+        bad = payloads[0][: len(payloads[0]) // 3]
+        with pytest.raises(BitstreamError):
+            decode_vp8_symbols_batch([bad])
