@@ -128,6 +128,52 @@ def decode_rgba(data: bytes, config: DecoderConfig | None = None) -> np.ndarray:
     return decode(data, config, "RGBA")
 
 
+_MODE_CHANNELS = {"RGBA": 4, "BGRA": 4, "ARGB": 4, "RGB": 3, "BGR": 3,
+                  "rgbA": 4, "bgrA": 4, "Argb": 4,
+                  "RGB_565": 2, "RGBA_4444": 2, "rgbA_4444": 2}
+
+
+def decode_into(data: bytes, out: np.ndarray,
+                config: DecoderConfig | None = None,
+                mode: str | None = None) -> np.ndarray:
+    """Decode into a caller-owned (possibly strided) output buffer.
+
+    Equivalent surface: external-memory WebPDecBuffer decode
+    (/root/reference/pkg/libwebp/decoder/buffer_dec.c.go:195
+    ``WebPAllocateDecBuffer`` with is_external_memory, and the
+    WebPDecodeRGBAInto family): the caller provides the destination —
+    any uint8 array view works, including a window into a larger frame
+    buffer (arbitrary row stride), so a zero-copy ML-ingest pipeline
+    can decode straight into its batch tensor slot.
+
+    ``out`` must be (H, W, C) uint8 with H/W matching the decoded
+    output under ``config`` (after any crop/scale) and C matching
+    ``mode`` (default: RGBA for C=4, RGB for C=3).  Returns ``out``.
+    """
+    out = np.asanyarray(out)
+    if out.dtype != np.uint8 or out.ndim != 3:
+        raise ValueError("out must be an (H, W, C) uint8 array")
+    if mode is None:
+        if out.shape[2] == 4:
+            mode = "RGBA"
+        elif out.shape[2] == 3:
+            mode = "RGB"
+        else:
+            raise ValueError("packed modes need an explicit mode=")
+    want_c = _MODE_CHANNELS.get(mode)
+    if want_c is None:
+        raise ValueError(f"bad mode {mode!r}")
+    if out.shape[2] != want_c:
+        raise ValueError(
+            f"out has {out.shape[2]} channels, mode {mode} needs {want_c}")
+    result = decode(data, config, mode)
+    if result.shape != out.shape:
+        raise ValueError(
+            f"out shape {out.shape} != decoded shape {result.shape}")
+    np.copyto(out, result)
+    return out
+
+
 def decode_rgb(data: bytes, config: DecoderConfig | None = None) -> np.ndarray:
     return decode(data, config, "RGB")
 
@@ -166,20 +212,42 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     """
     import concurrent.futures as cf
 
-    from .models.vp8.decoder import (decode_vp8_symbols, decode_vp8_yuv,
-                                     vp8_filter_params)
+    from .models.vp8.decoder import (decode_vp8_symbols,
+                                     decode_vp8_symbols_batch,
+                                     decode_vp8_yuv, vp8_filter_params)
 
     use_jax_recon = use_tpu and recon_backend == "jax"
 
-    def host_one(data):
+    def classify(i, data):
+        """Cheap container probe: route each file to its host engine."""
         parsed = parse_riff(data)
         vp8 = parsed.find(CHUNK_VP8)
         if not use_tpu:
-            return ("full", decode_rgba(data))
+            return ("full", i, data, None)
         if vp8 is None:
             vp8l = parsed.find(CHUNK_VP8L)
             if vp8l is None:
-                return ("full", decode_rgba(data))
+                return ("full", i, data, None)
+            return ("vp8l", i, vp8l.payload, None)
+        alpha = parsed.find(CHUNK_ALPHA)
+        if use_jax_recon:
+            return ("vp8", i, vp8.payload,
+                    alpha.payload if alpha else None)
+        if alpha is not None:
+            return ("full", i, data, None)
+        return ("planes", i, vp8.payload, None)
+
+    routed = [classify(i, d) for i, d in enumerate(datas)]
+    vp8_items = [(i, p, a) for kind, i, p, a in routed if kind == "vp8"]
+    other = [(kind, i, p) for kind, i, p, _ in routed if kind != "vp8"]
+
+    workers = threads if threads > 0 else min(8, max(1, len(datas)))
+
+    def other_one(item):
+        kind, i, payload = item
+        if kind == "full":
+            return (i, "full", decode_rgba(payload))
+        if kind == "vp8l":
             # VP8L: the sequential Huffman + inverse-transform phases run
             # here (native, GIL-released, parallel across images); only
             # the embarrassingly-parallel ARGB→RGBA conversion batches
@@ -188,34 +256,47 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
             # right engine for it.
             from .models.vp8l.decoder import decode_vp8l
 
-            return ("rgba", decode_vp8l(vp8l.payload))
-        alpha = parsed.find(CHUNK_ALPHA)
-        if use_jax_recon:
-            st, coeffs, modes = decode_vp8_symbols(vp8.payload)
-            alpha_plane = None
-            if alpha is not None:
-                from .models.vp8.alpha import decode_alpha
+            return (i, "rgba", decode_vp8l(payload))
+        return (i, "planes", decode_vp8_yuv(payload))
 
-                alpha_plane = decode_alpha(alpha.payload, st.width,
-                                           st.height)
-            return ("syms", (st, coeffs, modes, vp8_filter_params(st, modes),
-                             alpha_plane))
-        if alpha is not None:
-            return ("full", decode_rgba(data))
-        return ("planes", decode_vp8_yuv(vp8.payload))
+    def vp8_group(items):
+        """One interleaved-engine call decodes a whole group of VP8
+        streams in a single thread (the engine overlaps their bitstream
+        chains itself); alpha planes ride alongside."""
+        from .models.vp8.alpha import decode_alpha
 
-    workers = threads if threads > 0 else min(8, max(1, len(datas)))
-    if workers <= 1 or len(datas) <= 1:
-        host = [host_one(d) for d in datas]
+        syms = decode_vp8_symbols_batch([p for _, p, _ in items])
+        out = []
+        for (i, _, ap), (st, coeffs, modes) in zip(items, syms):
+            alpha_plane = (decode_alpha(ap, st.width, st.height)
+                           if ap is not None else None)
+            out.append((i, "syms", (st, coeffs, modes,
+                                    vp8_filter_params(st, modes),
+                                    alpha_plane)))
+        return out
+
+    host = []
+    # One engine call per thread; each engine interleaves its whole
+    # group of bitstreams itself, so a handful of threads suffices.
+    ng = min(workers, max(1, len(vp8_items) // 4))
+    if workers <= 1 or (ng <= 1 and not other):
+        if vp8_items:
+            host.extend(vp8_group(vp8_items))
+        host.extend(other_one(it) for it in other)
     else:
         with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-            host = list(pool.map(host_one, datas))
+            groups = [vp8_items[g::ng] for g in range(ng)] if vp8_items else []
+            futs = [pool.submit(vp8_group, g) for g in groups]
+            other_res = list(pool.map(other_one, other))
+            for f in futs:
+                host.extend(f.result())
+            host.extend(other_res)
 
     results = [None] * len(datas)
     planes_groups = {}
     syms_groups = {}
     rgba_groups = {}
-    for i, (kind, val) in enumerate(host):
+    for i, kind, val in host:
         if kind == "full":
             results[i] = val
         elif kind == "rgba":
@@ -308,6 +389,7 @@ def features(data: bytes) -> WebPFeatures:
 
 __all__ = [
     "decode",
+    "decode_into",
     "decode_rgba",
     "decode_rgb",
     "decode_yuv",

@@ -1483,6 +1483,41 @@ void wtpu_yuv_to_rgba_fancy(const uint8_t* yp, const uint8_t* up,
 // modes_out: uint8 [mb_h*mb_w][21]: [0]=is_i4, [1]=uvmode, [2]=segment,
 //   [3]=skip (1 = MB fully empty), [4]=dither-eligible, [5..20]=imodes
 //   (i16 MBs: ymode replicated).
+// Coefficient-probability update block (RFC 6386 9.8-9.11): the
+// ~1100-decision tail of the frame header.  Pure-Python parsing of
+// this block costs ~1 ms per image and serializes the batch decoder's
+// thread pool on the GIL; this native twin runs it in ~10 us.
+// state: in/out [pos, value, range, bit_count]; returns use_skip<<8 |
+// skip_p packed, or -1 on exhaustion.
+int wtpu_vp8_parse_probs(
+    const uint8_t* data, uint64_t size, uint64_t* state,
+    const uint8_t* update_probs,      // [1056]
+    uint8_t* probs /* inout [1056] */) {
+  BoolDec bd;
+  bd.data = data; bd.size = size; bd.pos = state[0];
+  bd.value = (uint32_t)state[1]; bd.range = (uint32_t)state[2];
+  bd.bit_count = (int)state[3];
+  bd.flag();   // refresh_entropy_probs (always set for keyframes)
+  for (int i = 0; i < 1056; i++) {
+    if (bd.get(update_probs[i])) {
+      int v = 0;
+      for (int b = 0; b < 8; b++) v = (v << 1) | bd.flag();
+      probs[i] = (uint8_t)v;
+    }
+  }
+  int use_skip = bd.flag();
+  int skip_p = 0;
+  if (use_skip) {
+    for (int b = 0; b < 8; b++) skip_p = (skip_p << 1) | bd.flag();
+  }
+  if (bd.exhausted()) return -1;
+  state[0] = bd.pos;
+  state[1] = bd.value;
+  state[2] = bd.range;
+  state[3] = (uint64_t)bd.bit_count;
+  return (use_skip << 8) | skip_p;
+}
+
 int wtpu_vp8_decode_symbols(
     const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
     uint32_t p0_range, uint32_t p0_bitcount,

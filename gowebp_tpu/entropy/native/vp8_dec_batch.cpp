@@ -5,15 +5,16 @@
 // per decision — measured ~9 ns per decision on the single-stream
 // engine (vp8_dec.cpp get_coeffs).  This engine removes both limits:
 //
-//   1. The token grammar (RFC 6386 §13.2-13.3) is run as a *branchless
+//   1. The token grammar (RFC 6386 §13.2-13.3) runs as a *branchless
 //      DFA*: one table-driven transition per decoded bit — mask
-//      arithmetic instead of conditional branches, an always-store
-//      slot instead of a conditional coefficient store.
-//   2. Many independent bitstreams are stepped round-robin in ONE
-//      thread: each image's token partition(s) is its own stream, so
-//      the out-of-order core overlaps 4-16 dependency chains
-//      (instruction-level parallelism across images — measured
-//      2.1-2.3 ns/decision at 4 interleaved streams vs 5.5 single).
+//      arithmetic instead of conditional branches, a masked store
+//      instead of a conditional coefficient store.
+//   2. Many independent bitstreams are stepped in lockstep in ONE
+//      thread.  On AVX-512 hardware, 16 streams live in the lanes of
+//      ZMM registers and one vector step decodes one bit of each
+//      (gathered probs/transitions, scattered coefficients, vplzcntd
+//      renormalization).  A scalar round-robin fallback covers other
+//      builds.
 //   3. Multi-partition files (our own encoder emits up to 8 token
 //      partitions, the format's parallel-decode hook — reference
 //      pkg/vp8/vp8_dec.go:293 ParsePartitions) interleave *within* an
@@ -23,7 +24,7 @@
 //      parallelism comes from running engines on disjoint image sets).
 //
 // Mode parsing (partition 0) is a separate serial chain per image and
-// runs as a sequential pre-pass (~10-15% of decisions).
+// runs as a sequential pre-pass.
 //
 // Outputs are bit-identical to wtpu_vp8_decode_symbols (vp8_dec.cpp),
 // which itself is validated against the pure-Python RFC decoder and
@@ -32,6 +33,11 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512F__) && defined(__AVX512CD__) && defined(__AVX512BW__)
+#define WTPU_AVX512 1
+#include <immintrin.h>
+#endif
 
 #include "vp8_tables.h"
 
@@ -96,14 +102,24 @@ enum : uint32_t {
   L9B,      //   catN bit0 (b1=1)   p[10]
   CAT_BASE, // 23 cat-extra-bit states (3+4+5+11)
   SIGN = CAT_BASE + 23,
+  PARK,     // idle-lane trap state: loops forever, no side effects
   NSTATES,
 };
+
+// Expanded probability rows: one 40-byte row per (type, band, ctx)
+// holding the probability the DFA needs in EVERY state — grammar
+// states map into the 11 stream probs, constant states carry their
+// constants.  One gather replaces (cprob load + poff load + pb load +
+// select) and, crucially, the next step's prob can be prefetched as
+// soon as the next state is known.
+constexpr uint32_t PV_STRIDE = 40;           // NSTATES=39 rounded up
 
 struct Tables {
   uint32_t ent[NSTATES * 2];   // ns(6) adv(1) eob(1) va(8..15) vm(16..17) vb(18..19)
   uint8_t poff[NSTATES];       // index into the 11-prob row (grammar states)
   uint8_t cprob[NSTATES];      // nonzero => constant probability
-  uint16_t bandoff[17 * 3];    // (kBands[n]*3 + ctx) * 11
+  uint32_t bandoff[17 * 3];    // (kBands[n]*3 + ctx) * PV_STRIDE
+  uint32_t zz32[32];           // kZigzag widened (padded)
 };
 
 static Tables build_tables() {
@@ -112,7 +128,6 @@ static Tables build_tables() {
                 uint32_t vm, uint32_t vb) -> uint32_t {
     return ns | (adv << 6) | (eob << 7) | (va << 8) | (vm << 16) | (vb << 18);
   };
-  // state, bit -> packed transition
   t.ent[S0 * 2 + 0] = ent(S0, 0, 1, 0, 0, 0);     // EOB
   t.ent[S0 * 2 + 1] = ent(S1, 0, 0, 0, 0, 0);
   t.ent[S1 * 2 + 0] = ent(S1, 1, 0, 0, 0, 0);     // zero: n++
@@ -161,140 +176,104 @@ static Tables build_tables() {
   }
   t.ent[SIGN * 2 + 0] = ent(S0, 1, 0, 0, 0, 0);   // store, n++
   t.ent[SIGN * 2 + 1] = ent(S0, 1, 0, 0, 0, 0);
+  t.ent[PARK * 2 + 0] = ent(PARK, 0, 0, 0, 0, 0);
+  t.ent[PARK * 2 + 1] = ent(PARK, 0, 0, 0, 0, 0);
 
   t.poff[S0] = 0; t.poff[S1] = 1; t.poff[S2] = 2; t.poff[L3] = 3;
   t.poff[L4] = 4; t.poff[L5] = 5; t.poff[L6] = 6; t.poff[L7] = 7;
   t.poff[L8] = 8; t.poff[L9A] = 9; t.poff[L9B] = 10;
   t.cprob[C159] = 159; t.cprob[C165] = 165; t.cprob[C145] = 145;
-  t.cprob[SIGN] = 128;
+  t.cprob[SIGN] = 128; t.cprob[PARK] = 128;
   for (int n = 0; n <= 16; n++)
     for (int c = 0; c < 3; c++)
-      t.bandoff[n * 3 + c] = (uint16_t)((kBands[n] * 3 + c) * 11);
+      t.bandoff[n * 3 + c] = (kBands[n] * 3u + c) * PV_STRIDE;
+  for (int i = 0; i < 16; i++) t.zz32[i] = kZigzag[i];
   return t;
 }
 
 static const Tables T = build_tables();
 
+// Fill one image's expanded prob rows from its [4][8][3][11] table.
+static void expand_probs(const uint8_t* probs, uint8_t* pv) {
+  for (int ty = 0; ty < 4; ty++)
+    for (int b = 0; b < 8; b++)
+      for (int c = 0; c < 3; c++) {
+        const uint8_t* row = probs + ((ty * 8 + b) * 3 + c) * 11;
+        uint8_t* out = pv + ((ty * 8 + b) * 3 + c) * PV_STRIDE;
+        for (uint32_t s = 0; s < NSTATES; s++)
+          out[s] = T.cprob[s] ? T.cprob[s] : row[T.poff[s]];
+      }
+}
+
 // ----------------------------------------------------------------------
-// Per-image shared data and per-stream state.
+// Per-image shared data and per-stream (lane) bookkeeping.
 // ----------------------------------------------------------------------
 struct ImageCtx {
   int mb_w, mb_h, num_parts;
-  const uint8_t* coeff_probs;   // [4][8][3][11]
   const int32_t* quants;        // [4][6]
-  const uint8_t* modes;         // [n][21] from the mode pre-pass
   int use_skip;
   int16_t* coeffs_out;          // [n][24][16]
-  uint8_t* modes_out;           // [n][21] (skip/dither updated here)
-  std::vector<uint32_t> above_nz;   // per MB column
+  uint8_t* modes_out;           // [n][21] (pre-pass modes; skip/dither updated)
+  uint32_t pv_off;              // this image's base in the prob arena
+  std::vector<uint32_t> above_nz;
   std::vector<uint8_t> above_dc;
-  std::vector<int32_t> prog;        // MBs completed per row (gate)
-  std::vector<uint8_t> scratch;     // padded partition bytes
-  std::vector<uint64_t> scratch_off;
+  std::vector<int32_t> prog;    // MBs completed per row (partition gate)
   int error = 0;
-  int pending_streams = 0;
 };
 
-enum Phase : uint8_t { PH_MB_START, PH_Y2, PH_LUMA, PH_U, PH_V };
+enum Phase : uint8_t { PH_Y2, PH_LUMA, PH_U, PH_V };
 
-struct alignas(64) Stream {
-  // --- hot fields: first cache line (boolean decoder + DFA registers) ---
-  uint64_t value;
-  const uint8_t* buf;
-  const uint8_t* pb;
-  int16_t* out;
-  const uint8_t* tb_luma;       // active block's prob-table base
-  uint32_t range;
-  int32_t bits;
-  uint32_t state, n, v, nctx;
-  int32_t dq0, dq1;
-  // --- block/MB bookkeeping (slow path only) ---
-  ImageCtx* img;
-  const uint8_t* buf_start;
-  uint64_t buf_size;            // real (unpadded) size
-  int part;                     // partition index = starting row
-  int mb_x, mb_y;
-  Phase phase;
-  uint32_t bi;                  // block index within MB
-  uint32_t first;               // 0 or 1 for luma blocks
-  uint32_t tnz, lnz, lbit;      // running context bits
-  uint32_t out_t, out_l;
-  uint32_t any_nz, uv_ac;
-  uint32_t ctx_left_nz;
-  uint8_t ctx_left_dc;
-  int16_t y2tmp[16];
-  int blocked;                  // waiting on the row-above gate
-  int done;
+// Hot DFA/bool-decoder state, stored as structure-of-arrays so the
+// vector engine can load each field as one ZMM register (lane k =
+// stream k).  The scalar fallback walks the same arrays.
+struct Hot {
+  uint32_t value[16];
+  uint32_t range[16];
+  int32_t bits[16];
+  uint32_t buf_off[16];   // byte offset into the shared partition arena
+  uint32_t state[16];
+  uint32_t n[16];
+  uint32_t v[16];
+  uint32_t nctx[16];
+  uint32_t pv_off[16];    // current prob row (byte offset in prob arena)
+  uint32_t pv_base[16];   // current block type's band-0/ctx-0 row base
+  int32_t dq0[16];
+  int32_t dq1[16];
+  uint32_t prob[16];      // preloaded probability for the next step
 };
 
-// Branchless interleavable step: one boolean decision + one DFA
-// transition.  Returns nonzero when the current block finished.
-static inline uint32_t step(Stream& st) {
-  if (st.bits < 0) {
-    uint64_t in;
-    std::memcpy(&in, st.buf, 8);
-    st.buf += 7;
-    st.value = (__builtin_bswap64(in) >> 8) | (st.value << 56);
-    st.bits += 56;
-  }
-  // Everything below is mask/select arithmetic on purpose: any
-  // data-dependent ternary that gcc turns into a conditional branch
-  // mispredicts ~50% of the time and collapses the interleaving win
-  // (measured 8x slower with branchy selects).
-  const uint32_t sidx = st.state;
-  const uint32_t cp = T.cprob[sidx];
-  const uint32_t gp = st.pb[T.poff[sidx]];
-  const uint32_t cmask = 0 - (uint32_t)(cp != 0);
-  const uint32_t prob = (cp & cmask) | (gp & ~cmask);
-  // boolean decode
-  const int pos = st.bits;
-  const uint32_t split = (st.range * prob) >> 8;
-  const uint32_t vv = (uint32_t)(st.value >> pos) & 0xff;
-  const uint32_t bit = vv > split;
-  const uint64_t mask = 0 - (uint64_t)bit;
-  const uint32_t r_sel = (split + 1) + ((uint32_t)mask & (st.range - 2 * split - 1));
-  st.value -= (((uint64_t)split + 1) & mask) << pos;
-  const int shift = 7 ^ (31 - __builtin_clz(r_sel));
-  st.bits = pos - shift;
-  st.range = (r_sel << shift) - 1;
-  // DFA transition
-  const uint32_t e = T.ent[sidx * 2 + bit];
-  const uint32_t adv = (e >> 6) & 1;
-  const uint32_t eob = (e >> 7) & 1;
-  const uint32_t va = (e >> 8) & 255;
-  const uint32_t vm = (e >> 16) & 3;
-  const uint32_t vb = (e >> 18) & 3;
-  const uint32_t vold = st.v;     // SIGN stores the PRE-transition value
-  st.v = vold * vm + bit * vb + va;
-  const uint32_t is_s2 = 0 - (uint32_t)(sidx == S2);
-  st.nctx = ((1 + bit) & is_s2) | (st.nctx & ~is_s2);
-  const uint32_t n = st.n;
-  // Unconditional masked store: out[zz[n]] is written at most once per
-  // block (at its SIGN step) and the array starts zeroed, so writing
-  // (value & mask) — which is 0 on non-SIGN steps — to the position
-  // that has not been written yet is a semantic no-op.  This keeps the
-  // store address simple (no select), which the memory-disambiguation
-  // hardware likes much better than an address that flips between the
-  // output array and a dummy slot.
-  const int32_t sv = (int32_t)((vold ^ (uint32_t)(0 - bit)) + bit);
-  const uint32_t nz_n = 0 - (uint32_t)(n != 0);
-  const int32_t dq = (st.dq1 & nz_n) | (st.dq0 & ~nz_n);
-  const uint32_t isstore = sidx == SIGN;
-  const uint32_t smask = 0 - isstore;
-  st.out[kZigzag[n]] = (int16_t)((sv * dq) & (int32_t)smask);
-  const uint32_t nn = n + adv;
-  st.n = nn;
-  const uint32_t csel = st.nctx & smask;
-  const uint8_t* pbn = st.tb_luma + T.bandoff[nn * 3 + csel];
-  // tb_luma holds the active block's prob-table base (set per block).
-  const uintptr_t amask = 0 - (uintptr_t)adv;
-  st.pb = (const uint8_t*)((((uintptr_t)pbn) & amask) |
-                           (((uintptr_t)st.pb) & ~amask));
-  st.state = e & 63;
-  return eob | (adv & (nn >> 4));
-}
+// Cold per-stream bookkeeping (slow path only).
+struct Lane {
+  ImageCtx* img = nullptr;
+  int part = 0, mb_x = 0, mb_y = 0;
+  Phase phase = PH_LUMA;
+  uint32_t bi = 0, first = 0;
+  uint32_t tnz = 0, lnz = 0, lbit = 0;
+  uint32_t out_t = 0, out_l = 0, any_nz = 0, uv_ac = 0;
+  uint32_t ctx_left_nz = 0;
+  uint8_t ctx_left_dc = 0;
+  uint32_t buf_start = 0;       // arena offset of this partition
+  uint64_t buf_size = 0;        // real (unpadded) partition size
+  int blocked = 0, done = 0;
+  // Saved boolean-decoder state while the lane is parked: a parked
+  // lane keeps stepping in the vector engine (PARK state has no side
+  // effects on outputs) but its value/range/bits churn, so a blocked
+  // stream must stash and restore them.
+  uint32_t s_value = 0, s_range = 254, s_buf_off = 0;
+  int32_t s_bits = -8;
+};
 
-static void iwht4x4(const int16_t* in, int32_t* out) {
+struct Engine {
+  Hot hot;
+  Lane lanes[16];
+  int32_t staging[16 * 16];     // one 4x4 block of i32 coeffs per lane
+  const uint8_t* arena;         // all partitions, padded
+  const uint8_t* pv_arena;      // expanded prob rows, all images
+  std::vector<Lane> pending;    // streams waiting for a free lane
+  uint16_t active = 0;          // lane occupancy mask
+};
+
+static void iwht4x4_i32(const int32_t* in, int32_t* out) {
   int32_t tmp[16];
   for (int i = 0; i < 4; i++) {
     int32_t a0 = in[0 + i] + in[12 + i];
@@ -319,207 +298,568 @@ static void iwht4x4(const int16_t* in, int32_t* out) {
   }
 }
 
-// Launch the DFA on one block.
-static inline void arm_block(Stream& st, const uint8_t* tbase, int16_t* out,
+// Arm lane k's DFA on one block.  type_row = arena offset of the block
+// type's (band 0, ctx 0) row; ctx0 picks the initial band row.
+static inline void arm_block(Engine& eng, int k, uint32_t type_row,
                              uint32_t first, uint32_t ctx0,
                              int32_t dq_dc, int32_t dq_ac) {
-  st.state = S0;
-  st.n = first;
-  st.v = 0;
-  st.nctx = 0;
-  st.tb_luma = tbase;
-  st.pb = tbase + T.bandoff[first * 3 + ctx0];
-  st.out = out;
-  st.dq0 = dq_dc;
-  st.dq1 = dq_ac;
-  st.first = first;
+  Hot& h = eng.hot;
+  h.state[k] = S0;
+  h.n[k] = first;
+  h.v[k] = 0;
+  h.nctx[k] = 0;
+  h.pv_base[k] = type_row;
+  h.pv_off[k] = type_row + T.bandoff[first * 3 + ctx0];
+  h.dq0[k] = dq_dc;
+  h.dq1[k] = dq_ac;
+  h.prob[k] = eng.pv_arena[h.pv_off[k] + S0];
+  std::memset(eng.staging + k * 16, 0, 16 * sizeof(int32_t));
 }
 
-// Forward decl.
-static bool start_mb(Stream& st);
+static bool start_mb(Engine& eng, int k);
 
-// Called when a block's DFA reached DONE; advances the MB state
-// machine and arms the next block.  Returns false when the stream has
-// no more work (finished or blocked).
-static bool block_done(Stream& st) {
-  ImageCtx& im = *st.img;
+// The lane's current block finished (nz = hot.n[k]).  Advance the MB
+// state machine and arm the next block.  Returns false when the lane
+// has no more work (stream finished or gate-blocked).
+static bool block_done(Engine& eng, int k) {
+  Lane& ln = eng.lanes[k];
+  ImageCtx& im = *ln.img;
+  Hot& h = eng.hot;
   // Exhaustion check every block: one block consumes < 512 bytes even
   // in the worst case, so with the 4 KB inter-partition guard the hot
-  // loop's blind 8-byte reads stay inside the scratch buffer and a
-  // truncated/corrupt stream is flagged before leaving it.
-  if ((uint64_t)(st.buf - st.buf_start) > st.buf_size + 8) {
+  // loop's blind reads stay inside the arena and a truncated/corrupt
+  // stream is flagged before leaving it.
+  if ((uint64_t)(h.buf_off[k] - ln.buf_start) > ln.buf_size + 8) {
     im.error = 1;
-    st.done = 1;
+    ln.done = 1;
     return false;
   }
-  const uint32_t nz = st.n;
-  const int mbi = st.mb_y * im.mb_w + st.mb_x;
+  const uint32_t nz = h.n[k];
+  const int mbi = ln.mb_y * im.mb_w + ln.mb_x;
   int16_t* mb_coeffs = im.coeffs_out + (size_t)mbi * 24 * 16;
   uint8_t* mb_modes = im.modes_out + (size_t)mbi * 21;
-  const uint8_t* probs = im.coeff_probs;
   const int32_t* q = im.quants + mb_modes[2] * 6;
+  const int32_t* stg = eng.staging + k * 16;
+  const uint32_t tb = im.pv_off;   // image's type-0 row base
 
-  switch (st.phase) {
+  switch (ln.phase) {
     case PH_Y2: {
-      im.above_dc[st.mb_x] = st.ctx_left_dc = (nz > 0);
-      st.any_nz |= (nz > 0);
+      im.above_dc[ln.mb_x] = ln.ctx_left_dc = (nz > 0);
+      ln.any_nz |= (nz > 0);
       int32_t dcs[16];
       if (nz > 1) {
-        iwht4x4(st.y2tmp, dcs);
+        iwht4x4_i32(stg, dcs);
       } else {
-        int32_t dc0 = (st.y2tmp[0] + 3) >> 3;
+        int32_t dc0 = (stg[0] + 3) >> 3;
         for (int i = 0; i < 16; i++) dcs[i] = dc0;
       }
       for (int i = 0; i < 16; i++) mb_coeffs[i * 16] = (int16_t)dcs[i];
-      // fall through to luma: bi = 0
-      st.phase = PH_LUMA;
-      st.bi = 0;
-      st.tnz = im.above_nz[st.mb_x] & 0x0f;
-      st.lnz = st.ctx_left_nz & 0x0f;
-      st.lbit = st.lnz & 1;
-      uint32_t ctx = st.lbit + (st.tnz & 1);
-      arm_block(st, probs + 0 * 8 * 3 * 11, mb_coeffs, 1, ctx, q[0], q[1]);
+      ln.phase = PH_LUMA;
+      ln.bi = 0;
+      ln.first = 1;
+      ln.tnz = im.above_nz[ln.mb_x] & 0x0f;
+      ln.lnz = ln.ctx_left_nz & 0x0f;
+      ln.lbit = ln.lnz & 1;
+      arm_block(eng, k, tb + 0 * 8 * 3 * PV_STRIDE, 1,
+                ln.lbit + (ln.tnz & 1), q[0], q[1]);
       return true;
     }
     case PH_LUMA: {
-      uint32_t l = nz > st.first;
-      st.tnz = (st.tnz >> 1) | (l << 7);
-      int16_t* bc = mb_coeffs + st.bi * 16;
-      bool has = nz > st.first || bc[0] != 0;
-      st.any_nz |= (uint32_t)has;
-      if ((st.bi & 3) == 3) {
-        st.tnz >>= 4;
-        st.lnz = (st.lnz >> 1) | (l << 7);
-        st.lbit = st.lnz & 1;
+      int16_t* bc = mb_coeffs + ln.bi * 16;
+      for (int i = (int)ln.first; i < 16; i++)
+        bc[kZigzag[i]] = (int16_t)stg[kZigzag[i]];
+      uint32_t l = nz > ln.first;
+      ln.tnz = (ln.tnz >> 1) | (l << 7);
+      bool has = nz > ln.first || bc[0] != 0;
+      ln.any_nz |= (uint32_t)has;
+      if ((ln.bi & 3) == 3) {
+        ln.tnz >>= 4;
+        ln.lnz = (ln.lnz >> 1) | (l << 7);
+        ln.lbit = ln.lnz & 1;
       } else {
-        st.lbit = l;
+        ln.lbit = l;
       }
-      st.bi++;
-      if (st.bi < 16) {
-        uint32_t ctx = st.lbit + (st.tnz & 1);
-        arm_block(st, st.tb_luma, mb_coeffs + st.bi * 16, st.first, ctx,
-                  q[0], q[1]);
-        // tb_luma unchanged (same table base for all 16 luma blocks)
+      ln.bi++;
+      if (ln.bi < 16) {
+        // same block type/first; only band row + output move
+        arm_block(eng, k, h.pv_base[k], ln.first,
+                  ln.lbit + (ln.tnz & 1), q[0], q[1]);
         return true;
       }
-      st.out_t = st.tnz;
-      st.out_l = st.lnz >> 4;
-      // chroma U
-      st.phase = PH_U;
-      st.bi = 16;
-      st.tnz = (im.above_nz[st.mb_x] >> 4) & 0xff;
-      st.lnz = (st.ctx_left_nz >> 4) & 0xff;
-      st.lbit = st.lnz & 1;
-      uint32_t ctx = st.lbit + (st.tnz & 1);
-      arm_block(st, probs + 2 * 8 * 3 * 11, mb_coeffs + 16 * 16, 0, ctx,
-                q[4], q[5]);
+      ln.out_t = ln.tnz;
+      ln.out_l = ln.lnz >> 4;
+      ln.phase = PH_U;
+      ln.bi = 16;
+      ln.first = 0;
+      ln.tnz = (im.above_nz[ln.mb_x] >> 4) & 0xff;
+      ln.lnz = (ln.ctx_left_nz >> 4) & 0xff;
+      ln.lbit = ln.lnz & 1;
+      arm_block(eng, k, tb + 2 * 8 * 3 * PV_STRIDE, 0,
+                ln.lbit + (ln.tnz & 1), q[4], q[5]);
       return true;
     }
     case PH_U:
     case PH_V: {
+      int16_t* bc = mb_coeffs + ln.bi * 16;
+      for (int i = 0; i < 16; i++)
+        bc[kZigzag[i]] = (int16_t)stg[kZigzag[i]];
       uint32_t l = nz > 0;
-      st.any_nz |= l;
-      st.uv_ac |= (uint32_t)(nz > 1);
-      st.tnz = (st.tnz >> 1) | (l << 3);
-      uint32_t local = st.bi - (st.phase == PH_U ? 16 : 20);
-      if ((local & 1) == 1) {   // xx == 1: row done
-        st.tnz >>= 2;
-        st.lnz = (st.lnz >> 1) | (l << 5);
-        st.lbit = st.lnz & 1;
+      ln.any_nz |= l;
+      ln.uv_ac |= (uint32_t)(nz > 1);
+      ln.tnz = (ln.tnz >> 1) | (l << 3);
+      uint32_t local = ln.bi - (ln.phase == PH_U ? 16 : 20);
+      if ((local & 1) == 1) {   // xx == 1: chroma row done
+        ln.tnz >>= 2;
+        ln.lnz = (ln.lnz >> 1) | (l << 5);
+        ln.lbit = ln.lnz & 1;
       } else {
-        st.lbit = l;
+        ln.lbit = l;
       }
-      st.bi++;
-      uint32_t ch = st.phase == PH_U ? 0 : 2;
-      if (st.bi < (st.phase == PH_U ? 20u : 24u)) {
-        uint32_t ctx = st.lbit + (st.tnz & 1);
-        arm_block(st, probs + 2 * 8 * 3 * 11, mb_coeffs + st.bi * 16, 0,
-                  ctx, q[4], q[5]);
+      ln.bi++;
+      uint32_t ch = ln.phase == PH_U ? 0 : 2;
+      if (ln.bi < (ln.phase == PH_U ? 20u : 24u)) {
+        arm_block(eng, k, h.pv_base[k], 0, ln.lbit + (ln.tnz & 1),
+                  q[4], q[5]);
         return true;
       }
-      st.out_t |= ((st.tnz << 4) << ch);
-      st.out_l |= ((st.lnz & 0xf0) << ch);
-      if (st.phase == PH_U) {
-        st.phase = PH_V;
-        st.bi = 20;
-        st.tnz = (im.above_nz[st.mb_x] >> 6) & 0xff;
-        st.lnz = (st.ctx_left_nz >> 6) & 0xff;
-        st.lbit = st.lnz & 1;
-        uint32_t ctx = st.lbit + (st.tnz & 1);
-        arm_block(st, probs + 2 * 8 * 3 * 11, mb_coeffs + 20 * 16, 0, ctx,
+      ln.out_t |= ((ln.tnz << 4) << ch);
+      ln.out_l |= ((ln.lnz & 0xf0) << ch);
+      if (ln.phase == PH_U) {
+        ln.phase = PH_V;
+        ln.bi = 20;
+        ln.tnz = (im.above_nz[ln.mb_x] >> 6) & 0xff;
+        ln.lnz = (ln.ctx_left_nz >> 6) & 0xff;
+        ln.lbit = ln.lnz & 1;
+        arm_block(eng, k, h.pv_base[k], 0, ln.lbit + (ln.tnz & 1),
                   q[4], q[5]);
         return true;
       }
       // ---- MB complete ----
-      im.above_nz[st.mb_x] = st.out_t;
-      st.ctx_left_nz = st.out_l;
-      mb_modes[3] = !st.any_nz;          // "empty" skip flag
-      mb_modes[4] = st.uv_ac ? 0 : 1;    // dither-eligible
-      im.prog[st.mb_y] = st.mb_x + 1;
-      st.mb_x++;
-      return start_mb(st);
+      im.above_nz[ln.mb_x] = ln.out_t;
+      ln.ctx_left_nz = ln.out_l;
+      mb_modes[3] = !ln.any_nz;          // "empty" skip flag
+      mb_modes[4] = ln.uv_ac ? 0 : 1;    // dither-eligible
+      im.prog[ln.mb_y] = ln.mb_x + 1;
+      ln.mb_x++;
+      return start_mb(eng, k);
     }
-    default:
-      break;
   }
   return false;
 }
 
-// Position the stream at its next coded MB (handling skip MBs, row
+// Position lane k at its next coded MB (handling skip MBs, row
 // advance, and the row-above progress gate); arms the first block.
 // Returns false if the stream is finished or blocked.
-static bool start_mb(Stream& st) {
-  ImageCtx& im = *st.img;
+static bool start_mb(Engine& eng, int k) {
+  Lane& ln = eng.lanes[k];
+  ImageCtx& im = *ln.img;
   for (;;) {
-    if (st.mb_x >= im.mb_w) {
-      // next row owned by this partition
-      st.mb_y += im.num_parts;
-      if (st.mb_y >= im.mb_h) { st.done = 1; return false; }
-      st.mb_x = 0;
-      st.ctx_left_nz = 0;
-      st.ctx_left_dc = 0;
+    if (ln.mb_x >= im.mb_w) {
+      ln.mb_y += im.num_parts;   // next row owned by this partition
+      if (ln.mb_y >= im.mb_h) { ln.done = 1; return false; }
+      ln.mb_x = 0;
+      ln.ctx_left_nz = 0;
+      ln.ctx_left_dc = 0;
     }
     // gate: the row above must have finished column mb_x
-    if (st.mb_y > 0 && im.prog[st.mb_y - 1] <= st.mb_x) {
-      st.blocked = 1;
+    if (ln.mb_y > 0 && im.prog[ln.mb_y - 1] <= ln.mb_x) {
+      ln.blocked = 1;
       return false;
     }
-    st.blocked = 0;
-    const int mbi = st.mb_y * im.mb_w + st.mb_x;
-    const uint8_t* m = im.modes + (size_t)mbi * 21;
+    ln.blocked = 0;
+    const int mbi = ln.mb_y * im.mb_w + ln.mb_x;
+    const uint8_t* m = im.modes_out + (size_t)mbi * 21;
     uint8_t* mo = im.modes_out + (size_t)mbi * 21;
     const int is_i4 = m[0];
     const int skip = im.use_skip ? m[3] : 0;
     if (skip) {
-      im.above_nz[st.mb_x] = 0;
-      st.ctx_left_nz = 0;
-      if (!is_i4) { im.above_dc[st.mb_x] = 0; st.ctx_left_dc = 0; }
+      im.above_nz[ln.mb_x] = 0;
+      ln.ctx_left_nz = 0;
+      if (!is_i4) { im.above_dc[ln.mb_x] = 0; ln.ctx_left_dc = 0; }
       mo[3] = 1;
       mo[4] = 0;   // explicitly skipped MBs are never dithered
-      im.prog[st.mb_y] = st.mb_x + 1;
-      st.mb_x++;
+      im.prog[ln.mb_y] = ln.mb_x + 1;
+      ln.mb_x++;
       continue;
     }
-    st.any_nz = 0;
-    st.uv_ac = 0;
-    int16_t* mb_coeffs = im.coeffs_out + (size_t)mbi * 24 * 16;
+    ln.any_nz = 0;
+    ln.uv_ac = 0;
     const int32_t* q = im.quants + m[2] * 6;
-    const uint8_t* probs = im.coeff_probs;
+    const uint32_t tb = im.pv_off;
     if (!is_i4) {
-      st.phase = PH_Y2;
-      std::memset(st.y2tmp, 0, sizeof(st.y2tmp));
-      uint32_t ctx = im.above_dc[st.mb_x] + st.ctx_left_dc;
-      arm_block(st, probs + 1 * 8 * 3 * 11, st.y2tmp, 0, ctx, q[2], q[3]);
+      ln.phase = PH_Y2;
+      ln.first = 0;
+      uint32_t ctx = im.above_dc[ln.mb_x] + ln.ctx_left_dc;
+      arm_block(eng, k, tb + 1 * 8 * 3 * PV_STRIDE, 0, ctx, q[2], q[3]);
     } else {
-      st.phase = PH_LUMA;
-      st.bi = 0;
-      st.tnz = im.above_nz[st.mb_x] & 0x0f;
-      st.lnz = st.ctx_left_nz & 0x0f;
-      st.lbit = st.lnz & 1;
-      uint32_t ctx = st.lbit + (st.tnz & 1);
-      arm_block(st, probs + 3 * 8 * 3 * 11, mb_coeffs, 0, ctx, q[0], q[1]);
+      ln.phase = PH_LUMA;
+      ln.bi = 0;
+      ln.first = 0;
+      ln.tnz = im.above_nz[ln.mb_x] & 0x0f;
+      ln.lnz = ln.ctx_left_nz & 0x0f;
+      ln.lbit = ln.lnz & 1;
+      arm_block(eng, k, tb + 3 * 8 * 3 * PV_STRIDE, 0,
+                ln.lbit + (ln.tnz & 1), q[0], q[1]);
     }
     return true;
+  }
+}
+
+// Park lane k: PARK state never advances, stores, or signals done, and
+// its refill is suppressed by a huge bits value, so the vector step
+// can keep running it without side effects or out-of-bounds indices.
+// The boolean-decoder state is stashed in the Lane first (the parked
+// lane's arithmetic keeps churning value/range/bits harmlessly).
+static inline void park_lane(Engine& eng, int k) {
+  Hot& h = eng.hot;
+  Lane& ln = eng.lanes[k];
+  ln.s_value = h.value[k];
+  ln.s_range = h.range[k];
+  ln.s_bits = h.bits[k];
+  ln.s_buf_off = h.buf_off[k];
+  h.state[k] = PARK;
+  h.n[k] = 0;
+  h.bits[k] = 1 << 20;
+  h.pv_off[k] = 0;
+  h.pv_base[k] = 0;
+  h.prob[k] = 128;
+  eng.active &= ~(1u << k);
+}
+
+static inline void unpark_lane(Engine& eng, int k) {
+  Hot& h = eng.hot;
+  const Lane& ln = eng.lanes[k];
+  h.value[k] = ln.s_value;
+  h.range[k] = ln.s_range;
+  h.bits[k] = ln.s_bits;
+  h.buf_off[k] = ln.s_buf_off;
+  eng.active |= 1u << k;
+}
+
+// Install a pending stream's bookkeeping into lane k and initialize
+// its boolean decoder.  Returns false if it immediately blocked/ended.
+static bool install_stream(Engine& eng, int k, const Lane& src) {
+  eng.lanes[k] = src;
+  Hot& h = eng.hot;
+  h.value[k] = 0;
+  h.range[k] = 254;    // stored as real_range - 1
+  h.bits[k] = -8;
+  h.buf_off[k] = src.buf_start;
+  if (start_mb(eng, k)) {
+    eng.active |= 1u << k;
+    return true;
+  }
+  park_lane(eng, k);   // stashes the fresh bool state for a later unpark
+  return false;
+}
+
+// One scalar DFA step for lane k (fallback engine; also documents the
+// exact semantics the vector step implements 16-wide).
+static inline uint32_t step_scalar(Engine& eng, int k) {
+  Hot& h = eng.hot;
+  if (h.bits[k] < 0) {
+    h.value[k] = (h.value[k] << 8) | eng.arena[h.buf_off[k]];
+    h.buf_off[k]++;
+    h.bits[k] += 8;
+  }
+  const uint32_t sidx = h.state[k];
+  const uint32_t prob = h.prob[k];
+  const int pos = h.bits[k];
+  const uint32_t split = (h.range[k] * prob) >> 8;
+  const uint32_t vv = (h.value[k] >> pos) & 0xff;
+  const uint32_t bit = vv > split;
+  const uint32_t mask = 0 - bit;
+  const uint32_t r_sel = (split + 1) + (mask & (h.range[k] - 2 * split - 1));
+  h.value[k] -= ((split + 1) & mask) << pos;
+  const int shift = __builtin_clz(r_sel) - 24;
+  h.bits[k] = pos - shift;
+  h.range[k] = (r_sel << shift) - 1;
+  const uint32_t e = T.ent[sidx * 2 + bit];
+  const uint32_t ns = e & 63;
+  const uint32_t adv = (e >> 6) & 1;
+  const uint32_t eob = (e >> 7) & 1;
+  const uint32_t vold = h.v[k];
+  h.v[k] = vold * ((e >> 16) & 3) + bit * ((e >> 18) & 3) + ((e >> 8) & 255);
+  const uint32_t is_s2 = 0 - (uint32_t)(sidx == S2);
+  h.nctx[k] = ((1 + bit) & is_s2) | (h.nctx[k] & ~is_s2);
+  const uint32_t n = h.n[k];
+  const int32_t sv = (int32_t)((vold ^ (0 - bit)) + bit);
+  const uint32_t nz_n = 0 - (uint32_t)(n != 0);
+  const int32_t dq = (h.dq1[k] & nz_n) | (h.dq0[k] & ~nz_n);
+  const uint32_t smask = 0 - (uint32_t)(sidx == SIGN);
+  eng.staging[k * 16 + T.zz32[n & 15]] = (sv * dq) & (int32_t)smask;
+  const uint32_t nn = n + adv;
+  h.n[k] = nn;
+  const uint32_t csel = h.nctx[k] & smask;
+  const uint32_t pvn = h.pv_base[k] + T.bandoff[nn * 3 + csel];
+  const uint32_t amask = 0 - adv;
+  h.pv_off[k] = (pvn & amask) | (h.pv_off[k] & ~amask);
+  h.state[k] = ns;
+  h.prob[k] = eng.pv_arena[h.pv_off[k] + ns];
+  return eob | (adv & (nn >> 4));
+}
+
+// Handle a lane whose block finished: run bookkeeping; if the lane
+// goes idle, try to refill it from pending streams (or other blocked
+// lanes' gates may have opened).
+static void lane_done(Engine& eng, int k) {
+  if (block_done(eng, k)) return;
+  // lane idle: stream finished or blocked
+  if (eng.lanes[k].blocked) {
+    park_lane(eng, k);
+    return;   // retried by the outer loop
+  }
+  // stream finished: try to install a pending stream
+  park_lane(eng, k);
+  while (!eng.pending.empty()) {
+    Lane src = eng.pending.back();
+    eng.pending.pop_back();
+    if (install_stream(eng, k, src)) return;
+    if (eng.lanes[k].blocked) return;   // keep it in the lane, parked
+  }
+}
+
+// Retry gate-blocked lanes (cheap: at most num_parts-1 per image).
+static void retry_blocked(Engine& eng) {
+  for (int k = 0; k < 16; k++) {
+    if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done &&
+        !(eng.active & (1u << k))) {
+      if (start_mb(eng, k)) {
+        eng.lanes[k].blocked = 0;
+        unpark_lane(eng, k);
+      }
+    }
+  }
+}
+
+#ifdef WTPU_AVX512
+
+// 16-lane vector step: decodes one boolean decision of every active
+// stream per iteration.  Returns the done mask (blocks finished).
+// All semantics mirror step_scalar exactly.
+static inline uint16_t step_avx512(Engine& eng, __m512i& value,
+                                   __m512i& range, __m512i& bits,
+                                   __m512i& buf_off, __m512i& state,
+                                   __m512i& n, __m512i& v, __m512i& nctx,
+                                   __m512i& pv_off, const __m512i pv_base,
+                                   const __m512i dq0, const __m512i dq1,
+                                   __m512i& prob, uint16_t active) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i c255 = _mm512_set1_epi32(0xff);
+  // refill: pull one byte where bits < 0 (masked gather)
+  const __mmask16 need = _mm512_cmplt_epi32_mask(bits, zero);
+  const __m512i byt = _mm512_and_epi32(
+      _mm512_mask_i32gather_epi32(zero, need, buf_off,
+                                  (const int*)eng.arena, 1),
+      c255);
+  value = _mm512_mask_or_epi32(value, need,
+                               _mm512_slli_epi32(value, 8), byt);
+  bits = _mm512_mask_add_epi32(bits, need, bits, _mm512_set1_epi32(8));
+  buf_off = _mm512_mask_add_epi32(buf_off, need, buf_off, one);
+  // boolean decode
+  const __m512i split = _mm512_srli_epi32(_mm512_mullo_epi32(range, prob), 8);
+  const __m512i vv = _mm512_and_epi32(_mm512_srlv_epi32(value, bits), c255);
+  const __mmask16 bitk = _mm512_cmpgt_epi32_mask(vv, split);
+  const __m512i split1 = _mm512_add_epi32(split, one);
+  const __m512i r_sel = _mm512_mask_sub_epi32(split1, bitk, range, split);
+  value = _mm512_mask_sub_epi32(value, bitk, value,
+                                _mm512_sllv_epi32(split1, bits));
+  const __m512i shift = _mm512_sub_epi32(_mm512_lzcnt_epi32(r_sel),
+                                         _mm512_set1_epi32(24));
+  bits = _mm512_sub_epi32(bits, shift);
+  range = _mm512_sub_epi32(_mm512_sllv_epi32(r_sel, shift), one);
+  // DFA transition
+  const __m512i bitv = _mm512_maskz_mov_epi32(bitk, one);
+  const __m512i eidx = _mm512_add_epi32(_mm512_add_epi32(state, state), bitv);
+  const __m512i e = _mm512_i32gather_epi32(eidx, (const int*)T.ent, 4);
+  const __m512i ns = _mm512_and_epi32(e, _mm512_set1_epi32(63));
+  const __m512i adv = _mm512_and_epi32(_mm512_srli_epi32(e, 6), one);
+  const __mmask16 advk = _mm512_test_epi32_mask(adv, adv);
+  const __mmask16 eobk = _mm512_test_epi32_mask(e, _mm512_set1_epi32(128));
+  const __m512i va = _mm512_and_epi32(_mm512_srli_epi32(e, 8), c255);
+  const __m512i vm = _mm512_and_epi32(_mm512_srli_epi32(e, 16),
+                                      _mm512_set1_epi32(3));
+  const __m512i vb = _mm512_and_epi32(_mm512_srli_epi32(e, 18),
+                                      _mm512_set1_epi32(3));
+  const __m512i vold = v;
+  v = _mm512_add_epi32(
+      _mm512_add_epi32(_mm512_mullo_epi32(vold, vm),
+                       _mm512_mullo_epi32(bitv, vb)),
+      va);
+  const __mmask16 s2k =
+      _mm512_cmpeq_epi32_mask(state, _mm512_set1_epi32(S2));
+  nctx = _mm512_mask_add_epi32(nctx, s2k, bitv, one);
+  // coefficient store (masked scatter into the lane staging blocks)
+  const __mmask16 signk =
+      _mm512_cmpeq_epi32_mask(state, _mm512_set1_epi32(SIGN));
+  const __m512i negv = _mm512_sub_epi32(zero, bitv);
+  const __m512i sv = _mm512_add_epi32(_mm512_xor_epi32(vold, negv), bitv);
+  const __mmask16 nzk = _mm512_test_epi32_mask(n, _mm512_set1_epi32(~0));
+  const __m512i dq = _mm512_mask_mov_epi32(dq0, nzk, dq1);
+  const __m512i val = _mm512_mullo_epi32(sv, dq);
+  // zigzag position via register permute (n <= 15 whenever a store
+  // happens; the stored lane's n only reaches 16 together with done)
+  const __m512i zz_tab = _mm512_setr_epi32(0, 1, 4, 8, 5, 2, 3, 6, 9, 12,
+                                           13, 10, 7, 11, 14, 15);
+  const __m512i zz = _mm512_permutexvar_epi32(n, zz_tab);
+  const __m512i lane16 = _mm512_slli_epi32(
+      _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                        15),
+      4);
+  _mm512_mask_i32scatter_epi32(eng.staging, signk,
+                               _mm512_add_epi32(lane16, zz), val, 4);
+  const __m512i nn = _mm512_add_epi32(n, adv);
+  n = nn;
+  // Band-row advance via register permute: bo = (kBands[nn]*3+csel)*40.
+  // nn==16 (block complete) wraps to kBands[0] — harmless, the lane is
+  // re-armed by the slow path before the value is ever used.
+  const __m512i csel = _mm512_maskz_mov_epi32(signk, nctx);
+  const __m512i kb_tab = _mm512_setr_epi32(0, 1, 2, 3, 6, 4, 5, 6, 6, 6,
+                                           6, 6, 6, 6, 6, 7);
+  const __m512i kb3 = _mm512_add_epi32(
+      _mm512_mullo_epi32(_mm512_permutexvar_epi32(nn, kb_tab),
+                         _mm512_set1_epi32(3)),
+      csel);
+  const __m512i bo = _mm512_mullo_epi32(kb3, _mm512_set1_epi32(PV_STRIDE));
+  pv_off = _mm512_mask_add_epi32(pv_off, advk, pv_base, bo);
+  state = ns;
+  prob = _mm512_and_epi32(
+      _mm512_i32gather_epi32(_mm512_add_epi32(pv_off, ns),
+                             (const int*)eng.pv_arena, 1),
+      c255);
+  // done = eob | (adv & nn>=16), active lanes only
+  const __mmask16 n16k =
+      _mm512_cmpge_epi32_mask(nn, _mm512_set1_epi32(16));
+  return (uint16_t)((eobk | (advk & n16k)) & active);
+}
+
+static bool any_blocked_lane(const Engine& eng) {
+  for (int k = 0; k < 16; k++)
+    if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
+      return true;
+  return false;
+}
+
+static void flag_deadlocked(Engine& eng) {
+  for (int k = 0; k < 16; k++)
+    if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
+      eng.lanes[k].img->error = 1;
+  for (auto& p : eng.pending)
+    if (p.img && !p.done) p.img->error = 1;
+}
+
+static void run_avx512(Engine& eng) {
+  Hot& h = eng.hot;
+  // hot state lives in registers across iterations; only lanes the
+  // slow path touched are re-read (masked loads on the dirty set)
+  __m512i value = _mm512_loadu_si512(h.value);
+  __m512i range = _mm512_loadu_si512(h.range);
+  __m512i bits = _mm512_loadu_si512(h.bits);
+  __m512i buf_off = _mm512_loadu_si512(h.buf_off);
+  __m512i state = _mm512_loadu_si512(h.state);
+  __m512i n = _mm512_loadu_si512(h.n);
+  __m512i v = _mm512_loadu_si512(h.v);
+  __m512i nctx = _mm512_loadu_si512(h.nctx);
+  __m512i pv_off = _mm512_loadu_si512(h.pv_off);
+  __m512i pv_base = _mm512_loadu_si512(h.pv_base);
+  __m512i dq0 = _mm512_loadu_si512(h.dq0);
+  __m512i dq1 = _mm512_loadu_si512(h.dq1);
+  __m512i prob = _mm512_loadu_si512(h.prob);
+  auto reload = [&](uint16_t dirty) {
+    if (!dirty) return;
+    value = _mm512_mask_loadu_epi32(value, dirty, h.value);
+    range = _mm512_mask_loadu_epi32(range, dirty, h.range);
+    bits = _mm512_mask_loadu_epi32(bits, dirty, h.bits);
+    buf_off = _mm512_mask_loadu_epi32(buf_off, dirty, h.buf_off);
+    state = _mm512_mask_loadu_epi32(state, dirty, h.state);
+    n = _mm512_mask_loadu_epi32(n, dirty, h.n);
+    v = _mm512_mask_loadu_epi32(v, dirty, h.v);
+    nctx = _mm512_mask_loadu_epi32(nctx, dirty, h.nctx);
+    pv_off = _mm512_mask_loadu_epi32(pv_off, dirty, h.pv_off);
+    pv_base = _mm512_mask_loadu_epi32(pv_base, dirty, h.pv_base);
+    dq0 = _mm512_mask_loadu_epi32(dq0, dirty, h.dq0);
+    dq1 = _mm512_mask_loadu_epi32(dq1, dirty, h.dq1);
+    prob = _mm512_mask_loadu_epi32(prob, dirty, h.prob);
+  };
+  for (;;) {
+    if (!eng.active) {
+      uint16_t before = eng.active;
+      retry_blocked(eng);
+      if (!eng.active) {
+        if (any_blocked_lane(eng) || !eng.pending.empty())
+          flag_deadlocked(eng);
+        return;
+      }
+      reload((uint16_t)(before ^ eng.active));
+    }
+    uint16_t done;
+    do {
+      done = step_avx512(eng, value, range, bits, buf_off, state, n, v,
+                         nctx, pv_off, pv_base, dq0, dq1, prob,
+                         eng.active);
+    } while (!done);
+    // Spill only what the slow path reads (n = the block's nz,
+    // buf_off for the exhaustion check, plus the bool state that
+    // park_lane may stash); everything else is a pure output of
+    // arm_block and comes back via the dirty reload.
+    _mm512_storeu_si512(h.value, value);
+    _mm512_storeu_si512(h.range, range);
+    _mm512_storeu_si512(h.bits, bits);
+    _mm512_storeu_si512(h.buf_off, buf_off);
+    _mm512_storeu_si512(h.n, n);
+    const uint16_t before = eng.active;
+    uint16_t dirty = done;
+    while (done) {
+      int k = __builtin_ctz(done);
+      done &= done - 1;
+      lane_done(eng, k);
+    }
+    retry_blocked(eng);
+    dirty |= (uint16_t)(before ^ eng.active);
+    reload(dirty);
+  }
+}
+
+#endif  // WTPU_AVX512
+
+static void run_scalar(Engine& eng) {
+  for (;;) {
+    if (!eng.active) {
+      retry_blocked(eng);
+      if (!eng.active) {
+        for (int k = 0; k < 16; k++)
+          if (eng.lanes[k].img && eng.lanes[k].blocked &&
+              !eng.lanes[k].done)
+            eng.lanes[k].img->error = 1;
+        for (auto& p : eng.pending)
+          if (p.img && !p.done) p.img->error = 1;
+        return;
+      }
+    }
+    uint16_t done = 0;
+    for (int k = 0; k < 16; k++) {
+      if (!(eng.active & (1u << k))) continue;
+      if (step_scalar(eng, k)) done |= 1u << k;
+    }
+    while (done) {
+      int k = __builtin_ctz(done);
+      done &= done - 1;
+      lane_done(eng, k);
+    }
+    retry_blocked(eng);
+    bool any_active = eng.active != 0;
+    if (!any_active && eng.pending.empty()) {
+      bool any_blocked = false;
+      for (int k = 0; k < 16; k++)
+        if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
+          any_blocked = true;
+      if (!any_blocked) return;
+      for (int k = 0; k < 16; k++)
+        if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
+          eng.lanes[k].img->error = 1;
+      return;
+    }
   }
 }
 
@@ -596,38 +936,50 @@ int wtpu_vp8_decode_symbols_batch(
     const uint64_t* p0_pos, const uint32_t* p0_value,
     const uint32_t* p0_range, const uint32_t* p0_bitcount,
     const uint8_t* parts_all, const uint64_t* parts_off,   // [n+1] bytes
-    const uint64_t* part_bounds, const int32_t* part_bounds_off,  // per-image boundary lists
+    const uint64_t* part_bounds, const int32_t* part_bounds_off,
     const int32_t* num_parts,                               // [n]
     const int32_t* mb_dims,                                 // [n][2]
-    const int32_t* hdr_flags,                               // [n][3]: update_map, use_skip, skip_p
+    const int32_t* hdr_flags,                               // [n][3]
     const uint8_t* seg_probs_all,                           // [n][3]
     const uint8_t* coeff_probs_all,                         // [n][1056]
     const int32_t* quants_all,                              // [n][24]
-    int16_t* coeffs_all, const uint64_t* coeffs_off,        // [n+1] int16 elems
+    int16_t* coeffs_all, const uint64_t* coeffs_off,        // [n+1] elems
     uint8_t* modes_all, const uint64_t* modes_off,          // [n+1] bytes
     int32_t* rc_out) {
   std::vector<ImageCtx> imgs(n_img);
-  std::vector<Stream> streams;
-  streams.reserve((size_t)n_img * 8);
   int n_failed = 0;
+
+  // shared arenas: padded partition bytes + expanded prob rows
+  constexpr uint64_t kGuard = 4096;
+  uint64_t arena_sz = 64, pv_sz = 64;
+  for (int i = 0; i < n_img; i++) {
+    const uint64_t* bounds = part_bounds + part_bounds_off[i];
+    arena_sz += bounds[num_parts[i]] + kGuard * num_parts[i];
+    pv_sz += 4 * 8 * 3 * PV_STRIDE;
+  }
+  std::vector<uint8_t> arena(arena_sz, 0);
+  std::vector<uint8_t> pv_arena(pv_sz + 64, 0);
+  uint64_t aw = 0, pw = 0;
+  std::vector<std::vector<uint32_t>> part_starts(n_img);
+
+  Engine eng;
+  std::memset(&eng.hot, 0, sizeof(eng.hot));
+  std::memset(eng.staging, 0, sizeof(eng.staging));
 
   for (int i = 0; i < n_img; i++) {
     ImageCtx& im = imgs[i];
     im.mb_w = mb_dims[2 * i];
     im.mb_h = mb_dims[2 * i + 1];
     im.num_parts = num_parts[i];
-    im.coeff_probs = coeff_probs_all + (size_t)i * 4 * 8 * 3 * 11;
     im.quants = quants_all + (size_t)i * 24;
     im.use_skip = hdr_flags[3 * i + 1];
     im.coeffs_out = coeffs_all + coeffs_off[i];
     im.modes_out = modes_all + modes_off[i];
-    im.modes = im.modes_out;
     std::memset(im.coeffs_out, 0,
                 (coeffs_off[i + 1] - coeffs_off[i]) * sizeof(int16_t));
     std::memset(im.modes_out, 0, modes_off[i + 1] - modes_off[i]);
     rc_out[i] = 0;
 
-    // mode pre-pass (sequential chain on partition 0)
     BoolDec bd;
     bd.init(p0_all + p0_off[i], p0_off[i + 1] - p0_off[i], p0_pos[i],
             p0_value[i], p0_range[i], (int)p0_bitcount[i]);
@@ -644,89 +996,57 @@ int wtpu_vp8_decode_symbols_batch(
     im.above_nz.assign(im.mb_w, 0);
     im.above_dc.assign(im.mb_w, 0);
     im.prog.assign(im.mb_h, 0);
+    im.pv_off = (uint32_t)pw;
+    expand_probs(coeff_probs_all + (size_t)i * 4 * 8 * 3 * 11,
+                 pv_arena.data() + pw);
+    pw += 4 * 8 * 3 * PV_STRIDE;
 
-    // padded per-partition scratch (the hot loop reads 8 bytes blind;
-    // the guard must exceed one block's worst-case byte consumption
-    // because exhaustion is only checked at block boundaries)
-    constexpr uint64_t kGuard = 4096;
     const uint8_t* pbase = parts_all + parts_off[i];
     const uint64_t* bounds = part_bounds + part_bounds_off[i];
-    uint64_t total = bounds[im.num_parts];
-    im.scratch.assign(total + kGuard * im.num_parts, 0);
-    im.scratch_off.resize(im.num_parts + 1);
-    uint64_t w = 0;
-    for (int p = 0; p < im.num_parts; p++) {
-      uint64_t len = bounds[p + 1] - bounds[p];
-      im.scratch_off[p] = w;
-      std::memcpy(im.scratch.data() + w, pbase + bounds[p], len);
-      w += len + kGuard;
-    }
-
     for (int p = 0; p < im.num_parts && p < im.mb_h; p++) {
-      streams.emplace_back();
-      Stream& st = streams.back();
-      std::memset(&st, 0, sizeof(st));
-      st.img = &im;
-      st.part = p;
-      st.buf_start = im.scratch.data() + im.scratch_off[p];
-      st.buf_size = bounds[p + 1] - bounds[p];
-      st.buf = st.buf_start;
-      st.value = 0;
-      st.range = 254;       // stored as real_range - 1
-      st.bits = -8;
-      st.mb_x = 0;
-      st.mb_y = p;
-      st.ctx_left_nz = 0;
-      st.ctx_left_dc = 0;
-      im.pending_streams++;
+      uint64_t len = bounds[p + 1] - bounds[p];
+      std::memcpy(arena.data() + aw, pbase + bounds[p], len);
+      Lane src;
+      src.img = &im;
+      src.part = p;
+      src.mb_x = 0;
+      src.mb_y = p;
+      src.buf_start = (uint32_t)aw;
+      src.buf_size = len;
+      eng.pending.push_back(src);
+      aw += len + kGuard;
     }
   }
 
-  // Round-robin interleaved scheduler over raw pointer arrays.  The
-  // inner sweep is the engine's hot loop: one branchless DFA step per
-  // running stream per pass; the rare block-done branch leaves it.
-  std::vector<Stream*> runv(streams.size()), blockedv(streams.size());
-  Stream** run = runv.data();
-  Stream** blocked = blockedv.data();
-  size_t nrun = 0, nblk = 0;
-  for (auto& st : streams) {
-    if (start_mb(st)) run[nrun++] = &st;
-    else if (st.blocked) blocked[nblk++] = &st;
+  eng.arena = arena.data();
+  eng.pv_arena = pv_arena.data();
+  for (int k = 0; k < 16; k++) park_lane(eng, k);
+  // Install pending streams into lanes, preferring round-robin across
+  // images so multi-partition gates don't all start blocked.
+  {
+    std::vector<Lane> pend;
+    pend.swap(eng.pending);
+    // reverse so pop_back() order matches submission order
+    for (auto it = pend.rbegin(); it != pend.rend(); ++it)
+      eng.pending.push_back(*it);
   }
-  while (nrun || nblk) {
-    size_t j = 0;
-    while (j < nrun) {
-      Stream& st = *run[j];
-      if (__builtin_expect(step(st), 0)) {
-        if (!block_done(st)) {
-          if (st.blocked) blocked[nblk++] = &st;
-          run[j] = run[--nrun];
-          continue;
-        }
-      }
-      j++;
-    }
-    if (nblk) {
-      size_t k = 0;
-      while (k < nblk) {
-        Stream& st = *blocked[k];
-        if (start_mb(st)) {   // retry the gate
-          run[nrun++] = &st;
-          blocked[k] = blocked[--nblk];
-        } else if (!st.blocked) {   // finished while blocked
-          blocked[k] = blocked[--nblk];
-        } else {
-          k++;
-        }
-      }
-      if (nrun == 0 && nblk) {
-        // livelock guard: a gate that can never open means a malformed
-        // stream; fail those images rather than spin.
-        for (size_t k2 = 0; k2 < nblk; k2++) blocked[k2]->img->error = 1;
-        break;
-      }
+  for (int k = 0; k < 16; k++) {
+    if (eng.active & (1u << k)) continue;
+    // retry the same lane until something sticks (a stream may finish
+    // instantly — e.g. an all-skip image — or block on its gate)
+    while (!eng.pending.empty()) {
+      Lane src = eng.pending.back();
+      eng.pending.pop_back();
+      if (install_stream(eng, k, src)) break;
+      if (eng.lanes[k].blocked) break;   // parked in this lane, retried later
     }
   }
+
+#ifdef WTPU_AVX512
+  run_avx512(eng);
+#else
+  run_scalar(eng);
+#endif
 
   for (int i = 0; i < n_img; i++) {
     if (imgs[i].error && rc_out[i] == 0) {

@@ -250,6 +250,12 @@ def _configure(lib) -> None:
         i16p, u8p,                            # coeffs_out, modes_out
     ]
 
+    lib.wtpu_vp8_parse_probs.restype = c.c_int
+    lib.wtpu_vp8_parse_probs.argtypes = [
+        u8p, c.c_uint64, u64p,                # data, size, state[4]
+        u8p, u8p,                             # update_probs, probs (inout)
+    ]
+
     lib.wtpu_vp8_decode_symbols_batch.restype = c.c_int
     lib.wtpu_vp8_decode_symbols_batch.argtypes = [
         c.c_int,                              # n_img

@@ -197,20 +197,59 @@ def parse_frame_header(payload: bytes) -> tuple[FrameState, BoolDecoder]:
         m.uv_quant = q + dquv_ac
         st.dqm.append(m)
 
-    # Probability updates (RFC 9.8-9.11).
-    bd.get_flag()  # refresh_entropy_probs (always for keyframes)
+    # Probability updates (RFC 9.8-9.11) — ~1100 boolean decisions;
+    # the native twin parses them in ~10 us vs ~1 ms in Python (this
+    # block used to GIL-serialize the batch decoder's thread pool).
     probs = COEFF_PROBAS.copy()
-    for t in range(4):
-        for b in range(8):
-            for c in range(3):
-                for p in range(11):
-                    if bd.get_bit(int(COEFF_UPDATE_PROBAS[t, b, c, p])):
-                        probs[t, b, c, p] = bd.get_literal(8)
+    if not _parse_probs_native(st, bd, probs):
+        bd.get_flag()  # refresh_entropy_probs (always for keyframes)
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for p in range(11):
+                        if bd.get_bit(int(COEFF_UPDATE_PROBAS[t, b, c, p])):
+                            probs[t, b, c, p] = bd.get_literal(8)
+        st.use_skip_proba = bool(bd.get_flag())
+        if st.use_skip_proba:
+            st.skip_p = bd.get_literal(8)
     st.coeff_probs = probs
-    st.use_skip_proba = bool(bd.get_flag())
-    if st.use_skip_proba:
-        st.skip_p = bd.get_literal(8)
     return st, bd
+
+
+_UPDATE_PROBAS_U8 = None
+
+
+def _parse_probs_native(st: FrameState, bd, probs: np.ndarray) -> bool:
+    """Native coeff-proba block parse; syncs the bool decoder state."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_parse_probs"):
+        return False
+    global _UPDATE_PROBAS_U8
+    if _UPDATE_PROBAS_U8 is None:
+        _UPDATE_PROBAS_U8 = np.ascontiguousarray(
+            COEFF_UPDATE_PROBAS, np.uint8).reshape(-1)
+    pflat = np.ascontiguousarray(probs, np.uint8).reshape(-1)
+    state = np.array([bd.pos, bd.value, bd.range, bd.bit_count], np.uint64)
+    data = bd.data if isinstance(bd.data, bytes) else bytes(bd.data)
+    dview = np.frombuffer(data, np.uint8)   # zero-copy view
+    rc = lib.wtpu_vp8_parse_probs(
+        dview.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _UPDATE_PROBAS_U8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pflat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc < 0:
+        raise BitstreamError("truncated frame header")
+    probs[...] = pflat.reshape(probs.shape)
+    bd.pos, bd.value, bd.range, bd.bit_count = (
+        int(state[0]), int(state[1]), int(state[2]), int(state[3]))
+    st.use_skip_proba = bool(rc >> 8)
+    st.skip_p = rc & 0xFF
+    return True
 
 
 # ---------------------------------------------------------------------------
