@@ -374,17 +374,20 @@ def activity_step(y):
 
 
 @partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4", "search",
-                                   "use_derr"))
+                                   "use_derr", "refine"))
 def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
                                  cap_s, cap_b, try_i4, i4_penalty,
                                  search: str = "closed",
-                                 use_derr: bool = False):
+                                 use_derr: bool = False,
+                                 refine: int = 1):
     """Closed-loop wavefront encode from uint8 planes + G4PACKv2.
 
     search="closed": full in-loop RD mode search (bit-identical to the
     sequential host encoder).  search="open": hybrid engine — open-loop
     parallel mode search, exact fixed-mode closed-loop coding (~30x
-    less sequential work, same zero-drift stream).
+    less sequential work, same zero-drift stream).  ``refine`` (hybrid
+    only) is the number of recon-context refinement rounds: 1 matches
+    the round-3 default; 0 halves the device time for ~0.5% bytes.
     """
     import jax.numpy as jnp
 
@@ -393,7 +396,10 @@ def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
 
     B, H, W = y.shape
     plan = _plan(H, W)
-    dense = encode_hybrid_core if search == "open" else encode_wavefront_core
+    if search == "open":
+        dense = partial(encode_hybrid_core, refine=refine)
+    else:
+        dense = encode_wavefront_core
     out = dense(
         y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
         seg_map, qsteps, tables, try_i4=try_i4, i4_penalty=i4_penalty,
@@ -498,7 +504,8 @@ def unpack_g4(mask: np.ndarray, vals: np.ndarray, count: int, plan: dict):
 def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                                 threads: int = 2, chunk: int = 8,
                                 config=None, engine: str = "wavefront",
-                                depth: int = 3, timings: dict | None = None):
+                                depth: int = 3, timings: dict | None = None,
+                                refine: int = 1):
     """Lossy-encode same-shaped uint8 RGB(A) images, fully pipelined.
 
     Returns a list of complete .webp byte strings (order preserved).
@@ -707,7 +714,7 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
             cap_s=cap_s, cap_b=cap_b, try_i4=try_i4,
             i4_penalty=jax.device_put(pens),
             search=("open" if engine == "hybrid" else "closed"),
-            use_derr=use_derr)
+            use_derr=use_derr, refine=refine)
         return out, idxs, segs[: len(idxs)]
 
     # Sticky export buckets: start minimal, grow on overflow; every

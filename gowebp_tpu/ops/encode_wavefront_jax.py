@@ -59,6 +59,14 @@ from .vp8_recon_jax import (
 
 I32 = jnp.int32
 
+# Unroll the 16-sub-block Gauss-Seidel loops at trace time: the loop
+# bodies are tiny (a few-KB working set per step), so the sequential
+# while-loop bookkeeping dominates; unrolling lets XLA fuse across
+# sub-blocks.  Env-gated while being evaluated on real hardware.
+import os as _os
+
+_UNROLL_SUB = _os.environ.get("GOWEBP_UNROLL_SUB", "0") == "1"
+
 # 1/256-bit header-cost estimates of the 10 kf bmode symbols (must match
 # kMode4Bits256 in entropy/native/vp8_dec.cpp).  NumPy so it embeds as
 # an HLO literal instead of a per-launch-uploaded jit const.
@@ -203,6 +211,9 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
     mh, mw = H // 16, W // 16
     N = mh * mw
     cy, cu, cv = ctx if ctx is not None else (y, u, v)
+    # refinement ctx arrives as uint8 recon planes; all the context
+    # math (DC sums, TM clamps) needs int32
+    cy, cu, cv = (c.astype(I32) for c in (cy, cu, cv))
 
     qs = qsteps.astype(I32)
     iqs = (1 << 17) // jnp.maximum(qs, 1)
@@ -331,7 +342,8 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
                 bmodes, bmode[..., None], (0, 0, n))
             return scr, bmodes, s4 + bcost
 
-        scr, bmode, s4 = lax.fori_loop(0, 16, sub, (scr, bmodes, s4))
+        scr, bmode, s4 = lax.fori_loop(0, 16, sub, (scr, bmodes, s4),
+                                       unroll=True if _UNROLL_SUB else 1)
         adopt = s4 < s16
         is4 = adopt.astype(I32)
         imodes = jnp.where(adopt[..., None], bmode, imodes)
@@ -415,9 +427,9 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
     qs = qsteps.astype(I32)                         # (B, 4, 6)
     iqs = (1 << 17) // jnp.maximum(qs, 1)
 
-    Ysrc = _skew_tiles_off(y, mw, mh, 16, T, row_offset)
-    Usrc = _skew_tiles_off(u, mw, mh, 8, T, row_offset)
-    Vsrc = _skew_tiles_off(v, mw, mh, 8, T, row_offset)
+    Ysrc = _skew_tiles_off(y, mw, mh, 16, T, row_offset).astype(jnp.uint8)
+    Usrc = _skew_tiles_off(u, mw, mh, 8, T, row_offset).astype(jnp.uint8)
+    Vsrc = _skew_tiles_off(v, mw, mh, 8, T, row_offset).astype(jnp.uint8)
     seg_sk = _skew_flat_off(seg_map.reshape(B, mh * mw), mw, mh, T,
                             row_offset)             # (B, M, T)
     fixed = modes is not None
@@ -443,20 +455,26 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
                              prev_last)
             return shifted.at[:, 0:1].set(row0)
 
-    Sk_y = jnp.zeros((B, M, T + 3, 16, 16), I32)
-    Sk_u = jnp.zeros((B, M, T + 3, 8, 8), I32)
-    Sk_v = jnp.zeros((B, M, T + 3, 8, 8), I32)
+    # Narrow carry dtypes: the wavefront is HBM-bandwidth-bound on these
+    # per-step sliced arrays (recon pixels fit uint8, quantized levels
+    # fit int16, modes fit uint8); all arithmetic still runs in int32
+    # in-register, so outputs stay bit-identical.
+    U8 = jnp.uint8
+    I16 = jnp.int16
+    Sk_y = jnp.zeros((B, M, T + 3, 16, 16), U8)
+    Sk_u = jnp.zeros((B, M, T + 3, 8, 8), U8)
+    Sk_v = jnp.zeros((B, M, T + 3, 8, 8), U8)
     # UV DC error-diffusion carries (top pair for the MB below, left
     # pair for the right neighbour), (..., ch, 2) per MB.
-    Sk_dt = jnp.zeros((B, M, T + 3, 2, 2), I32)
-    Sk_dl = jnp.zeros((B, M, T + 3, 2, 2), I32)
-    O_yl = jnp.zeros((B, M, T, 16, 16), I32)
-    O_y2 = jnp.zeros((B, M, T, 16), I32)
-    O_uv = jnp.zeros((B, M, T, 8, 16), I32)
-    O_ym = jnp.zeros((B, M, T), I32)
-    O_um = jnp.zeros((B, M, T), I32)
-    O_i4 = jnp.zeros((B, M, T), I32)
-    O_im = jnp.zeros((B, M, T, 16), I32)
+    Sk_dt = jnp.zeros((B, M, T + 3, 2, 2), I16)
+    Sk_dl = jnp.zeros((B, M, T + 3, 2, 2), I16)
+    O_yl = jnp.zeros((B, M, T, 16, 16), I16)
+    O_y2 = jnp.zeros((B, M, T, 16), I16)
+    O_uv = jnp.zeros((B, M, T, 8, 16), I16)
+    O_ym = jnp.zeros((B, M, T), U8)
+    O_um = jnp.zeros((B, M, T), U8)
+    O_i4 = jnp.zeros((B, M, T), U8)
+    O_im = jnp.zeros((B, M, T, 16), U8)
 
     myv = jnp.arange(M, dtype=I32) + row_offset     # global row ids
     htv = myv > 0
@@ -475,7 +493,8 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
         iqlane = _switch(seg, [iqs[:, k][:, None] for k in range(4)], 1)
 
         # ---- luma context from the skewed recon state ----
-        win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0), (B, M, 3, 16, 16))
+        win = lax.dynamic_slice(Sk_y, (0, 0, t, 0, 0),
+                                (B, M, 3, 16, 16)).astype(I32)
         tl_t = shift_down(win[:, :, 0], 0)
         top_t = shift_down(win[:, :, 1], 0)
         left_t = win[:, :, 2]
@@ -490,7 +509,7 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
                          127)
 
         src = lax.dynamic_slice(Ysrc, (0, 0, t, 0, 0),
-                                (B, M, 1, 16, 16))[:, :, 0]
+                                (B, M, 1, 16, 16))[:, :, 0].astype(I32)
 
         # ---- i16 candidate ----
         pred4 = _predict4_blocks(top16, left16, tlpx, htv, hlv, 16)
@@ -612,7 +631,8 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
                 return scr, yl4, modes4, s4 + bcost
 
             scr, yl4, modes4, s4 = lax.fori_loop(
-                0, 16, sub, (scr, yl4, modes4, s4))
+                0, 16, sub, (scr, yl4, modes4, s4),
+                unroll=True if _UNROLL_SUB else 1)
 
             if fixed:
                 adopt = lax.dynamic_slice(
@@ -629,11 +649,13 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
 
         # ---- chroma (U and V stacked on the batch axis) ----
         usrc = lax.dynamic_slice(Usrc, (0, 0, t, 0, 0),
-                                 (B, M, 1, 8, 8))[:, :, 0]
+                                 (B, M, 1, 8, 8))[:, :, 0].astype(I32)
         vsrc = lax.dynamic_slice(Vsrc, (0, 0, t, 0, 0),
-                                 (B, M, 1, 8, 8))[:, :, 0]
-        uwin = lax.dynamic_slice(Sk_u, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
-        vwin = lax.dynamic_slice(Sk_v, (0, 0, t, 0, 0), (B, M, 3, 8, 8))
+                                 (B, M, 1, 8, 8))[:, :, 0].astype(I32)
+        uwin = lax.dynamic_slice(Sk_u, (0, 0, t, 0, 0),
+                                 (B, M, 3, 8, 8)).astype(I32)
+        vwin = lax.dynamic_slice(Sk_v, (0, 0, t, 0, 0),
+                                 (B, M, 3, 8, 8)).astype(I32)
         cwin = jnp.concatenate([uwin, vwin], axis=0)
         tl_c = shift_down(cwin[:, :, 0], 0)
         top_c = shift_down(cwin[:, :, 1], 0)
@@ -662,10 +684,12 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
             # channel with carried top/left errors — bit-identical to
             # the native host encoder.
             dtop = shift_down(lax.dynamic_slice(
-                Sk_dt, (0, 0, t + 1, 0, 0), (B, M, 1, 2, 2))[:, :, 0], 0)
+                Sk_dt, (0, 0, t + 1, 0, 0),
+                (B, M, 1, 2, 2))[:, :, 0].astype(I32), 0)
             dtop = jnp.where(htv[None, :, None, None], dtop, 0)
             dleft = lax.dynamic_slice(
-                Sk_dl, (0, 0, t + 2, 0, 0), (B, M, 1, 2, 2))[:, :, 0]
+                Sk_dl, (0, 0, t + 2, 0, 0),
+                (B, M, 1, 2, 2))[:, :, 0].astype(I32)
             dleft = jnp.where(hlv[None, :, None, None], dleft, 0)
             # ch onto the 2B axis: [..., pair]
             dt2 = jnp.concatenate([dtop[:, :, 0], dtop[:, :, 1]], axis=0)
@@ -698,9 +722,9 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
             nl = jnp.stack([nl2[:B], nl2[B:]], axis=2)   # (B, M, 2, 2)
             nt = jnp.stack([nt2[:B], nt2[B:]], axis=2)
             Sk_dl = lax.dynamic_update_slice(
-                Sk_dl, nl[:, :, None], (0, 0, t + 3, 0, 0))
+                Sk_dl, nl[:, :, None].astype(jnp.int16), (0, 0, t + 3, 0, 0))
             Sk_dt = lax.dynamic_update_slice(
-                Sk_dt, nt[:, :, None], (0, 0, t + 3, 0, 0))
+                Sk_dt, nt[:, :, None].astype(jnp.int16), (0, 0, t + 3, 0, 0))
         clv = _quant_lanes(ccf.reshape(2 * B, M, 4, 4, 4),
                            iq2[..., 4][..., None], iq2[..., 5][..., None],
                            _BIAS["uv_dc"], _BIAS["uv_ac"])
@@ -713,24 +737,30 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
         crec = crec_blk.transpose(0, 1, 2, 4, 3, 5).reshape(2 * B, M, 8, 8)
         uv_levels = jnp.concatenate([clv[:B], clv[B:]], axis=2)  # (B,M,8,16)
 
-        # ---- write recon column t+3 and output column t ----
+        # ---- write recon column t+3 and output column t (narrowed) ----
+        U8 = jnp.uint8
+        I16 = jnp.int16
         Sk_y = lax.dynamic_update_slice(
-            Sk_y, recon_y[:, :, None], (0, 0, t + 3, 0, 0))
+            Sk_y, recon_y[:, :, None].astype(U8), (0, 0, t + 3, 0, 0))
         Sk_u = lax.dynamic_update_slice(
-            Sk_u, crec[:B, :, None], (0, 0, t + 3, 0, 0))
+            Sk_u, crec[:B, :, None].astype(U8), (0, 0, t + 3, 0, 0))
         Sk_v = lax.dynamic_update_slice(
-            Sk_v, crec[B:, :, None], (0, 0, t + 3, 0, 0))
+            Sk_v, crec[B:, :, None].astype(U8), (0, 0, t + 3, 0, 0))
         O_yl = lax.dynamic_update_slice(
-            O_yl, y_levels.reshape(B, M, 1, 16, 16), (0, 0, t, 0, 0))
+            O_yl, y_levels.reshape(B, M, 1, 16, 16).astype(I16),
+            (0, 0, t, 0, 0))
         O_y2 = lax.dynamic_update_slice(
-            O_y2, y2_levels[:, :, None], (0, 0, t, 0))
+            O_y2, y2_levels[:, :, None].astype(I16), (0, 0, t, 0))
         O_uv = lax.dynamic_update_slice(
-            O_uv, uv_levels[:, :, None], (0, 0, t, 0, 0))
-        O_ym = lax.dynamic_update_slice(O_ym, ymode[:, :, None], (0, 0, t))
-        O_um = lax.dynamic_update_slice(O_um, uvmode[:, :, None], (0, 0, t))
-        O_i4 = lax.dynamic_update_slice(O_i4, is4[:, :, None], (0, 0, t))
+            O_uv, uv_levels[:, :, None].astype(I16), (0, 0, t, 0, 0))
+        O_ym = lax.dynamic_update_slice(
+            O_ym, ymode[:, :, None].astype(U8), (0, 0, t))
+        O_um = lax.dynamic_update_slice(
+            O_um, uvmode[:, :, None].astype(U8), (0, 0, t))
+        O_i4 = lax.dynamic_update_slice(
+            O_i4, is4[:, :, None].astype(U8), (0, 0, t))
         O_im = lax.dynamic_update_slice(
-            O_im, imodes[:, :, None], (0, 0, t, 0))
+            O_im, imodes[:, :, None].astype(U8), (0, 0, t, 0))
         return (Sk_y, Sk_u, Sk_v, Sk_dt, Sk_dl,
                 O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
 
