@@ -13,6 +13,7 @@ symbol streams.
 from .config import EncoderConfig
 from .decode import (
     decode,
+    decode_into,
     decode_rgb,
     decode_rgba,
     decode_rgba_batch,
@@ -21,6 +22,7 @@ from .decode import (
 )
 from .decode_options import DecoderConfig
 from .encode import encode_rgba, encode_rgba_batch, encode_yuv
+from .picture import picture_crop, picture_rescale, picture_view
 from .errors import (
     BitstreamError,
     EncodeError,
@@ -34,6 +36,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "decode",
+    "decode_into",
     "decode_rgba",
     "decode_rgb",
     "decode_yuv",
@@ -42,6 +45,9 @@ __all__ = [
     "encode_rgba_batch",
     "encode_yuv",
     "features",
+    "picture_crop",
+    "picture_rescale",
+    "picture_view",
     "EncoderConfig",
     "DecoderConfig",
     "WebPError",

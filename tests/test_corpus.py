@@ -164,3 +164,31 @@ def test_garbage_and_empty_inputs():
                  b"RIFF\x00\x00\x00\x00WEBP"):
         with pytest.raises(WebPError):
             gowebp_tpu.decode_rgba(blob)
+
+
+def test_1080p_hybrid_rd_dominates_libwebp():
+    """The BENCHED engine's quality gate (VERDICT r3 item 3): the hybrid
+    pipeline (`encode_rgba_batch_pipelined(engine="hybrid")`, the
+    engine bench.py claims throughput for) must hold the same
+    RD-dominance window as the host encoder at 1080p q=75."""
+    from gowebp_tpu.ops.encode_pipeline import encode_rgba_batch_pipelined
+
+    img = synth_photo(1080, 1920, seed=4)
+    outs = encode_rgba_batch_pipelined([img], quality=75.0, threads=2,
+                                       chunk=1, engine="hybrid")
+    data = outs[0]
+    ours = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    p_ours = _psnr(ours, img)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=75, method=4)
+    ref_data = buf.getvalue()
+    ref = np.asarray(Image.open(io.BytesIO(ref_data)).convert("RGB"))
+    p_ref = _psnr(ref, img)
+
+    size_ok = len(data) <= 1.02 * len(ref_data)
+    psnr_ok = p_ours >= p_ref - 0.25
+    better = len(data) < 0.98 * len(ref_data) or p_ours > p_ref + 0.1
+    assert size_ok and psnr_ok and better, (
+        f"hybrid {len(data)}B {p_ours:.2f}dB vs libwebp "
+        f"{len(ref_data)}B {p_ref:.2f}dB")

@@ -146,3 +146,65 @@ def test_sharded_recon_frame_bit_exact():
     for w, g, name in zip(want, got, "YUV"):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
                                       err_msg=name)
+
+
+_DIST_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO"])
+from gowebp_tpu.parallel import distributed
+
+pid = int(sys.argv[1])
+distributed.initialize(coordinator_address=os.environ["COORD"],
+                       num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2 * len(jax.local_devices())
+mesh = distributed.global_mesh()
+assert int(__import__("numpy").prod(mesh.devices.shape)) == jax.device_count()
+# a real cross-process collective over the global mesh
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.multihost_utils import process_allgather
+local = np.full((1,), pid + 1, np.int32)
+total = int(process_allgather(local).sum())
+assert total == 3, total
+print("DIST_OK", pid, flush=True)
+"""
+
+
+def test_distributed_two_process_smoke(tmp_path):
+    """parallel/distributed.py on a real 2-process jax.distributed job
+    (CPU backend): init, global device visibility, global_mesh, and a
+    cross-process allgather."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "dist_worker.py"
+    script.write_text(_DIST_WORKER)
+    env = dict(os.environ,
+               COORD=f"127.0.0.1:{port}",
+               REPO=str(os.path.dirname(os.path.dirname(__file__))))
+    env.pop("XLA_FLAGS", None)      # single CPU device per process
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} rc={p.returncode}:\n{out}"
+        assert f"DIST_OK {i}" in out, out
