@@ -570,6 +570,39 @@ def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _choose_predictors_auto(argb: np.ndarray, bits: int,
+                            refine_iters: int) -> np.ndarray:
+    """Dispatch the predictor analysis to TPU for large images.
+
+    The per-tile entropy chooser is the pixel-rate part of VP8L
+    analysis (SURVEY.md §7 step 4 planned it on TPU).  When a TPU
+    backend is the JAX default and the image is big enough to amortize
+    the transfer (≥1 MP, or always with GOWEBP_TPU_VP8L_ANALYSIS=1),
+    run `ops.lossless_jax.predictor_search_entropy` — the same
+    histogram-entropy cost + global refinement, one device pass —
+    and fall back to the host chooser otherwise or on any device
+    error.  f32-vs-f64 scoring can flip rare near-tie tiles; both maps
+    price within a fraction of a percent (golden-tested)."""
+    import os
+
+    force = os.environ.get("GOWEBP_TPU_VP8L_ANALYSIS") == "1"
+    big = argb.shape[0] * argb.shape[1] >= (1 << 20)
+    if force or big:
+        try:
+            import jax
+
+            if force or jax.default_backend() not in ("cpu",):
+                from ...ops.lossless_jax import predictor_search_entropy
+
+                modes = np.asarray(predictor_search_entropy(
+                    jax.device_put(np.ascontiguousarray(argb, np.uint32)),
+                    bits, refine_iters=refine_iters)).astype(np.uint32)
+                return (0xFF000000 | (modes << 8)).astype(np.uint32)
+        except Exception:
+            pass   # host fallback below
+    return _choose_predictors(argb, bits, refine_iters=refine_iters)
+
+
 def _choose_predictors(argb: np.ndarray, bits: int,
                        refine_iters: int = 4) -> np.ndarray:
     """Per-tile best predictor by residual-histogram entropy.
@@ -1894,7 +1927,7 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         for sg in sg_opts:
             base = tnp.subtract_green_forward(argb) if sg else argb
             cand_imgs = [
-                (bits, _choose_predictors(base, bits, refine_iters=iters))
+                (bits, _choose_predictors_auto(base, bits, iters))
                 for bits in bit_cands
             ]
             if quality >= 50:

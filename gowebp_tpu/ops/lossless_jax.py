@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 
@@ -262,6 +263,96 @@ def _residual_cost_table():
     v = np.arange(256)
     folded = np.minimum(v, 256 - v)
     return jnp.array((2 * np.ceil(np.log2(1 + folded)) + 1), jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("bits", "refine_iters"))
+def predictor_search_entropy(argb: jnp.ndarray, bits: int,
+                             refine_iters: int = 4) -> jnp.ndarray:
+    """Per-tile best-of-14 predictor by residual-histogram ENTROPY.
+
+    The TPU twin of the host chooser (`wtpu_vp8l_choose_predictors`,
+    entropy/native/vp8l_dec.cpp:666; reference cost model:
+    predictor_enc.go:227-716 GetBestPredictorsAndSubSampling): stage 1
+    scores each tile by the Shannon entropy of its four per-channel
+    residual-byte histograms plus the 0.04·folded magnitude bias;
+    stage 2 refines against the global distribution of the currently
+    chosen residuals with a mode-frequency prior.
+
+    The pixel-rate work is ONE pass building a (14, T, 4, 256)
+    histogram tensor (int8 one-hot chunks reduced on-device — no
+    gathers/scatters); every refinement iteration then runs on that
+    tensor alone, and only the (th, tw) mode map leaves the device.
+
+    Scores use f32 (the host uses f64), so rare near-tie tiles may
+    pick a different — equally priced — mode; the golden test pins
+    tile agreement and output size, not bit equality of the mode map.
+
+    Returns the mode map as (th, tw) int32.
+    """
+    h, w = argb.shape[-2:]
+    tile = 1 << bits
+    th = -(-h // tile)
+    tw = -(-w // tile)
+    T = th * tw
+    P = tile * tile
+
+    # Per-mode residual bytes, padded to full tiles with the sentinel
+    # 256 (a 257th bin that never contributes to any real histogram).
+    def tile_bytes(res):
+        full = jnp.full((4, th * tile, tw * tile), 256, jnp.int32)
+        by = jnp.stack([(res >> 24) & _FF, (res >> 16) & _FF,
+                        (res >> 8) & _FF, res & _FF]).astype(jnp.int32)
+        full = full.at[:, :h, :w].set(by)
+        return full.reshape(4, th, tile, tw, tile).transpose(
+            0, 1, 3, 2, 4).reshape(4, T, P)
+
+    CHUNK = 64 if T >= 64 else T
+
+    def hist_of(by):                    # (4, T, P) -> (T, 4, 256) i32
+        Tp = -(-T // CHUNK) * CHUNK
+        byp = jnp.full((4, Tp, P), 256, jnp.int32).at[:, :T].set(by)
+        chunks = byp.reshape(4, Tp // CHUNK, CHUNK, P).transpose(
+            1, 0, 2, 3)                 # (nc, 4, CHUNK, P)
+
+        def one(c):
+            oh = jax.nn.one_hot(c, 257, dtype=jnp.int8)
+            return oh.sum(axis=2, dtype=jnp.int32)[..., :256]
+
+        out = lax.map(one, chunks)      # (nc, 4, CHUNK, 256)
+        return out.transpose(0, 2, 1, 3).reshape(Tp, 4, 256)[:T]
+
+    hists = []
+    for mode in range(14):
+        pred = predict_plane(argb, mode)
+        res = _sub_pixels(argb, pred)
+        hists.append(hist_of(tile_bytes(res)))
+    hist = jnp.stack(hists)             # (14, T, 4, 256) int32
+    histf = hist.astype(jnp.float32)
+
+    # stage 1: per-tile entropy + magnitude bias
+    npx = histf[0, :, 0].sum(axis=-1)   # true pixels per tile
+    n_log_n = 4.0 * npx * jnp.log2(jnp.maximum(npx, 1.0))
+    v = jnp.arange(256)
+    folded = jnp.minimum(v, 256 - v).at[0].set(0).astype(jnp.float32)
+    ent = n_log_n[None] - (histf * jnp.log2(jnp.maximum(histf, 1.0))
+                           ).sum(axis=(2, 3))
+    bias = (histf * (0.04 * folded)).sum(axis=(2, 3))
+    modes = jnp.argmin(ent + bias, axis=0).astype(jnp.int32)   # (T,)
+
+    # stage 2: refinement against the global chosen-residual law
+    def refine(_, modes):
+        mh = jax.nn.one_hot(modes, 14, dtype=jnp.float32)      # (T, 14)
+        glob = jnp.einsum("tm,mtcb->cb", mh, histf)
+        tot = glob.sum(axis=1, keepdims=True)
+        logp = jnp.log2((glob + 0.1) / (tot + 25.6))
+        cost = -jnp.einsum("mtcb,cb->mt", histf, logp)         # (14, T)
+        mcount = mh.sum(axis=0)
+        mode_cost = -jnp.log2((mcount + 0.1) / (T + 1.4))
+        return jnp.argmin(cost + mode_cost[:, None],
+                          axis=0).astype(jnp.int32)
+
+    modes = lax.fori_loop(0, refine_iters, refine, modes)
+    return modes.reshape(th, tw)
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,61 @@ class TestPredictors:
             lj.predictor_inverse(jnp.array(residual), jnp.array(mode_img), bits)
         )
         np.testing.assert_array_equal(got, x)
+
+
+class TestPredictorEntropySearch:
+    """TPU entropy chooser == host chooser (modes near-identical, output
+    size at parity) — VERDICT r3 item 5."""
+
+    def _image(self, h=160, w=192, seed=2):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (120 + 60 * np.sin(xx / 23) + rng.normal(0, 6, (h, w)))
+        g = (100 + 50 * np.cos(yy / 17) + 20 * np.sin((xx + yy) / 31))
+        b = (xx // 3 + yy // 5) % 256
+        argb = (0xFF000000
+                | (np.clip(r, 0, 255).astype(np.uint32) << 16)
+                | (np.clip(g, 0, 255).astype(np.uint32) << 8)
+                | b.astype(np.uint32))
+        return argb.astype(np.uint32)
+
+    def test_modes_agree_with_host_chooser(self):
+        from gowebp_tpu.models.vp8l.encoder import _choose_predictors
+        from gowebp_tpu.ops.lossless_jax import predictor_search_entropy
+
+        argb = self._image()
+        for bits in (4, 5):
+            host = _choose_predictors(argb, bits, refine_iters=4)
+            host_modes = (host >> 8) & 0xFF
+            got = np.asarray(predictor_search_entropy(argb, bits,
+                                                      refine_iters=4))
+            agree = (got == host_modes).mean()
+            assert agree >= 0.95, (
+                f"bits={bits}: only {agree:.1%} tile agreement")
+
+    def test_size_parity_when_forced(self, monkeypatch):
+        import io
+
+        from PIL import Image
+
+        import gowebp_tpu
+        from gowebp_tpu.config import EncoderConfig
+
+        rng = np.random.default_rng(5)
+        h, w = 144, 176
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = np.clip(130 + 50 * np.sin(xx / 19)
+                              + rng.normal(0, 4, (h, w)), 0, 255)
+        img[..., 1] = np.clip(110 + 45 * np.cos(yy / 23), 0, 255)
+        img[..., 2] = ((xx + 2 * yy) // 4) % 256
+
+        base = gowebp_tpu.encode_rgba(
+            img, config=EncoderConfig(lossless=True, quality=75))
+        monkeypatch.setenv("GOWEBP_TPU_VP8L_ANALYSIS", "1")
+        forced = gowebp_tpu.encode_rgba(
+            img, config=EncoderConfig(lossless=True, quality=75))
+        # both must round-trip and price within a fraction of a percent
+        assert np.array_equal(
+            np.asarray(Image.open(io.BytesIO(forced)).convert("RGB")), img)
+        assert len(forced) <= 1.005 * len(base), (len(forced), len(base))
