@@ -8,26 +8,32 @@ mode search (i16/uv/i4 Gauss-Seidel) + fixed-mode exact closed-loop
 wavefront + G4PACKv2 → one fused d2h buffer → host entropy emission
 (C++ tokenizer, thread pool).
 
-Unlike round 2's open-loop headline (whose prediction drift cost ~17 dB
-PSNR on this corpus — quantified in "extra"), the hybrid engine's
-streams are exactly closed-loop: the same engine owns the quality AND
-the throughput claim.  Its quality rides in "extra" as PSNR/size
-against libwebp on the same images (quality 75, method 4).
-
-Baseline: libwebp's single-core full encoder (via Pillow), same
-quality/method.
+The hybrid engine owns BOTH the throughput claim and the quality
+claim: its PSNR/size vs libwebp on the same images rides in "extra"
+and is a GATE — if it leaves the parity window (size ≤1.02x,
+PSNR ≥ -0.25 dB) the benchmark prints "quality_ok": false and exits
+nonzero.
 
 Extras:
-  - hybrid_psnr_db / libwebp_psnr_db + hybrid_size_ratio: the quality
-    assertion for the benched engine.
-  - stage breakdown (seconds): prep / h2d / fetch(d2h) / emit.
-  - vp8_hybrid_device_mps: the device phase alone (search + wavefront),
-    i.e. the number the same pipeline reaches once the host link is
-    PCIe instead of this tunnel.
-  - vp8_e2e_exact_search_mps: e2e with the full in-loop RD search
-    (bit-identical to the sequential host encoder).
-  - openloop PSNR: the r2 fast path's drift penalty, for the record.
-  - vp8_decode_to_device_mps: batch decode, device-resident output.
+  - device_breakdown_ms: the hybrid core's phases timed separately on
+    device (parallel search vs fixed-mode wavefront; refine=1 runs
+    search+wavefront twice) plus an HBM/FLOP utilization estimate from
+    XLA's own cost analysis — the "where does device time go" answer.
+  - vp8_decode_to_device_mps + decode_breakdown: batch decode with
+    device-resident output, and the host symbol phase (the AVX-512
+    16-lane interleaved entropy decoder) timed alone.
+  - vp8_e2e_exact_search_mps: the exact in-loop-search wavefront.
+    Role: **verification oracle** (bit-identical to the sequential
+    host encoder; pins the hybrid engine down) — not a production
+    path, and not expected to be fast.
+  - vp8l_analysis_device_ms: the TPU VP8L predictor-entropy chooser on
+    a 1 MP image (the host chooser's time alongside).
+
+Pallas note: this environment reaches the TPU through a relay whose
+kernel-compile path wedges the whole chip for ~an hour (see
+.claude/skills/verify/SKILL.md), so the Pallas kernels are exercised
+in interpret mode by the suite and NOT compiled here; no
+pallas_device_mps extra can be recorded on this tunnel.
 
 Environment note: this host reaches the TPU through a tunnel whose
 transfers run at ~12-60 MB/s with multi-second stalls (time-varying);
@@ -39,6 +45,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 import io
 import json
+import sys
 import time
 
 import numpy as np
@@ -93,11 +100,29 @@ def libwebp_decode_mps(datas: list, size: int) -> float:
     return len(datas) * size * size / 1e6 / dt
 
 
+def _cost_analysis(fn, *args):
+    """XLA's own flops/bytes estimate for a jitted call, or None."""
+    try:
+        import jax
+
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return None
+
+
 def main() -> None:
     import jax
     from PIL import Image
 
     from gowebp_tpu.decode import decode_rgba_batch
+    from gowebp_tpu.models.vp8.decoder import decode_vp8_symbols_batch
+    from gowebp_tpu.container.riff import parse_riff
+    from gowebp_tpu.constants import CHUNK_VP8
     from gowebp_tpu.ops.encode_pipeline import encode_rgba_batch_pipelined
 
     size, chunk = 1024, 32
@@ -118,9 +143,10 @@ def main() -> None:
     # --- libwebp baselines + per-image quality on a subset ---
     enc_base = libwebp_encode_mps(imgs[0])
     nq = 8
+    n_dec = 32           # fills the interleaved decoder's 16 lanes x2
     lw_sizes, lw_psnr = [], []
     datas = []
-    for b in range(16):
+    for b in range(n_dec):
         buf = io.BytesIO()
         Image.fromarray(imgs[b]).save(buf, "WEBP", quality=75, method=4)
         datas.append(buf.getvalue())
@@ -130,9 +156,24 @@ def main() -> None:
                 Image.open(io.BytesIO(buf.getvalue())).convert("RGB")),
                 imgs[b]))
 
-    # --- extra: batch decode with device-resident output (measured
-    # BEFORE the encode rounds: the tunnel degrades for a while after
-    # sustained bulk transfers, which once cost this metric 9x) ---
+    # --- decode: host symbol phase alone (the wall), then full batch
+    # decode with device-resident output.  Measured BEFORE the encode
+    # rounds: the tunnel degrades after sustained bulk transfers. ---
+    payloads = [parse_riff(d).find(CHUNK_VP8).payload for d in datas]
+    decode_vp8_symbols_batch(payloads[:2])     # warm (native build)
+    t0 = time.perf_counter()
+    decode_vp8_symbols_batch(payloads)
+    sym_1t = n_dec * mp / (time.perf_counter() - t0)
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(2) as pool:
+        sym_2t = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(pool.map(decode_vp8_symbols_batch,
+                          [payloads[0::2], payloads[1::2]]))
+            sym_2t = max(sym_2t, n_dec * mp / (time.perf_counter() - t0))
+
     outs_d = decode_rgba_batch(datas, device_out=True)  # warm
     jax.block_until_ready(outs_d)
     dec, _ = best_of(
@@ -155,7 +196,12 @@ def main() -> None:
         Image.open(io.BytesIO(outs[b])).convert("RGB")), imgs[b])
         for b in range(nq)]
 
-    # --- extra: exact in-loop-search engine e2e (smaller run) ---
+    # --- quality GATE for the benched engine ---
+    size_ratio = sum(hy_sizes) / sum(lw_sizes)
+    dpsnr = float(np.mean(hy_psnr)) - float(np.mean(lw_psnr))
+    quality_ok = bool(size_ratio <= 1.02 and dpsnr >= -0.25)
+
+    # --- extra: exact in-loop-search engine e2e (verification oracle) ---
     n_wf = 16
     encode_rgba_batch_pipelined(lst[:n_wf], quality=75.0, threads=8,
                                 chunk=n_wf, engine="wavefront")  # warm
@@ -172,13 +218,15 @@ def main() -> None:
         Image.open(io.BytesIO(fast[b])).convert("RGB")), imgs[b])
         for b in range(nq)]
 
-    # --- extra: device-phase throughput (hybrid core, planes resident) ---
+    # --- device-phase throughput + per-phase breakdown + utilization ---
     import jax.numpy as jnp
+    from functools import partial
 
     from gowebp_tpu.models.vp8.encoder import (
         _default_cost_tables, _i4_config, make_quants, quality_to_q,
         rgb_to_yuv420)
-    from gowebp_tpu.ops.encode_wavefront_jax import encode_hybrid_core
+    from gowebp_tpu.ops.encode_wavefront_jax import (
+        encode_hybrid_core, encode_wavefront_core, openloop_mode_search)
 
     nb = 16
     pl = [rgb_to_yuv420(imgs[b]) for b in range(nb)]
@@ -194,13 +242,81 @@ def main() -> None:
                    for t in _default_cost_tables())
     _, pen = _i4_config(q.y1_ac.q, 4, 0)
 
+    def sync(out):
+        if isinstance(out, dict):
+            return int(np.asarray(out[next(iter(out))].reshape(-1)[0]))
+        return int(np.asarray(out.reshape(-1)[0]))
+
     def run_dev():
-        out = encode_hybrid_core(y, u, v, segb, qsb, tables,
-                                 try_i4=True, i4_penalty=pen, refine=1)
-        return int(np.asarray(out["ymode"][0, 0, 0]))  # force sync
+        return sync(encode_hybrid_core(y, u, v, segb, qsb, tables,
+                                       try_i4=True, i4_penalty=pen,
+                                       refine=1))
 
     run_dev()
     dev_mps, _ = best_of(run_dev, nb * mp, reps=2)
+
+    # phase timings: one compiled search step, one fixed-mode wavefront
+    search_fn = partial(openloop_mode_search, try_i4=True, i4_penalty=pen)
+    search_j = jax.jit(search_fn)
+    sync(search_j(y, u, v, segb, qsb, tables))
+    t0 = time.perf_counter()
+    modes = search_j(y, u, v, segb, qsb, tables)
+    sync(modes)
+    t_search = time.perf_counter() - t0
+    modes_t = tuple(modes[k] for k in ("ymode", "uvmode", "is_i4", "imodes"))
+
+    def run_wf():
+        return sync(encode_wavefront_core(
+            y, u, v, segb, qsb, tables, try_i4=True, i4_penalty=pen,
+            modes=modes_t))
+
+    run_wf()
+    t0 = time.perf_counter()
+    run_wf()
+    t_wf = time.perf_counter() - t0
+
+    breakdown = {
+        "search_ms": round(t_search * 1000, 1),
+        "fixed_wavefront_ms": round(t_wf * 1000, 1),
+        "rounds": 2,                     # refine=1: 2x (search+wavefront)
+        "hybrid_total_ms": round(nb * mp / dev_mps * 1000, 1),
+    }
+    ca = _cost_analysis(
+        lambda *a: encode_hybrid_core(*a, tables, try_i4=True,
+                                      i4_penalty=pen, refine=1),
+        y, u, v, segb, qsb)
+    if ca:
+        dt_total = nb * mp / dev_mps
+        # v5e: ~197 TOPS bf16 MXU; HBM ~819 GB/s
+        breakdown["xla_flops"] = ca["flops"]
+        breakdown["xla_bytes"] = ca["bytes"]
+        breakdown["hbm_gbps"] = round(ca["bytes"] / dt_total / 1e9, 1)
+        breakdown["hbm_utilization"] = round(
+            ca["bytes"] / dt_total / 819e9, 3)
+        breakdown["mfu_vs_bf16_peak"] = round(
+            ca["flops"] / dt_total / 197e12, 4)
+
+    # --- extra: TPU VP8L analysis kernel vs host chooser at 1 MP ---
+    vp8l_ms = {}
+    try:
+        from gowebp_tpu.models.vp8l.encoder import _choose_predictors
+        from gowebp_tpu.ops.lossless_jax import predictor_search_entropy
+
+        argb = ((0xFF000000
+                 | (imgs[0][..., 0].astype(np.uint32) << 16)
+                 | (imgs[0][..., 1].astype(np.uint32) << 8)
+                 | imgs[0][..., 2]).astype(np.uint32))
+        dev_argb = jax.device_put(argb)
+        m = predictor_search_entropy(dev_argb, 4)          # warm
+        np.asarray(m)
+        t0 = time.perf_counter()
+        np.asarray(predictor_search_entropy(dev_argb, 4))
+        vp8l_ms["tpu_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+        t0 = time.perf_counter()
+        _choose_predictors(argb, 4)
+        vp8l_ms["host_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+    except Exception:
+        pass
 
     result = {
         "metric": "vp8_e2e_encode_throughput_hybrid",
@@ -211,18 +327,29 @@ def main() -> None:
             "libwebp_encode_mps_1core": round(enc_base, 2),
             "hybrid_psnr_db": round(float(np.mean(hy_psnr)), 3),
             "libwebp_psnr_db": round(float(np.mean(lw_psnr)), 3),
-            "hybrid_size_ratio_vs_libwebp": round(
-                sum(hy_sizes) / sum(lw_sizes), 4),
+            "hybrid_size_ratio_vs_libwebp": round(size_ratio, 4),
+            "quality_ok": quality_ok,
             "openloop_psnr_db": round(float(np.mean(ol_psnr)), 3),
             "vp8_e2e_exact_search_mps": round(e2e_exact, 2),
+            "exact_engine_role": "verification oracle",
             "vp8_hybrid_device_mps": round(dev_mps, 2),
+            "device_breakdown": breakdown,
             "vp8_decode_to_device_mps": round(dec, 2),
             "libwebp_decode_mps_1core": round(dec_base, 2),
             "decode_vs_baseline": round(dec / dec_base, 2),
+            "decode_breakdown": {
+                "symbols_host_1t_mps": round(sym_1t, 1),
+                "symbols_host_2t_mps": round(sym_2t, 1),
+            },
+            "vp8l_analysis_ms": vp8l_ms,
             "stage_seconds": {k: round(v, 2) for k, v in timings.items()},
         },
     }
     print(json.dumps(result))
+    if not quality_ok:
+        print(f"QUALITY GATE FAILED: size_ratio={size_ratio:.4f} "
+              f"dPSNR={dpsnr:.3f}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

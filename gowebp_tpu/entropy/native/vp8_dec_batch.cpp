@@ -266,11 +266,12 @@ struct Lane {
 struct Engine {
   Hot hot;
   Lane lanes[16];
-  int32_t staging[16 * 16];     // one 4x4 block of i32 coeffs per lane
+  alignas(64) int32_t staging[16 * 16];  // one 4x4 i32 block per lane
   const uint8_t* arena;         // all partitions, padded
   const uint8_t* pv_arena;      // expanded prob rows, all images
   std::vector<Lane> pending;    // streams waiting for a free lane
   uint16_t active = 0;          // lane occupancy mask
+  int n_blocked = 0;            // gate-blocked parked lanes
 };
 
 static void iwht4x4_i32(const int32_t* in, int32_t* out) {
@@ -365,9 +366,14 @@ static bool block_done(Engine& eng, int k) {
       return true;
     }
     case PH_LUMA: {
+      // Staging already holds RASTER positions (the scatter indexes by
+      // kZigzag), so narrowing is a straight copy; position 0 of i16
+      // luma blocks holds the WHT DC and must survive (first==1 blocks
+      // never stage position 0, which stays 0 from the arm memset).
       int16_t* bc = mb_coeffs + ln.bi * 16;
-      for (int i = (int)ln.first; i < 16; i++)
-        bc[kZigzag[i]] = (int16_t)stg[kZigzag[i]];
+      int16_t dc0 = bc[0];
+      for (int i = 0; i < 16; i++) bc[i] = (int16_t)stg[i];
+      if (ln.first) bc[0] = dc0;
       uint32_t l = nz > ln.first;
       ln.tnz = (ln.tnz >> 1) | (l << 7);
       bool has = nz > ln.first || bc[0] != 0;
@@ -401,8 +407,7 @@ static bool block_done(Engine& eng, int k) {
     case PH_U:
     case PH_V: {
       int16_t* bc = mb_coeffs + ln.bi * 16;
-      for (int i = 0; i < 16; i++)
-        bc[kZigzag[i]] = (int16_t)stg[kZigzag[i]];
+      for (int i = 0; i < 16; i++) bc[i] = (int16_t)stg[i];
       uint32_t l = nz > 0;
       ln.any_nz |= l;
       ln.uv_ac |= (uint32_t)(nz > 1);
@@ -607,6 +612,7 @@ static void lane_done(Engine& eng, int k) {
   // lane idle: stream finished or blocked
   if (eng.lanes[k].blocked) {
     park_lane(eng, k);
+    eng.n_blocked++;
     return;   // retried by the outer loop
   }
   // stream finished: try to install a pending stream
@@ -615,17 +621,23 @@ static void lane_done(Engine& eng, int k) {
     Lane src = eng.pending.back();
     eng.pending.pop_back();
     if (install_stream(eng, k, src)) return;
-    if (eng.lanes[k].blocked) return;   // keep it in the lane, parked
+    if (eng.lanes[k].blocked) {
+      eng.n_blocked++;
+      return;   // keep it in the lane, parked
+    }
   }
 }
 
-// Retry gate-blocked lanes (cheap: at most num_parts-1 per image).
+// Retry gate-blocked lanes (at most num_parts-1 per image; callers
+// skip the scan entirely via eng.n_blocked for single-partition work).
 static void retry_blocked(Engine& eng) {
+  if (!eng.n_blocked) return;
   for (int k = 0; k < 16; k++) {
     if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done &&
         !(eng.active & (1u << k))) {
       if (start_mb(eng, k)) {
         eng.lanes[k].blocked = 0;
+        eng.n_blocked--;
         unpark_lane(eng, k);
       }
     }
@@ -633,6 +645,34 @@ static void retry_blocked(Engine& eng) {
 }
 
 #ifdef WTPU_AVX512
+
+// The DFA transition table split for register-resident lookups: the
+// 39-state table fits two ZMMs of u16 per (bit, half), so a
+// vpermi2w pair replaces the per-step gather.
+struct EntTables {
+  __m512i lo[2][2];   // [bit][half-selector regs]
+  __m512i hi[2][2];
+};
+
+static EntTables build_ent_tables() {
+  alignas(64) uint16_t lo[2][64] = {};
+  alignas(64) uint16_t hi[2][64] = {};
+  for (uint32_t s = 0; s < NSTATES; s++)
+    for (int b = 0; b < 2; b++) {
+      lo[b][s] = (uint16_t)(T.ent[s * 2 + b] & 0xFFFF);
+      hi[b][s] = (uint16_t)(T.ent[s * 2 + b] >> 16);
+    }
+  EntTables t;
+  for (int b = 0; b < 2; b++) {
+    t.lo[b][0] = _mm512_load_si512(lo[b]);
+    t.lo[b][1] = _mm512_load_si512(lo[b] + 32);
+    t.hi[b][0] = _mm512_load_si512(hi[b]);
+    t.hi[b][1] = _mm512_load_si512(hi[b] + 32);
+  }
+  return t;
+}
+
+static const EntTables ET = build_ent_tables();
 
 // 16-lane vector step: decodes one boolean decision of every active
 // stream per iteration.  Returns the done mask (blocks finished).
@@ -669,10 +709,21 @@ static inline uint16_t step_avx512(Engine& eng, __m512i& value,
                                          _mm512_set1_epi32(24));
   bits = _mm512_sub_epi32(bits, shift);
   range = _mm512_sub_epi32(_mm512_sllv_epi32(r_sel, shift), one);
-  // DFA transition
+  // DFA transition: per-bit table halves permuted from registers
+  // (vpermi2w over 64 u16 entries; even u16 lanes carry the result)
   const __m512i bitv = _mm512_maskz_mov_epi32(bitk, one);
-  const __m512i eidx = _mm512_add_epi32(_mm512_add_epi32(state, state), bitv);
-  const __m512i e = _mm512_i32gather_epi32(eidx, (const int*)T.ent, 4);
+  const __m512i c16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i e_lo = _mm512_and_epi32(
+      _mm512_mask_mov_epi32(
+          _mm512_permutex2var_epi16(ET.lo[0][0], state, ET.lo[0][1]), bitk,
+          _mm512_permutex2var_epi16(ET.lo[1][0], state, ET.lo[1][1])),
+      c16);
+  const __m512i e_hi = _mm512_and_epi32(
+      _mm512_mask_mov_epi32(
+          _mm512_permutex2var_epi16(ET.hi[0][0], state, ET.hi[0][1]), bitk,
+          _mm512_permutex2var_epi16(ET.hi[1][0], state, ET.hi[1][1])),
+      c16);
+  const __m512i e = _mm512_or_epi32(e_lo, _mm512_slli_epi32(e_hi, 16));
   const __m512i ns = _mm512_and_epi32(e, _mm512_set1_epi32(63));
   const __m512i adv = _mm512_and_epi32(_mm512_srli_epi32(e, 6), one);
   const __mmask16 advk = _mm512_test_epi32_mask(adv, adv);
@@ -1038,7 +1089,10 @@ int wtpu_vp8_decode_symbols_batch(
       Lane src = eng.pending.back();
       eng.pending.pop_back();
       if (install_stream(eng, k, src)) break;
-      if (eng.lanes[k].blocked) break;   // parked in this lane, retried later
+      if (eng.lanes[k].blocked) {
+        eng.n_blocked++;
+        break;   // parked in this lane, retried later
+      }
     }
   }
 
