@@ -262,23 +262,55 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     def vp8_group(items):
         """One interleaved-engine call decodes a whole group of VP8
         streams in a single thread (the engine overlaps their bitstream
-        chains itself); alpha planes ride alongside."""
+        chains itself), then DISPATCHES the batched device recon without
+        awaiting it — JAX dispatch is async, so while this group's
+        reconstruction runs on the chip, the other threads' symbol
+        phases keep the host cores busy (host/device overlap)."""
+        import numpy as np
+
         from .models.vp8.alpha import decode_alpha
+        from .ops.vp8_recon_jax import recon_frame
+        from .ops.yuv_jax import batch_yuv_to_rgba
 
         syms = decode_vp8_symbols_batch([p for _, p, _ in items])
-        out = []
+        per = []
         for (i, _, ap), (st, coeffs, modes) in zip(items, syms):
             alpha_plane = (decode_alpha(ap, st.width, st.height)
                            if ap is not None else None)
-            out.append((i, "syms", (st, coeffs, modes,
-                                    vp8_filter_params(st, modes),
-                                    alpha_plane)))
+            per.append((i, st, coeffs, modes,
+                        vp8_filter_params(st, modes), alpha_plane))
+        shape_groups = {}
+        for rec in per:
+            st = rec[1]
+            key = (st.width, st.height, st.filter_type, rec[5] is not None)
+            shape_groups.setdefault(key, []).append(rec)
+        out = []
+        for (W, H, ftype, has_alpha), recs in shape_groups.items():
+            st0 = recs[0][1]
+            coeffs = np.stack([r[2] for r in recs])
+            modes = np.stack([r[3] for r in recs])
+            fps = np.stack([r[4] for r in recs])
+            Y, U, V = recon_frame(
+                coeffs, modes[:, :, 0].astype(np.int32),
+                modes[:, :, 5:21].astype(np.int32),
+                modes[:, :, 1].astype(np.int32), fps,
+                mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=ftype)
+            h2, w2 = (H + 1) // 2, (W + 1) // 2
+            rgba = batch_yuv_to_rgba(
+                Y[:, :H, :W].astype("int32"),
+                U[:, :h2, :w2].astype("int32"),
+                V[:, :h2, :w2].astype("int32"))
+            if has_alpha:
+                rgba = _set_alpha_batch(
+                    rgba, np.stack([r[5] for r in recs]))
+            for k, r in enumerate(recs):
+                out.append((r[0], "rgba_dev", (rgba, k)))
         return out
 
     host = []
-    # One engine call per thread; each engine interleaves its whole
-    # group of bitstreams itself, so a handful of threads suffices.
-    ng = min(workers, max(1, len(vp8_items) // 4))
+    # One engine call per thread (16 interleave lanes each); each
+    # group's device recon overlaps the next group's symbol phase.
+    ng = min(workers, max(1, -(-len(vp8_items) // 16)))
     if workers <= 1 or (ng <= 1 and not other):
         if vp8_items:
             host.extend(vp8_group(vp8_items))
@@ -294,8 +326,8 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
 
     results = [None] * len(datas)
     planes_groups = {}
-    syms_groups = {}
     rgba_groups = {}
+    dev_batches = []                      # [(dev_batch, [(i, k), ...])]
     for i, kind, val in host:
         if kind == "full":
             results[i] = val
@@ -303,15 +335,18 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
             rgba_groups.setdefault(val.shape, []).append((i, val))
         elif kind == "planes":
             planes_groups.setdefault(val[0].shape, []).append((i, val))
-        else:
-            st = val[0]
-            key = (st.width, st.height, st.filter_type,
-                   val[4] is not None)
-            syms_groups.setdefault(key, []).append((i, val))
+        else:                             # "rgba_dev"
+            dev, k = val
+            for db, lst in dev_batches:
+                if db is dev:
+                    lst.append((i, k))
+                    break
+            else:
+                dev_batches.append((dev, [(i, k)]))
 
     import numpy as np
 
-    if planes_groups or syms_groups:
+    if planes_groups:
         from .ops.yuv_jax import batch_yuv_to_rgba
 
     if device_out:
@@ -343,30 +378,12 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         v = np.stack([p[2] for _, p in items]).astype(np.int32)
         materialize(batch_yuv_to_rgba(y, u, v), items)
 
-    if syms_groups:
-        from .ops.vp8_recon_jax import recon_frame
-
-        for (W, H, ftype, has_alpha), items in syms_groups.items():
-            st0 = items[0][1][0]
-            coeffs = np.stack([v[1] for _, v in items])
-            modes = np.stack([v[2] for _, v in items])
-            fps = np.stack([v[3] for _, v in items])
-            Y, U, V = recon_frame(
-                coeffs,
-                modes[:, :, 0].astype(np.int32),
-                modes[:, :, 5:21].astype(np.int32),
-                modes[:, :, 1].astype(np.int32),
-                fps,
-                mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=ftype)
-            h2, w2 = (H + 1) // 2, (W + 1) // 2
-            rgba = batch_yuv_to_rgba(
-                Y[:, :H, :W].astype(np.int32),
-                U[:, :h2, :w2].astype(np.int32),
-                V[:, :h2, :w2].astype(np.int32))
-            if has_alpha:
-                alpha = np.stack([v[4] for _, v in items])
-                rgba = _set_alpha_batch(rgba, alpha)
-            materialize(rgba, items)
+    # rgba_dev batches were dispatched inside the symbol threads; only
+    # materialize (or slice) them here.
+    for dev, lst in dev_batches:
+        out = dev if device_out else np.asarray(dev)
+        for i, k in lst:
+            results[i] = out[k]
     return results
 
 
