@@ -916,9 +916,54 @@ static void run_scalar(Engine& eng) {
 
 // ----------------------------------------------------------------------
 // Sequential mode pre-pass (partition 0): segment, skip, modes.
-// Mirrors parse_frame_mbs' mode section (vp8_dec.cpp).
+// Mirrors parse_frame_mbs' mode section (vp8_dec.cpp), but on a
+// branchless boolean decoder (mask selects + clz renorm): the decision
+// outcomes are data-random, so the branchy RFC form mispredicts every
+// other decision (~9 ns/get vs ~5.5 branchless).
 // ----------------------------------------------------------------------
-static int parse_modes(BoolDec& bd, int mb_w, int mb_h, int update_map,
+struct FastModeDec {
+  const uint8_t* data;
+  uint64_t size;
+  uint64_t pos;
+  uint32_t value;   // libwebp convention: window bits, range as real-1
+  uint32_t range;
+  int32_t bits;
+
+  // Seed from RFC-convention state (pos/value/range/bit_count): the
+  // RFC value is [window:8][future:8-bc valid][bc dead zeros], so the
+  // window representation here is value_rfc >> bc with 8-bc lookahead
+  // bits, and range is stored as real-1.
+  void init(const uint8_t* d, uint64_t n, uint64_t p, uint32_t v,
+            uint32_t r, int bc) {
+    data = d; size = n; pos = p;
+    value = v >> bc; bits = 8 - bc; range = r - 1;
+  }
+  inline uint32_t next_byte() {
+    uint32_t b = pos < size ? data[pos] : 0;
+    pos++;
+    return b;
+  }
+  inline int get(int prob) {
+    if (bits < 0) {
+      value = (value << 8) | next_byte();
+      bits += 8;
+    }
+    const int p = bits;
+    const uint32_t split = (range * (uint32_t)prob) >> 8;
+    const uint32_t vv = (value >> p) & 0xff;
+    const uint32_t bit = vv > split;
+    const uint32_t mask = 0 - bit;
+    const uint32_t r_sel = (split + 1) + (mask & (range - 2 * split - 1));
+    value -= ((split + 1) & mask) << p;
+    const int shift = __builtin_clz(r_sel) - 24;
+    bits = p - shift;
+    range = (r_sel << shift) - 1;
+    return (int)bit;
+  }
+  inline bool exhausted() const { return pos > size + 4; }
+};
+
+static int parse_modes(FastModeDec& bd, int mb_w, int mb_h, int update_map,
                        const uint8_t* segment_probs, int use_skip,
                        int skip_p, uint8_t* modes_out) {
   std::vector<uint8_t> intra_t((size_t)4 * mb_w, 0);
@@ -1031,7 +1076,7 @@ int wtpu_vp8_decode_symbols_batch(
     std::memset(im.modes_out, 0, modes_off[i + 1] - modes_off[i]);
     rc_out[i] = 0;
 
-    BoolDec bd;
+    FastModeDec bd;
     bd.init(p0_all + p0_off[i], p0_off[i + 1] - p0_off[i], p0_pos[i],
             p0_value[i], p0_range[i], (int)p0_bitcount[i]);
     int rc = parse_modes(bd, im.mb_w, im.mb_h, hdr_flags[3 * i],
