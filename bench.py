@@ -116,6 +116,8 @@ def _cost_analysis(fn, *args):
 
 
 def main() -> None:
+    import os
+
     import jax
     from PIL import Image
 
@@ -125,8 +127,9 @@ def main() -> None:
     from gowebp_tpu.constants import CHUNK_VP8
     from gowebp_tpu.ops.encode_pipeline import encode_rgba_batch_pipelined
 
-    size, chunk = 1024, 32
-    n_e2e = 64
+    smoke = os.environ.get("GOWEBP_BENCH_SMOKE") == "1"
+    size, chunk = (128, 4) if smoke else (1024, 32)
+    n_e2e = 8 if smoke else 64
     imgs = make_images(n_e2e, size)
     lst = [imgs[i] for i in range(n_e2e)]
     mp = size * size / 1e6
@@ -142,8 +145,8 @@ def main() -> None:
 
     # --- libwebp baselines + per-image quality on a subset ---
     enc_base = libwebp_encode_mps(imgs[0])
-    nq = 8
-    n_dec = 32           # fills the interleaved decoder's 16 lanes x2
+    nq = 4 if smoke else 8
+    n_dec = 8 if smoke else 32   # fills the interleaved decoder's 16 lanes x2
     lw_sizes, lw_psnr = [], []
     datas = []
     for b in range(n_dec):
@@ -202,7 +205,7 @@ def main() -> None:
     quality_ok = bool(size_ratio <= 1.02 and dpsnr >= -0.25)
 
     # --- extra: exact in-loop-search engine e2e (verification oracle) ---
-    n_wf = 16
+    n_wf = 2 if smoke else 16
     encode_rgba_batch_pipelined(lst[:n_wf], quality=75.0, threads=8,
                                 chunk=n_wf, engine="wavefront")  # warm
     e2e_exact, _ = best_of(
@@ -228,7 +231,7 @@ def main() -> None:
     from gowebp_tpu.ops.encode_wavefront_jax import (
         encode_hybrid_core, encode_wavefront_core, openloop_mode_search)
 
-    nb = 16
+    nb = 2 if smoke else 16
     pl = [rgb_to_yuv420(imgs[b]) for b in range(nb)]
     y = jax.device_put(np.stack([p[0] for p in pl]).astype(np.int32))
     u = jax.device_put(np.stack([p[1] for p in pl]).astype(np.int32))
