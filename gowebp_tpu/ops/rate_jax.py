@@ -82,15 +82,17 @@ def block_rate256(lv, tables, *, type: int, first: int, ctx0: int):
     # Value-token cost lookup as a fused one-hot reduce, NOT a gather:
     # TPU serializes dynamic gathers (~8 ns/element — dominates the
     # whole dense i4 search), while (v == k) * table broadcast-compare
-    # fuses into a VPU reduction loop.  ctx has 3 values → 2 selects.
+    # fuses into a VPU reduction loop.  The ctx select rides INSIDE the
+    # single reduce (2 selects per lane-element) instead of running the
+    # 68-wide reduce three times — this reduce is the i4 search's
+    # biggest VPU term (~10 candidates x 16 positions x 68 bins per MB).
     karr = _np.arange(68, dtype=_np.int32)
     onehot = (v[..., None] == karr)
-
-    def vdot(c):                                       # val_n (16, 3, 68)
-        return (onehot * val_n[:, c]).sum(-1)
-
-    vcost = jnp.where(ctx == 0, vdot(0),
-                      jnp.where(ctx == 1, vdot(1), vdot(2)))
+    c0 = (ctx == 0)[..., None]
+    c1 = (ctx == 1)[..., None]
+    val_sel = jnp.where(c0, val_n[:, 0],
+                        jnp.where(c1, val_n[:, 1], val_n[:, 2]))
+    vcost = (onehot * val_sel).sum(-1)
 
     active = pos_ok & (idx <= last[..., None])
     charge = jnp.where(decision, p0_1, 0) + jnp.where(
