@@ -253,7 +253,7 @@ def main() -> None:
     def run_dev():
         return sync(encode_hybrid_core(y, u, v, segb, qsb, tables,
                                        try_i4=True, i4_penalty=pen,
-                                       refine=1))
+                                       refine=1, i4_parallel=True))
 
     run_dev()
     dev_mps, _ = best_of(run_dev, nb * mp, reps=2)
@@ -286,7 +286,8 @@ def main() -> None:
     }
     ca = _cost_analysis(
         lambda *a: encode_hybrid_core(*a, tables, try_i4=True,
-                                      i4_penalty=pen, refine=1),
+                                      i4_penalty=pen, refine=1,
+                                      i4_parallel=True),
         y, u, v, segb, qsb)
     if ca:
         dt_total = nb * mp / dev_mps

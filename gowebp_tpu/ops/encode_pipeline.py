@@ -397,7 +397,12 @@ def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
     B, H, W = y.shape
     plan = _plan(H, W)
     if search == "open":
-        dense = partial(encode_hybrid_core, refine=refine)
+        # cold-start i4 decisions from the parallel plane-context
+        # search (half the Gauss-Seidel cost; +0.5% bytes measured,
+        # still under libwebp size at equal PSNR — the refine round's
+        # Seidel walk makes the decisions that ship)
+        dense = partial(encode_hybrid_core, refine=refine,
+                        i4_parallel=True)
     else:
         dense = encode_wavefront_core
     out = dense(

@@ -185,8 +185,101 @@ def _skew_tiles(plane, mb_w, mb_h, size):
     return tiles[:, my, mx]
 
 
+def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
+                        B, mh, mw):
+    """Fully parallel i4 sub-block search from PLANE context.
+
+    The Gauss-Seidel 16-substep loop exists to feed each sub-block its
+    within-MB reconstruction context; in the hybrid engine's phase 1
+    that context is approximate anyway (source pixels on the cold
+    round, the previous round's true recon on refinement), so reading
+    it straight from the context plane makes every sub-block of every
+    MB independent — one dense evaluation instead of 16 sequential
+    substeps.  Decisions converge under refinement exactly like the
+    sequential variant (the closed-loop fixed point is unchanged);
+    phase 2 re-quantizes with true decoder feedback either way.
+
+    Returns (bmodes (B, N, 16) i32, s4 (B, N) i32 summed RD score).
+    """
+    H, W = y.shape[1:]
+    sh, sw = H // 4, W // 4                 # sub-block grid
+    N = mh * mw
+
+    cpad = jnp.pad(cy, ((0, 0), (4, 0), (4, 4)), mode="edge")
+    # contexts per sub-block (B, sh, sw, k)
+    rows_above = cpad[:, 3::4, :][:, :sh]               # rows 4sy-1 (padded)
+    top4 = rows_above[:, :, 4:4 + W].reshape(B, sh, sw, 4)
+    tl = rows_above[:, :, 3:3 + W:4].reshape(B, sh, sw)
+    tr_in = rows_above[:, :, 8:8 + W].reshape(B, sh, sw, 4)
+    # MB-right-edge TR rule: sub-blocks with gx==3 use the MB's tr4 —
+    # the 4 pixels right of the MB in the row ABOVE THE MB (replicated
+    # from that row's last pixel for the last MB column, 127 for the
+    # top MB row — the wavefront's exact conventions).
+    mb_rows_above = cpad[:, 3::16, :][:, :mh]           # rows 16my-1
+    mb_tr4 = mb_rows_above[:, :, 20:20 + W]
+    mb_tr4 = jnp.concatenate(
+        [mb_tr4[:, :, :16 * (mw - 1)],
+         jnp.broadcast_to(mb_rows_above[:, :, 3 + W - 1:3 + W],
+                          (B, mh, 16))], axis=2)
+    mb_tr4 = mb_tr4.reshape(B, mh, mw, 16)[..., :4]     # (B, mh, mw, 4)
+    mb_tr4 = jnp.where((jnp.arange(mh) == 0)[None, :, None, None],
+                       127, mb_tr4)
+    gx3 = (jnp.arange(sw) & 3) == 3
+    tr = jnp.where(
+        gx3[None, None, :, None],
+        jnp.repeat(jnp.repeat(mb_tr4, 4, axis=1), 4, axis=2),
+        tr_in)
+    left4 = jnp.pad(cy, ((0, 0), (0, 0), (4, 0)), mode="edge")[
+        :, :, 3:3 + W:4]                                 # (B, H, sw) cols 4sx-1
+    left4 = left4.reshape(B, sh, 4, sw).transpose(0, 1, 3, 2)  # (B,sh,sw,4)
+
+    # image-border conventions (match the wavefront edge rules)
+    sy = jnp.arange(sh)[None, :, None]
+    sx = jnp.arange(sw)[None, None, :]
+    at_top = sy == 0
+    at_left = sx == 0
+    top4 = jnp.where(at_top[..., None], 127, top4)
+    tr = jnp.where(at_top[..., None], 127, tr)
+    left4 = jnp.where(at_left[..., None], 129, left4)
+    # wavefront rule: top row → 127 (corner included), else col 0 → 129
+    tl = jnp.where(at_top, 127, jnp.where(at_left, 129, tl))
+
+    flat = lambda a: a.reshape((B, sh * sw) + a.shape[3:])
+    preds = _pred_luma4_all(flat(tl), flat(top4), flat(tr), flat(left4))
+    src4 = y.reshape(B, sh, 4, sw, 4).transpose(0, 1, 3, 2, 4).reshape(
+        B, sh * sw, 4, 4)
+    res4 = src4[:, :, None].astype(I32) - preds
+    cf = dct_jax.fdct4x4(res4)
+    # per-sub-block quant lanes: the MB's segment
+    seg_sb = jnp.repeat(jnp.repeat(
+        seg.reshape(B, mh, mw), 4, axis=1), 4, axis=2).reshape(B, sh * sw)
+    iq_dc = _switch(seg_sb, [iqs6[:, k, 0][:, None] for k in range(4)], 0)
+    iq_ac = _switch(seg_sb, [iqs6[:, k, 1][:, None] for k in range(4)], 0)
+    q_dc = _switch(seg_sb, [qs6[:, k, 0][:, None] for k in range(4)], 0)
+    q_ac = _switch(seg_sb, [qs6[:, k, 1][:, None] for k in range(4)], 0)
+    lv = _quant_lanes(cf, iq_dc[..., None], iq_ac[..., None],
+                      _BIAS["y1_dc"], _BIAS["y1_ac"])
+    dq = _dequant_lanes(lv, q_dc[..., None], q_ac[..., None])
+    rec = dct_jax.idct_add_clip(dq, preds)
+    dist = _sse(src4[:, :, None], rec, (-1, -2))
+    rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
+    pen_sb = jnp.repeat(jnp.repeat(
+        pen_n.reshape(B, mh, mw), 4, axis=1), 4, axis=2).reshape(
+        B, sh * sw)
+    cost = dist + _mul_shr16(pen_sb[..., None], rate + _MODE4_BITS256)
+    bmode = jnp.argmin(cost, axis=-1).astype(I32)       # (B, sh*sw)
+    bcost = cost.min(axis=-1)
+    # regroup sub-blocks to (B, N, 16) in the MB's raster order
+    bm = bmode.reshape(B, sh, sw).reshape(B, mh, 4, mw, 4).transpose(
+        0, 1, 3, 2, 4).reshape(B, N, 16)
+    bc = bcost.reshape(B, sh, sw).reshape(B, mh, 4, mw, 4).transpose(
+        0, 1, 3, 2, 4).reshape(B, N, 16)
+    return bm, bc.sum(axis=-1)
+
+
 def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
-                         try_i4: bool, i4_penalty: int = 0, ctx=None):
+                         try_i4: bool, i4_penalty: int = 0, ctx=None,
+                         i4_parallel: bool = False):
     """Fully parallel mode search with SOURCE-pixel prediction context.
 
     ``ctx`` (refinement passes): a (y_rec, u_rec, v_rec) tuple of
@@ -342,8 +435,14 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
                 bmodes, bmode[..., None], (0, 0, n))
             return scr, bmodes, s4 + bcost
 
-        scr, bmode, s4 = lax.fori_loop(0, 16, sub, (scr, bmodes, s4),
-                                       unroll=True if _UNROLL_SUB else 1)
+        if i4_parallel:
+            # fully parallel sub-block search from plane context (no
+            # within-MB Gauss-Seidel) — phase-1 approximation only
+            bmode, s4 = _i4_search_parallel(
+                y, cy, seg, pen_n, qs, iqs, tables, B, mh, mw)
+        else:
+            scr, bmode, s4 = lax.fori_loop(0, 16, sub, (scr, bmodes, s4),
+                                           unroll=True if _UNROLL_SUB else 1)
         adopt = s4 < s16
         is4 = adopt.astype(I32)
         imodes = jnp.where(adopt[..., None], bmode, imodes)
@@ -876,10 +975,11 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
             ("ymode", "uvmode", "y_levels", "y2_levels", "uv_levels")}
 
 
-@partial(jax.jit, static_argnames=("try_i4", "refine", "use_derr"))
+@partial(jax.jit, static_argnames=("try_i4", "refine", "use_derr",
+                                   "i4_parallel"))
 def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
                        try_i4: bool, i4_penalty=0, refine: int = 1,
-                       use_derr: bool = False):
+                       use_derr: bool = False, i4_parallel: bool = False):
     """Hybrid engine: parallel mode search + fixed-mode exact wavefront.
 
     Phase 1 (fully parallel) decides ymode/uvmode/is_i4/imodes from
@@ -894,9 +994,15 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
     Output streams always decode bit-exactly regardless of ``refine``
     (levels are true closed-loop for whatever modes were chosen).
     """
+    # ``i4_parallel`` applies to the COLD-START search only: its
+    # decisions are just the starting point, so the cheap plane-context
+    # sub-block search suffices there; refinement rounds keep the
+    # within-MB Gauss-Seidel greedy walk (with true recon boundary
+    # context) whose decisions the final stream actually uses.
     modes = openloop_mode_search(
         y, u, v, seg_map, qsteps, tables,
-        try_i4=try_i4, i4_penalty=i4_penalty)
+        try_i4=try_i4, i4_penalty=i4_penalty,
+        i4_parallel=i4_parallel and refine > 0)
     for r in range(refine + 1):
         last = r == refine
         out = encode_wavefront_core(
