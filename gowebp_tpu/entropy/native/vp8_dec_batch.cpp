@@ -1021,6 +1021,18 @@ static int parse_modes(FastModeDec& bd, int mb_w, int mb_h, int update_map,
 
 extern "C" {
 
+// 1 when the engine was built with the AVX-512 vector step.  The
+// scalar round-robin fallback is correct but slower than the
+// single-stream per-image decoder, so the Python layer routes around
+// it on non-vector builds.
+int wtpu_vp8_batch_is_vectorized(void) {
+#ifdef WTPU_AVX512
+  return 1;
+#else
+  return 0;
+#endif
+}
+
 // Interleaved batch symbol decode.  Per-image arrays are passed as
 // flat buffers with element-offset tables (ctypes-friendly).  Outputs
 // and semantics match wtpu_vp8_decode_symbols exactly; rc_out[i] is

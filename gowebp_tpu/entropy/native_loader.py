@@ -256,6 +256,9 @@ def _configure(lib) -> None:
         u8p, u8p,                             # update_probs, probs (inout)
     ]
 
+    lib.wtpu_vp8_batch_is_vectorized.restype = c.c_int
+    lib.wtpu_vp8_batch_is_vectorized.argtypes = []
+
     lib.wtpu_vp8_decode_symbols_batch.restype = c.c_int
     lib.wtpu_vp8_decode_symbols_batch.argtypes = [
         c.c_int,                              # n_img

@@ -936,7 +936,9 @@ def decode_vp8_symbols_batch(payloads: list):
     from ...entropy.native_loader import get_lib
 
     lib = get_lib()
-    if lib is None or not hasattr(lib, "wtpu_vp8_decode_symbols_batch"):
+    if (lib is None or not hasattr(lib, "wtpu_vp8_decode_symbols_batch")
+            or not lib.wtpu_vp8_batch_is_vectorized()):
+        # scalar-fallback builds: the single-stream decoder is faster
         return [decode_vp8_symbols(p) for p in payloads]
 
     n = len(payloads)
