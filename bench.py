@@ -119,6 +119,17 @@ def main() -> None:
     import os
 
     import jax
+
+    # Persistent XLA compilation cache: first compiles through the
+    # remote tunnel can take minutes when it stalls; warmed cache
+    # entries survive across processes (bench pre-runs populate it).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__) or ".",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from PIL import Image
 
     from gowebp_tpu.decode import decode_rgba_batch
