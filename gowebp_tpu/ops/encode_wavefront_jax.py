@@ -217,9 +217,10 @@ def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
     # top MB row — the wavefront's exact conventions).
     mb_rows_above = cpad[:, 3::16, :][:, :mh]           # rows 16my-1
     mb_tr4 = mb_rows_above[:, :, 20:20 + W]
+    # padded col c maps to original c-4, so original W-1 sits at 4+W-1
     mb_tr4 = jnp.concatenate(
         [mb_tr4[:, :, :16 * (mw - 1)],
-         jnp.broadcast_to(mb_rows_above[:, :, 3 + W - 1:3 + W],
+         jnp.broadcast_to(mb_rows_above[:, :, 4 + W - 1:4 + W],
                           (B, mh, 16))], axis=2)
     mb_tr4 = mb_tr4.reshape(B, mh, mw, 16)[..., :4]     # (B, mh, mw, 4)
     mb_tr4 = jnp.where((jnp.arange(mh) == 0)[None, :, None, None],

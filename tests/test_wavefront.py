@@ -161,3 +161,50 @@ def test_wavefront_stream_matches_host_encoder():
     )
     assert host == wave
     np.testing.assert_array_equal(decode_rgba(wave), pil_decode_rgba(wave))
+
+
+def test_parallel_i4_search_fixed_point():
+    """The plane-context parallel i4 search reproduces the exact
+    engine's sub-block decisions when given the exact engine's own
+    reconstruction as context: with converged ctx the plane pixels ARE
+    the Gauss-Seidel scratch values, so costs — and argmins — match.
+    (This is the fixed-point property the hybrid engine's refinement
+    relies on, now pinned for the parallel search variant.)"""
+    import numpy as np
+
+    from gowebp_tpu.models.vp8.encoder import (
+        _default_cost_tables, _i4_config, make_quants, quality_to_q)
+    from gowebp_tpu.ops.encode_wavefront_jax import (
+        encode_wavefront_core, openloop_mode_search)
+
+    rng = np.random.default_rng(23)
+    B, H, W = 2, 64, 80
+    y = rng.integers(0, 256, (B, H, W)).astype(np.int32)
+    u = rng.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+    v = rng.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+    q = make_quants(quality_to_q(75.0))
+    row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                    q.uv_dc.q, q.uv_ac.q], np.int32)
+    qs = np.broadcast_to(row, (B, 4, 6)).copy()
+    seg = np.zeros((B, H // 16, W // 16), np.int32)
+    tables = tuple(t.astype(np.int32) for t in _default_cost_tables())
+    _, pen = _i4_config(q.y1_ac.q, 4, 0)
+
+    exact = encode_wavefront_core(y, u, v, seg, qs, tables, try_i4=True,
+                                  i4_penalty=pen, want_recon=True)
+    ctx = (exact["recon_y"], exact["recon_u"], exact["recon_v"])
+    par = openloop_mode_search(y, u, v, seg, qs, tables, try_i4=True,
+                               i4_penalty=pen, ctx=ctx, i4_parallel=True)
+    ex_i4 = np.asarray(exact["is_i4"]).astype(bool)
+    got_i4 = np.asarray(par["is_i4"]).astype(bool)
+    # MBs the exact engine coded as i4 hold THEIR i4 reconstruction in
+    # the context plane, so the parallel search sees the very pixels
+    # the Gauss-Seidel walk produced: it must re-adopt i4 with the
+    # same sub-block modes.  (i16-coded MBs' plane holds i16 recon, so
+    # their *hypothetical* i4 score may legitimately differ.)
+    assert got_i4[ex_i4].all(), "parallel search dropped a shipped i4 MB"
+    np.testing.assert_array_equal(
+        np.asarray(par["imodes"])[ex_i4], np.asarray(exact["imodes"])[ex_i4])
+    # and overall adoption stays near-identical (i16 flips are rare)
+    agree = (got_i4 == ex_i4).mean()
+    assert agree >= 0.97, f"only {agree:.1%} i4-adoption agreement"
