@@ -272,6 +272,7 @@ struct Engine {
   std::vector<Lane> pending;    // streams waiting for a free lane
   uint16_t active = 0;          // lane occupancy mask
   int n_blocked = 0;            // gate-blocked parked lanes
+  uint16_t bool_dirty = 0;      // lanes whose value/range/bits/buf changed
 };
 
 static void iwht4x4_i32(const int32_t* in, int32_t* out) {
@@ -518,6 +519,7 @@ static bool start_mb(Engine& eng, int k) {
 static inline void park_lane(Engine& eng, int k) {
   Hot& h = eng.hot;
   Lane& ln = eng.lanes[k];
+  eng.bool_dirty |= 1u << k;
   ln.s_value = h.value[k];
   ln.s_range = h.range[k];
   ln.s_bits = h.bits[k];
@@ -532,6 +534,7 @@ static inline void park_lane(Engine& eng, int k) {
 }
 
 static inline void unpark_lane(Engine& eng, int k) {
+  eng.bool_dirty |= 1u << k;
   Hot& h = eng.hot;
   const Lane& ln = eng.lanes[k];
   h.value[k] = ln.s_value;
@@ -550,6 +553,7 @@ static bool install_stream(Engine& eng, int k, const Lane& src) {
   h.range[k] = 254;    // stored as real_range - 1
   h.bits[k] = -8;
   h.buf_off[k] = src.buf_start;
+  eng.bool_dirty |= 1u << k;
   if (start_mb(eng, k)) {
     eng.active |= 1u << k;
     return true;
@@ -819,10 +823,16 @@ static void run_avx512(Engine& eng) {
   __m512i prob = _mm512_loadu_si512(h.prob);
   auto reload = [&](uint16_t dirty) {
     if (!dirty) return;
-    value = _mm512_mask_loadu_epi32(value, dirty, h.value);
-    range = _mm512_mask_loadu_epi32(range, dirty, h.range);
-    bits = _mm512_mask_loadu_epi32(bits, dirty, h.bits);
-    buf_off = _mm512_mask_loadu_epi32(buf_off, dirty, h.buf_off);
+    // bool-decoder fields only change on park/unpark/install; plain
+    // re-arms (the common case) spilled them unchanged
+    const uint16_t bd = eng.bool_dirty & dirty;
+    eng.bool_dirty &= ~dirty;
+    if (bd) {
+      value = _mm512_mask_loadu_epi32(value, bd, h.value);
+      range = _mm512_mask_loadu_epi32(range, bd, h.range);
+      bits = _mm512_mask_loadu_epi32(bits, bd, h.bits);
+      buf_off = _mm512_mask_loadu_epi32(buf_off, bd, h.buf_off);
+    }
     state = _mm512_mask_loadu_epi32(state, dirty, h.state);
     n = _mm512_mask_loadu_epi32(n, dirty, h.n);
     v = _mm512_mask_loadu_epi32(v, dirty, h.v);
