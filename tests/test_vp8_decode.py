@@ -131,6 +131,18 @@ class TestBatchSymbolDecode:
                                 partitions=parts, segments=segs)
             data = encode_rgba(im, config=cfg)
             payloads.append(parse_riff(data).find(CHUNK_VP8).payload)
+        # engine edge cases: an (almost) all-skip image, and more token
+        # partitions than MB rows (streams beyond mb_h never arm)
+        flat = np.full((64, 64, 3), 120, np.uint8)
+        payloads.append(parse_riff(encode_rgba(
+            flat, config=EncoderConfig(lossless=False, quality=20)
+        )).find(CHUNK_VP8).payload)
+        tiny = np.clip(rng.normal(128, 45, (32, 256, 3)),
+                       0, 255).astype(np.uint8)   # 2 MB rows, 8 partitions
+        payloads.append(parse_riff(encode_rgba(
+            tiny, config=EncoderConfig(lossless=False, quality=75,
+                                       partitions=3)
+        )).find(CHUNK_VP8).payload)
         return payloads
 
     def test_matches_per_image_decode(self):
