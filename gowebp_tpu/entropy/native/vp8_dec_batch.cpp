@@ -484,6 +484,11 @@ static bool start_mb(Engine& eng, int k) {
       if (!is_i4) { im.above_dc[ln.mb_x] = 0; ln.ctx_left_dc = 0; }
       mo[3] = 1;
       mo[4] = 0;   // explicitly skipped MBs are never dithered
+      // coded MBs overwrite all 24x16 coefficients from the zeroed
+      // staging blocks, so only skip MBs need explicit zeros (the big
+      // up-front whole-image memset is gone)
+      std::memset(im.coeffs_out + (size_t)mbi * 24 * 16, 0,
+                  24 * 16 * sizeof(int16_t));
       im.prog[ln.mb_y] = ln.mb_x + 1;
       ln.mb_x++;
       continue;
@@ -1093,8 +1098,6 @@ int wtpu_vp8_decode_symbols_batch(
     im.use_skip = hdr_flags[3 * i + 1];
     im.coeffs_out = coeffs_all + coeffs_off[i];
     im.modes_out = modes_all + modes_off[i];
-    std::memset(im.coeffs_out, 0,
-                (coeffs_off[i + 1] - coeffs_off[i]) * sizeof(int16_t));
     std::memset(im.modes_out, 0, modes_off[i + 1] - modes_off[i]);
     rc_out[i] = 0;
 
