@@ -70,3 +70,70 @@ class TestDecodePost:
 
     def test_alpha_plane(self):
         self._check(1, 32, 32, with_alpha=True)
+
+
+class TestI4SearchKernel:
+    """Fused Pallas i4 candidate evaluation == the XLA search math
+    (interpret mode; Mosaic compiles are off-limits on this tunnel)."""
+
+    def test_matches_xla_candidate_search(self):
+        import numpy as np
+
+        from gowebp_tpu.models.vp8.encoder import (_default_cost_tables,
+                                                   _i4_config, make_quants,
+                                                   quality_to_q)
+        from gowebp_tpu.ops import dct_jax
+        from gowebp_tpu.ops.encode_wavefront_jax import (
+            _MODE4_BITS256, _BIAS, _mul_shr16, _quant_lanes,
+            _dequant_lanes, _sse)
+        from gowebp_tpu.ops.pallas.i4_search import i4_search_pallas
+        from gowebp_tpu.ops.rate_jax import block_rate256
+        from gowebp_tpu.ops.vp8_recon_jax import _pred_luma4_all
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(31)
+        S = 256
+        tl = rng.integers(0, 256, (1, S)).astype(np.int32)
+        top = rng.integers(0, 256, (1, S, 4)).astype(np.int32)
+        tr = rng.integers(0, 256, (1, S, 4)).astype(np.int32)
+        left = rng.integers(0, 256, (1, S, 4)).astype(np.int32)
+        src = rng.integers(0, 256, (1, S, 4, 4)).astype(np.int32)
+
+        q = make_quants(quality_to_q(75.0))
+        _, pen_i = _i4_config(q.y1_ac.q, 4, 0)
+        iq_dc = (1 << 17) // q.y1_dc.q
+        iq_ac = (1 << 17) // q.y1_ac.q
+        tables = _default_cost_tables()
+        tj = tuple(jnp.asarray(t.astype(np.int32)) for t in tables)
+
+        # ---- XLA oracle: the Gauss-Seidel substep's candidate math ----
+        preds = _pred_luma4_all(jnp.asarray(tl), jnp.asarray(top),
+                                jnp.asarray(tr), jnp.asarray(left))
+        res4 = jnp.asarray(src)[:, :, None] - preds
+        cf = dct_jax.fdct4x4(res4)
+        lv = _quant_lanes(cf, jnp.full((1, S, 1), iq_dc),
+                          jnp.full((1, S, 1), iq_ac),
+                          _BIAS["y1_dc"], _BIAS["y1_ac"])
+        dq = _dequant_lanes(lv, jnp.full((1, S, 1), q.y1_dc.q),
+                            jnp.full((1, S, 1), q.y1_ac.q))
+        rec = dct_jax.idct_add_clip(dq, preds)
+        dist = _sse(jnp.asarray(src)[:, :, None], rec, (-1, -2))
+        rate = block_rate256(lv, tj, type=3, first=0, ctx0=1)
+        cost = dist + _mul_shr16(jnp.int32(pen_i),
+                                 rate + jnp.asarray(_MODE4_BITS256))
+        want_mode = np.asarray(jnp.argmin(cost, axis=-1))[0]
+        want_cost = np.asarray(cost.min(axis=-1))[0]
+
+        # ---- Pallas kernel ----
+        ctx13 = np.concatenate(
+            [tl, top[0].T, tr[0].T, left[0].T], axis=0).astype(np.int32)
+        src16 = src[0].reshape(S, 16).T.astype(np.int32)
+        quants5 = np.stack([
+            np.full(S, iq_dc), np.full(S, iq_ac),
+            np.full(S, q.y1_dc.q), np.full(S, q.y1_ac.q),
+            np.full(S, pen_i)]).astype(np.int32)
+        got_mode, got_cost = i4_search_pallas(
+            jnp.asarray(ctx13), jnp.asarray(src16), jnp.asarray(quants5),
+            tables, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_cost), want_cost)
+        np.testing.assert_array_equal(np.asarray(got_mode), want_mode)
