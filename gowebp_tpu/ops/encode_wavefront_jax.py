@@ -185,6 +185,46 @@ def _skew_tiles(plane, mb_w, mb_h, size):
     return tiles[:, my, mx]
 
 
+# Route the hybrid cold-start i4 search through the fused Pallas kernel
+# (ops/pallas/i4_search.py).  "1" = compiled (pods with native Mosaic —
+# NEVER on the dev tunnel, see the wedge hazard in the verify skill);
+# "interpret" = the interpret-mode path (wiring tests).
+_PALLAS_I4 = _os.environ.get("GOWEBP_PALLAS_I4", "0")
+
+
+def _i4_search_parallel_pallas(tl, top4, tr4, left4, src4, seg, pen_n,
+                               qs6, iqs6, tables, B, mh, mw, sh, sw):
+    """Adapter: plane contexts → the fused Pallas kernel's layouts."""
+    from .pallas.i4_search import i4_search_pallas
+
+    N = mh * mw
+    S = sh * sw
+    ctx13 = jnp.concatenate(
+        [tl[:, None, :], top4.transpose(0, 2, 1), tr4.transpose(0, 2, 1),
+         left4.transpose(0, 2, 1)], axis=1)              # (B, 13, S)
+    ctx13 = ctx13.transpose(1, 0, 2).reshape(13, B * S)
+    src16 = src4.reshape(B, S, 16).transpose(2, 0, 1).reshape(16, B * S)
+    seg_sb = jnp.repeat(jnp.repeat(
+        seg.reshape(B, mh, mw), 4, axis=1), 4, axis=2).reshape(B, S)
+    iq_dc = _switch(seg_sb, [iqs6[:, k, 0][:, None] for k in range(4)], 0)
+    iq_ac = _switch(seg_sb, [iqs6[:, k, 1][:, None] for k in range(4)], 0)
+    q_dc = _switch(seg_sb, [qs6[:, k, 0][:, None] for k in range(4)], 0)
+    q_ac = _switch(seg_sb, [qs6[:, k, 1][:, None] for k in range(4)], 0)
+    pen_sb = jnp.repeat(jnp.repeat(
+        pen_n.reshape(B, mh, mw), 4, axis=1), 4, axis=2).reshape(B, S)
+    quants5 = jnp.stack([iq_dc, iq_ac, q_dc, q_ac, pen_sb]).reshape(
+        5, B * S)
+    bmode, bcost = i4_search_pallas(
+        ctx13, src16, quants5, tables, interpret=_PALLAS_I4 != "1")
+    bmode = bmode.reshape(B, S)
+    bcost = bcost.reshape(B, S)
+    bm = bmode.reshape(B, sh, sw).reshape(B, mh, 4, mw, 4).transpose(
+        0, 1, 3, 2, 4).reshape(B, N, 16)
+    bc = bcost.reshape(B, sh, sw).reshape(B, mh, 4, mw, 4).transpose(
+        0, 1, 3, 2, 4).reshape(B, N, 16)
+    return bm, bc.sum(axis=-1)
+
+
 def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
                         B, mh, mw):
     """Fully parallel i4 sub-block search from PLANE context.
@@ -246,9 +286,17 @@ def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
     tl = jnp.where(at_top, 127, jnp.where(at_left, 129, tl))
 
     flat = lambda a: a.reshape((B, sh * sw) + a.shape[3:])
-    preds = _pred_luma4_all(flat(tl), flat(top4), flat(tr), flat(left4))
     src4 = y.reshape(B, sh, 4, sw, 4).transpose(0, 1, 3, 2, 4).reshape(
         B, sh * sw, 4, 4)
+
+    if _PALLAS_I4 != "0":
+        # Fused Pallas core (pods with native Mosaic; see
+        # ops/pallas/i4_search.py — this tunnel can't compile it).
+        return _i4_search_parallel_pallas(
+            flat(tl), flat(top4), flat(tr), flat(left4), src4,
+            seg, pen_n, qs6, iqs6, tables, B, mh, mw, sh, sw)
+
+    preds = _pred_luma4_all(flat(tl), flat(top4), flat(tr), flat(left4))
     res4 = src4[:, :, None].astype(I32) - preds
     cf = dct_jax.fdct4x4(res4)
     # per-sub-block quant lanes: the MB's segment

@@ -70,12 +70,14 @@ def _rate_tables_t3(tables):
 
     Returns (p0n, p1n) as (3, 2, 16) and valn as (3, 68, 16) int32 —
     position-indexed (band resolved), ctx-major so the kernel's per-k
-    loop selects among 3 static rows.
+    loop selects among 3 static rows.  jnp ops throughout so TRACED
+    table arrays (calls from inside the hybrid engine's jit) work.
     """
-    p0_t, p1_t, val_t = (np.asarray(t, np.int64) for t in tables)
-    p0n = np.transpose(p0_t[3][_BANDS16], (1, 2, 0)).astype(np.int32)
-    p1n = np.transpose(p1_t[3][_BANDS16], (1, 2, 0)).astype(np.int32)
-    valn = np.transpose(val_t[3][_BANDS16], (1, 2, 0)).astype(np.int32)
+    band = jnp.asarray(_BANDS16)
+    p0_t, p1_t, val_t = (jnp.asarray(t).astype(I32) for t in tables)
+    p0n = jnp.transpose(p0_t[3][band], (1, 2, 0))
+    p1n = jnp.transpose(p1_t[3][band], (1, 2, 0))
+    valn = jnp.transpose(val_t[3][band], (1, 2, 0))
     return p0n, p1n, valn
 
 
@@ -302,8 +304,7 @@ def i4_search_pallas(ctx13, src16, quants5, tables, *, interpret=True):
     per-sub-block decisions.
     """
     sel = jnp.asarray(_sel_table())
-    p0n, p1n, valn = (jnp.asarray(t) for t in _rate_tables_t3(
-        tuple(np.asarray(t) for t in tables)))
+    p0n, p1n, valn = _rate_tables_t3(tables)
     return _i4_search_call(ctx13, src16, quants5, sel, p0n, p1n, valn,
                            interpret=interpret)
 

@@ -137,3 +137,40 @@ class TestI4SearchKernel:
             tables, interpret=True)
         np.testing.assert_array_equal(np.asarray(got_cost), want_cost)
         np.testing.assert_array_equal(np.asarray(got_mode), want_mode)
+
+    def test_wired_into_hybrid_search(self, monkeypatch):
+        """GOWEBP_PALLAS_I4=interpret routes the hybrid cold-start
+        search through the fused kernel with identical decisions."""
+        import importlib
+
+        import numpy as np
+
+        import gowebp_tpu.ops.encode_wavefront_jax as W
+        from gowebp_tpu.models.vp8.encoder import (_default_cost_tables,
+                                                   _i4_config, make_quants,
+                                                   quality_to_q)
+
+        rng = np.random.default_rng(7)
+        B, H, Wd = 1, 48, 64
+        y = rng.integers(0, 256, (B, H, Wd)).astype(np.int32)
+        u = rng.integers(0, 256, (B, H // 2, Wd // 2)).astype(np.int32)
+        v = rng.integers(0, 256, (B, H // 2, Wd // 2)).astype(np.int32)
+        q = make_quants(quality_to_q(75.0))
+        row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                        q.uv_dc.q, q.uv_ac.q], np.int32)
+        qs = np.broadcast_to(row, (B, 4, 6)).copy()
+        seg = np.zeros((B, H // 16, Wd // 16), np.int32)
+        tables = tuple(t.astype(np.int32) for t in _default_cost_tables())
+        _, pen = _i4_config(q.y1_ac.q, 4, 0)
+
+        def search(flag):
+            monkeypatch.setattr(W, "_PALLAS_I4", flag)
+            out = W.openloop_mode_search(y, u, v, seg, qs, tables,
+                                         try_i4=True, i4_penalty=pen,
+                                         i4_parallel=True)
+            return {k: np.asarray(val) for k, val in out.items()}
+
+        want = search("0")
+        got = search("interpret")
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
