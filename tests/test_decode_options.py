@@ -231,3 +231,81 @@ class TestOutputModesExtended:
         np.testing.assert_array_equal(out[vis], arr[vis])
         np.testing.assert_array_equal(out[..., 3], arr[..., 3])
         np.testing.assert_array_equal(decode_rgba(d_exact), arr)
+
+
+class TestOutputModes:
+    """The full colorspace-mode surface (reference MODE_* set)."""
+
+    def _file(self, alpha=False):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        rng = np.random.default_rng(41)
+        c = 4 if alpha else 3
+        im = np.clip(rng.normal(128, 40, (24, 28, c)), 0, 255).astype(
+            np.uint8)
+        if alpha:
+            im[..., 3] = np.where(rng.random((24, 28)) < 0.3, 64, 255)
+        buf = io.BytesIO()
+        Image.fromarray(im).save(buf, "WEBP", lossless=True, exact=True)
+        return buf.getvalue(), im
+
+    def test_channel_permutations(self):
+        import numpy as np
+
+        from gowebp_tpu.decode import decode
+
+        data, _ = self._file(alpha=True)
+        rgba = decode(data, mode="RGBA")
+        np.testing.assert_array_equal(decode(data, mode="BGRA"),
+                                      rgba[..., [2, 1, 0, 3]])
+        np.testing.assert_array_equal(decode(data, mode="ARGB"),
+                                      rgba[..., [3, 0, 1, 2]])
+        np.testing.assert_array_equal(decode(data, mode="BGR"),
+                                      rgba[..., [2, 1, 0]])
+
+    def test_premultiplied_modes(self):
+        import numpy as np
+
+        from gowebp_tpu.decode import decode
+
+        data, _ = self._file(alpha=True)
+        rgba = decode(data, mode="RGBA")
+        pre = decode(data, mode="rgbA")
+        a = rgba[..., 3].astype(np.uint32)
+        want = ((rgba[..., 0].astype(np.uint32) * a * 32897) >> 23)
+        np.testing.assert_array_equal(pre[..., 0], want.astype(np.uint8))
+        np.testing.assert_array_equal(pre[..., 3], rgba[..., 3])
+        # channel order composes with premultiply
+        bgra_pre = decode(data, mode="bgrA")
+        np.testing.assert_array_equal(bgra_pre[..., 2], pre[..., 0])
+
+    def test_packed_16bit_modes(self):
+        import numpy as np
+
+        from gowebp_tpu.decode import decode
+
+        data, _ = self._file(alpha=True)
+        rgba = decode(data, mode="RGBA")
+        p565 = decode(data, mode="RGB_565")
+        assert p565.shape == rgba.shape[:2] + (2,)
+        np.testing.assert_array_equal(
+            p565[..., 0],
+            (rgba[..., 0] & 0xF8) | (rgba[..., 1] >> 5))
+        p4444 = decode(data, mode="RGBA_4444")
+        np.testing.assert_array_equal(
+            p4444[..., 1],
+            (rgba[..., 2] & 0xF0) | (rgba[..., 3] >> 4))
+        pre4444 = decode(data, mode="rgbA_4444")
+        assert pre4444.shape == p4444.shape
+
+    def test_bad_mode_rejected(self):
+        import pytest
+
+        from gowebp_tpu.decode import decode
+
+        data, _ = self._file()
+        with pytest.raises(ValueError):
+            decode(data, mode="CMYK")
