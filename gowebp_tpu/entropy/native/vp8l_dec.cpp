@@ -670,10 +670,23 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
   const int th = (h + (1 << bits) - 1) >> bits;
   const int T = tw * th;
 
+  // Keep every mode's per-tile histograms when they fit: stage 2's
+  // refinement costs are pure histogram algebra (cost_acc[t][m] =
+  // -sum_bins hist[m][t][bin]*logp[bin]; glob = sum_t hist[modes[t]]),
+  // so storing the (14, T, 1024) tensor replaces the 14 full-image
+  // residual re-scans PER refinement iteration with tiny table sums —
+  // identical numbers, ~4x less work overall (the TPU twin
+  // predictor_search_entropy runs the same algebra on device).
+  const size_t kHistCap = (size_t)192 << 20;   // bytes
+  const bool keep_all =
+      (size_t)T * 1024 * 14 * sizeof(uint32_t) <= kHistCap;
+
   // Stage 1: per-tile entropy (+0.04*folded magnitude bias) per mode.
   std::vector<double> best_cost((size_t)T, 1e300);
   std::vector<uint8_t> modes((size_t)T, 0);
-  std::vector<uint32_t> hist((size_t)T * 1024);
+  std::vector<uint32_t> hist_all;
+  if (keep_all) hist_all.resize((size_t)14 * T * 1024);
+  std::vector<uint32_t> hist((size_t)(keep_all ? 0 : T * 1024));
   std::vector<double> npx((size_t)T, 0.0);
   for (int y = 0; y < h; y++)
     for (int x = 0; x < w; x++)
@@ -691,10 +704,13 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
   }
 
   for (int mode = 0; mode < 14; mode++) {
-    std::memset(hist.data(), 0, hist.size() * sizeof(uint32_t));
+    uint32_t* hbase = keep_all ? hist_all.data() + (size_t)mode * T * 1024
+                               : hist.data();
+    if (!keep_all)
+      std::memset(hbase, 0, (size_t)T * 1024 * sizeof(uint32_t));
     for (int y = 0; y < h; y++) {
       const uint32_t* row = argb + (size_t)y * w;
-      uint32_t* hrow_base = hist.data() + (size_t)(y >> bits) * tw * 1024;
+      uint32_t* hrow_base = hbase + (size_t)(y >> bits) * tw * 1024;
       for (int x = 0; x < w; x++) {
         uint32_t res = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
         uint32_t* hh = hrow_base + (size_t)(x >> bits) * 1024;
@@ -705,7 +721,7 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
       }
     }
     for (int t = 0; t < T; t++) {
-      const uint32_t* hh = hist.data() + (size_t)t * 1024;
+      const uint32_t* hh = hbase + (size_t)t * 1024;
       double n_log_n = 4.0 * npx[t] * (npx[t] > 0 ? std::log2(npx[t]) : 0.0);
       double ent = n_log_n;
       double bias = 0.0;
@@ -726,20 +742,32 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
   }
 
   // Stage 2: refinement against the global shared-tree distribution.
+  // With the per-mode histograms kept, every quantity is histogram
+  // algebra (identical doubles: per-pixel -logp sums ARE per-bin
+  // count*(-logp) sums); the pixel re-scan path remains the fallback
+  // for tile grids too large to keep.
   std::vector<double> cost_acc((size_t)T);
   for (int it = 0; it < refine_iters; it++) {
     double glob[4][256];
     std::memset(glob, 0, sizeof(glob));
-    for (int y = 0; y < h; y++) {
-      const uint32_t* row = argb + (size_t)y * w;
-      const uint8_t* mrow = modes.data() + (size_t)(y >> bits) * tw;
-      for (int x = 0; x < w; x++) {
-        uint32_t res = sub_px(row[x],
-                              enc_pred_at(argb, w, y, x, mrow[x >> bits]));
-        glob[0][(res >> 24) & 0xff] += 1.0;
-        glob[1][(res >> 16) & 0xff] += 1.0;
-        glob[2][(res >> 8) & 0xff] += 1.0;
-        glob[3][res & 0xff] += 1.0;
+    if (keep_all) {
+      for (int t = 0; t < T; t++) {
+        const uint32_t* hh =
+            hist_all.data() + ((size_t)modes[t] * T + t) * 1024;
+        for (int i = 0; i < 1024; i++) glob[i >> 8][i & 255] += hh[i];
+      }
+    } else {
+      for (int y = 0; y < h; y++) {
+        const uint32_t* row = argb + (size_t)y * w;
+        const uint8_t* mrow = modes.data() + (size_t)(y >> bits) * tw;
+        for (int x = 0; x < w; x++) {
+          uint32_t res = sub_px(row[x],
+                                enc_pred_at(argb, w, y, x, mrow[x >> bits]));
+          glob[0][(res >> 24) & 0xff] += 1.0;
+          glob[1][(res >> 16) & 0xff] += 1.0;
+          glob[2][(res >> 8) & 0xff] += 1.0;
+          glob[3][res & 0xff] += 1.0;
+        }
       }
     }
     double logp[4][256];
@@ -758,16 +786,30 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
     std::vector<uint8_t> new_modes((size_t)T, 0);
     std::vector<double> best((size_t)T, 1e300);
     for (int mode = 0; mode < 14; mode++) {
-      std::fill(cost_acc.begin(), cost_acc.end(), 0.0);
-      for (int y = 0; y < h; y++) {
-        const uint32_t* row = argb + (size_t)y * w;
-        double* crow = cost_acc.data() + (size_t)(y >> bits) * tw;
-        for (int x = 0; x < w; x++) {
-          uint32_t res = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
-          crow[x >> bits] -= logp[0][(res >> 24) & 0xff]
-                             + logp[1][(res >> 16) & 0xff]
-                             + logp[2][(res >> 8) & 0xff]
-                             + logp[3][res & 0xff];
+      if (keep_all) {
+        double logp_flat[1024];
+        for (int i = 0; i < 1024; i++)
+          logp_flat[i] = logp[i >> 8][i & 255];
+        for (int t = 0; t < T; t++) {
+          const uint32_t* hh =
+              hist_all.data() + ((size_t)mode * T + t) * 1024;
+          double acc = 0.0;
+          for (int i = 0; i < 1024; i++)
+            if (hh[i]) acc -= hh[i] * logp_flat[i];
+          cost_acc[t] = acc;
+        }
+      } else {
+        std::fill(cost_acc.begin(), cost_acc.end(), 0.0);
+        for (int y = 0; y < h; y++) {
+          const uint32_t* row = argb + (size_t)y * w;
+          double* crow = cost_acc.data() + (size_t)(y >> bits) * tw;
+          for (int x = 0; x < w; x++) {
+            uint32_t res = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
+            crow[x >> bits] -= logp[0][(res >> 24) & 0xff]
+                               + logp[1][(res >> 16) & 0xff]
+                               + logp[2][(res >> 8) & 0xff]
+                               + logp[3][res & 0xff];
+          }
         }
       }
       for (int t = 0; t < T; t++) {
