@@ -192,3 +192,33 @@ def test_1080p_hybrid_rd_dominates_libwebp():
     assert size_ok and psnr_ok and better, (
         f"hybrid {len(data)}B {p_ours:.2f}dB vs libwebp "
         f"{len(ref_data)}B {p_ref:.2f}dB")
+
+
+def test_multipass_target_psnr():
+    """target_psnr drives the multi-pass quantizer search (reference
+    StatLoop's PSNR-driven ComputeNextQ, frame_enc.c.go:57-82).  The
+    target is defined in the encoder's own YUV domain (like the
+    reference's PassStats), not post-upsampling RGB — 4:2:0
+    subsampling caps RGB PSNR regardless of quantizer."""
+    from gowebp_tpu.decode import decode_yuv
+    from gowebp_tpu.models.vp8.encoder import rgb_to_yuv420
+
+    img = synth_photo(192, 192, seed=12)
+    target = 33.0
+    data = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=50.0, passes=6,
+                                  target_psnr=target))
+    sy, su, sv = rgb_to_yuv420(img)
+    dy, du, dv = decode_yuv(data)
+    se = n = 0
+    for dec, src in ((dy, sy), (du, su), (dv, sv)):
+        dec = dec[: src.shape[0], : src.shape[1]].astype(np.float64)
+        se += ((dec - src.astype(np.float64)) ** 2).sum()
+        n += dec.size
+    p = 10 * np.log10(255.0 ** 2 / max(se / n, 1e-12))
+    assert p >= target - 0.5, f"YUV PSNR {p:.2f} missed target {target}"
+    # the search should also not blow the size out versus just asking
+    # for max quality (i.e. it really searched, not just clamped)
+    free = gowebp_tpu.encode_rgba(
+        img, config=EncoderConfig(lossless=False, quality=95.0))
+    assert len(data) < len(free), (len(data), len(free))
