@@ -157,7 +157,7 @@ def main() -> None:
     # --- libwebp baselines + per-image quality on a subset ---
     enc_base = libwebp_encode_mps(imgs[0])
     nq = 4 if smoke else 8
-    n_dec = 8 if smoke else 32   # fills the interleaved decoder's 16 lanes x2
+    n_dec = 8 if smoke else 64   # fills the interleaved decoder's 32 lanes x2
     lw_sizes, lw_psnr = [], []
     datas = []
     for b in range(n_dec):

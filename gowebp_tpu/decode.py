@@ -308,9 +308,9 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         return out
 
     host = []
-    # One engine call per thread (16 interleave lanes each); each
+    # One engine call per thread (32 interleave lanes each); each
     # group's device recon overlaps the next group's symbol phase.
-    ng = min(workers, max(1, -(-len(vp8_items) // 16)))
+    ng = min(workers, max(1, -(-len(vp8_items) // 32)))
     if workers <= 1 or (ng <= 1 and not other):
         if vp8_items:
             host.extend(vp8_group(vp8_items))

@@ -226,20 +226,25 @@ enum Phase : uint8_t { PH_Y2, PH_LUMA, PH_U, PH_V };
 // Hot DFA/bool-decoder state, stored as structure-of-arrays so the
 // vector engine can load each field as one ZMM register (lane k =
 // stream k).  The scalar fallback walks the same arrays.
+// 32 lanes = two 16-lane vector groups stepped alternately: one
+// group's serial dependency chain (prob gather -> state -> next
+// gather) overlaps the other's in the out-of-order core.
+constexpr int NLANES = 32;
+
 struct Hot {
-  uint32_t value[16];
-  uint32_t range[16];
-  int32_t bits[16];
-  uint32_t buf_off[16];   // byte offset into the shared partition arena
-  uint32_t state[16];
-  uint32_t n[16];
-  uint32_t v[16];
-  uint32_t nctx[16];
-  uint32_t pv_off[16];    // current prob row (byte offset in prob arena)
-  uint32_t pv_base[16];   // current block type's band-0/ctx-0 row base
-  int32_t dq0[16];
-  int32_t dq1[16];
-  uint32_t prob[16];      // preloaded probability for the next step
+  uint32_t value[NLANES];
+  uint32_t range[NLANES];
+  int32_t bits[NLANES];
+  uint32_t buf_off[NLANES];  // byte offset into the shared partition arena
+  uint32_t state[NLANES];
+  uint32_t n[NLANES];
+  uint32_t v[NLANES];
+  uint32_t nctx[NLANES];
+  uint32_t pv_off[NLANES];   // current prob row (byte offset in prob arena)
+  uint32_t pv_base[NLANES];  // current block type's band-0/ctx-0 row base
+  int32_t dq0[NLANES];
+  int32_t dq1[NLANES];
+  uint32_t prob[NLANES];     // preloaded probability for the next step
 };
 
 // Cold per-stream bookkeeping (slow path only).
@@ -265,14 +270,14 @@ struct Lane {
 
 struct Engine {
   Hot hot;
-  Lane lanes[16];
-  alignas(64) int32_t staging[16 * 16];  // one 4x4 i32 block per lane
+  Lane lanes[NLANES];
+  alignas(64) int32_t staging[NLANES * 16];  // one 4x4 i32 block per lane
   const uint8_t* arena;         // all partitions, padded
   const uint8_t* pv_arena;      // expanded prob rows, all images
   std::vector<Lane> pending;    // streams waiting for a free lane
-  uint16_t active = 0;          // lane occupancy mask
+  uint32_t active = 0;          // lane occupancy mask
   int n_blocked = 0;            // gate-blocked parked lanes
-  uint16_t bool_dirty = 0;      // lanes whose value/range/bits/buf changed
+  uint32_t bool_dirty = 0;      // lanes whose value/range/bits/buf changed
 };
 
 static void iwht4x4_i32(const int32_t* in, int32_t* out) {
@@ -641,7 +646,7 @@ static void lane_done(Engine& eng, int k) {
 // skip the scan entirely via eng.n_blocked for single-partition work).
 static void retry_blocked(Engine& eng) {
   if (!eng.n_blocked) return;
-  for (int k = 0; k < 16; k++) {
+  for (int k = 0; k < NLANES; k++) {
     if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done &&
         !(eng.active & (1u << k))) {
       if (start_mb(eng, k)) {
@@ -686,7 +691,8 @@ static const EntTables ET = build_ent_tables();
 // 16-lane vector step: decodes one boolean decision of every active
 // stream per iteration.  Returns the done mask (blocks finished).
 // All semantics mirror step_scalar exactly.
-static inline uint16_t step_avx512(Engine& eng, __m512i& value,
+static inline uint16_t step_avx512(Engine& eng, int32_t* staging_base,
+                                   __m512i& value,
                                    __m512i& range, __m512i& bits,
                                    __m512i& buf_off, __m512i& state,
                                    __m512i& n, __m512i& v, __m512i& nctx,
@@ -767,7 +773,7 @@ static inline uint16_t step_avx512(Engine& eng, __m512i& value,
       _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
                         15),
       4);
-  _mm512_mask_i32scatter_epi32(eng.staging, signk,
+  _mm512_mask_i32scatter_epi32(staging_base, signk,
                                _mm512_add_epi32(lane16, zz), val, 4);
   const __m512i nn = _mm512_add_epi32(n, adv);
   n = nn;
@@ -795,95 +801,137 @@ static inline uint16_t step_avx512(Engine& eng, __m512i& value,
 }
 
 static bool any_blocked_lane(const Engine& eng) {
-  for (int k = 0; k < 16; k++)
+  for (int k = 0; k < NLANES; k++)
     if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
       return true;
   return false;
 }
 
 static void flag_deadlocked(Engine& eng) {
-  for (int k = 0; k < 16; k++)
+  for (int k = 0; k < NLANES; k++)
     if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
       eng.lanes[k].img->error = 1;
   for (auto& p : eng.pending)
     if (p.img && !p.done) p.img->error = 1;
 }
 
+// Per-group register block (16 lanes).  Two of these step alternately
+// so one group's serial gather->state chain overlaps the other's.
+struct GroupRegs {
+  __m512i value, range, bits, buf_off, state, n, v, nctx;
+  __m512i pv_off, pv_base, dq0, dq1, prob;
+};
+
+static inline void group_load(GroupRegs& r, Hot& h, int g) {
+  const int o = 16 * g;
+  r.value = _mm512_loadu_si512(h.value + o);
+  r.range = _mm512_loadu_si512(h.range + o);
+  r.bits = _mm512_loadu_si512(h.bits + o);
+  r.buf_off = _mm512_loadu_si512(h.buf_off + o);
+  r.state = _mm512_loadu_si512(h.state + o);
+  r.n = _mm512_loadu_si512(h.n + o);
+  r.v = _mm512_loadu_si512(h.v + o);
+  r.nctx = _mm512_loadu_si512(h.nctx + o);
+  r.pv_off = _mm512_loadu_si512(h.pv_off + o);
+  r.pv_base = _mm512_loadu_si512(h.pv_base + o);
+  r.dq0 = _mm512_loadu_si512(h.dq0 + o);
+  r.dq1 = _mm512_loadu_si512(h.dq1 + o);
+  r.prob = _mm512_loadu_si512(h.prob + o);
+}
+
+static inline void group_spill5(const GroupRegs& r, Hot& h, int g) {
+  const int o = 16 * g;
+  _mm512_storeu_si512(h.value + o, r.value);
+  _mm512_storeu_si512(h.range + o, r.range);
+  _mm512_storeu_si512(h.bits + o, r.bits);
+  _mm512_storeu_si512(h.buf_off + o, r.buf_off);
+  _mm512_storeu_si512(h.n + o, r.n);
+}
+
+static inline void group_reload(GroupRegs& r, Engine& eng, Hot& h, int g,
+                                uint16_t dirty) {
+  if (!dirty) return;
+  const int o = 16 * g;
+  // bool-decoder fields only change on park/unpark/install; plain
+  // re-arms (the common case) spilled them unchanged
+  const uint16_t bd =
+      (uint16_t)((eng.bool_dirty >> o) & dirty);
+  eng.bool_dirty &= ~((uint32_t)dirty << o);
+  if (bd) {
+    r.value = _mm512_mask_loadu_epi32(r.value, bd, h.value + o);
+    r.range = _mm512_mask_loadu_epi32(r.range, bd, h.range + o);
+    r.bits = _mm512_mask_loadu_epi32(r.bits, bd, h.bits + o);
+    r.buf_off = _mm512_mask_loadu_epi32(r.buf_off, bd, h.buf_off + o);
+  }
+  r.state = _mm512_mask_loadu_epi32(r.state, dirty, h.state + o);
+  r.n = _mm512_mask_loadu_epi32(r.n, dirty, h.n + o);
+  r.v = _mm512_mask_loadu_epi32(r.v, dirty, h.v + o);
+  r.nctx = _mm512_mask_loadu_epi32(r.nctx, dirty, h.nctx + o);
+  r.pv_off = _mm512_mask_loadu_epi32(r.pv_off, dirty, h.pv_off + o);
+  r.pv_base = _mm512_mask_loadu_epi32(r.pv_base, dirty, h.pv_base + o);
+  r.dq0 = _mm512_mask_loadu_epi32(r.dq0, dirty, h.dq0 + o);
+  r.dq1 = _mm512_mask_loadu_epi32(r.dq1, dirty, h.dq1 + o);
+  r.prob = _mm512_mask_loadu_epi32(r.prob, dirty, h.prob + o);
+}
+
+static inline uint16_t group_step(Engine& eng, GroupRegs& r, int g,
+                                  uint16_t active16) {
+  return step_avx512(eng, eng.staging + (size_t)16 * 16 * g, r.value,
+                     r.range, r.bits, r.buf_off, r.state, r.n, r.v,
+                     r.nctx, r.pv_off, r.pv_base, r.dq0, r.dq1, r.prob,
+                     active16);
+}
+
 static void run_avx512(Engine& eng) {
   Hot& h = eng.hot;
-  // hot state lives in registers across iterations; only lanes the
-  // slow path touched are re-read (masked loads on the dirty set)
-  __m512i value = _mm512_loadu_si512(h.value);
-  __m512i range = _mm512_loadu_si512(h.range);
-  __m512i bits = _mm512_loadu_si512(h.bits);
-  __m512i buf_off = _mm512_loadu_si512(h.buf_off);
-  __m512i state = _mm512_loadu_si512(h.state);
-  __m512i n = _mm512_loadu_si512(h.n);
-  __m512i v = _mm512_loadu_si512(h.v);
-  __m512i nctx = _mm512_loadu_si512(h.nctx);
-  __m512i pv_off = _mm512_loadu_si512(h.pv_off);
-  __m512i pv_base = _mm512_loadu_si512(h.pv_base);
-  __m512i dq0 = _mm512_loadu_si512(h.dq0);
-  __m512i dq1 = _mm512_loadu_si512(h.dq1);
-  __m512i prob = _mm512_loadu_si512(h.prob);
-  auto reload = [&](uint16_t dirty) {
-    if (!dirty) return;
-    // bool-decoder fields only change on park/unpark/install; plain
-    // re-arms (the common case) spilled them unchanged
-    const uint16_t bd = eng.bool_dirty & dirty;
-    eng.bool_dirty &= ~dirty;
-    if (bd) {
-      value = _mm512_mask_loadu_epi32(value, bd, h.value);
-      range = _mm512_mask_loadu_epi32(range, bd, h.range);
-      bits = _mm512_mask_loadu_epi32(bits, bd, h.bits);
-      buf_off = _mm512_mask_loadu_epi32(buf_off, bd, h.buf_off);
-    }
-    state = _mm512_mask_loadu_epi32(state, dirty, h.state);
-    n = _mm512_mask_loadu_epi32(n, dirty, h.n);
-    v = _mm512_mask_loadu_epi32(v, dirty, h.v);
-    nctx = _mm512_mask_loadu_epi32(nctx, dirty, h.nctx);
-    pv_off = _mm512_mask_loadu_epi32(pv_off, dirty, h.pv_off);
-    pv_base = _mm512_mask_loadu_epi32(pv_base, dirty, h.pv_base);
-    dq0 = _mm512_mask_loadu_epi32(dq0, dirty, h.dq0);
-    dq1 = _mm512_mask_loadu_epi32(dq1, dirty, h.dq1);
-    prob = _mm512_mask_loadu_epi32(prob, dirty, h.prob);
-  };
+  GroupRegs A, B;
+  group_load(A, h, 0);
+  group_load(B, h, 1);
   for (;;) {
     if (!eng.active) {
-      uint16_t before = eng.active;
+      uint32_t before = eng.active;
       retry_blocked(eng);
       if (!eng.active) {
         if (any_blocked_lane(eng) || !eng.pending.empty())
           flag_deadlocked(eng);
         return;
       }
-      reload((uint16_t)(before ^ eng.active));
+      uint32_t dirty = before ^ eng.active;
+      group_reload(A, eng, h, 0, (uint16_t)dirty);
+      group_reload(B, eng, h, 1, (uint16_t)(dirty >> 16));
     }
-    uint16_t done;
-    do {
-      done = step_avx512(eng, value, range, bits, buf_off, state, n, v,
-                         nctx, pv_off, pv_base, dq0, dq1, prob,
-                         eng.active);
-    } while (!done);
+    const uint16_t actA = (uint16_t)eng.active;
+    const uint16_t actB = (uint16_t)(eng.active >> 16);
+    uint16_t doneA = 0, doneB = 0;
+    if (actB) {
+      do {
+        doneA = group_step(eng, A, 0, actA);
+        doneB = group_step(eng, B, 1, actB);
+      } while (!(doneA | doneB));
+    } else {
+      // small batches never fill group B; don't burn cycles on it
+      do {
+        doneA = group_step(eng, A, 0, actA);
+      } while (!doneA);
+    }
     // Spill only what the slow path reads (n = the block's nz,
     // buf_off for the exhaustion check, plus the bool state that
     // park_lane may stash); everything else is a pure output of
     // arm_block and comes back via the dirty reload.
-    _mm512_storeu_si512(h.value, value);
-    _mm512_storeu_si512(h.range, range);
-    _mm512_storeu_si512(h.bits, bits);
-    _mm512_storeu_si512(h.buf_off, buf_off);
-    _mm512_storeu_si512(h.n, n);
-    const uint16_t before = eng.active;
-    uint16_t dirty = done;
+    if (doneA) group_spill5(A, h, 0);
+    if (doneB) group_spill5(B, h, 1);
+    const uint32_t before = eng.active;
+    uint32_t done = (uint32_t)doneA | ((uint32_t)doneB << 16);
+    uint32_t dirty = done;
     while (done) {
       int k = __builtin_ctz(done);
       done &= done - 1;
       lane_done(eng, k);
     }
     retry_blocked(eng);
-    dirty |= (uint16_t)(before ^ eng.active);
-    reload(dirty);
+    dirty |= before ^ eng.active;
+    group_reload(A, eng, h, 0, (uint16_t)dirty);
+    group_reload(B, eng, h, 1, (uint16_t)(dirty >> 16));
   }
 }
 
@@ -894,7 +942,7 @@ static void run_scalar(Engine& eng) {
     if (!eng.active) {
       retry_blocked(eng);
       if (!eng.active) {
-        for (int k = 0; k < 16; k++)
+        for (int k = 0; k < NLANES; k++)
           if (eng.lanes[k].img && eng.lanes[k].blocked &&
               !eng.lanes[k].done)
             eng.lanes[k].img->error = 1;
@@ -903,8 +951,8 @@ static void run_scalar(Engine& eng) {
         return;
       }
     }
-    uint16_t done = 0;
-    for (int k = 0; k < 16; k++) {
+    uint32_t done = 0;
+    for (int k = 0; k < NLANES; k++) {
       if (!(eng.active & (1u << k))) continue;
       if (step_scalar(eng, k)) done |= 1u << k;
     }
@@ -917,11 +965,11 @@ static void run_scalar(Engine& eng) {
     bool any_active = eng.active != 0;
     if (!any_active && eng.pending.empty()) {
       bool any_blocked = false;
-      for (int k = 0; k < 16; k++)
+      for (int k = 0; k < NLANES; k++)
         if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
           any_blocked = true;
       if (!any_blocked) return;
-      for (int k = 0; k < 16; k++)
+      for (int k = 0; k < NLANES; k++)
         if (eng.lanes[k].img && eng.lanes[k].blocked && !eng.lanes[k].done)
           eng.lanes[k].img->error = 1;
       return;
@@ -1141,7 +1189,7 @@ int wtpu_vp8_decode_symbols_batch(
 
   eng.arena = arena.data();
   eng.pv_arena = pv_arena.data();
-  for (int k = 0; k < 16; k++) park_lane(eng, k);
+  for (int k = 0; k < NLANES; k++) park_lane(eng, k);
   // Install pending streams into lanes, preferring round-robin across
   // images so multi-partition gates don't all start blocked.
   {
@@ -1151,7 +1199,7 @@ int wtpu_vp8_decode_symbols_batch(
     for (auto it = pend.rbegin(); it != pend.rend(); ++it)
       eng.pending.push_back(*it);
   }
-  for (int k = 0; k < 16; k++) {
+  for (int k = 0; k < NLANES; k++) {
     if (eng.active & (1u << k)) continue;
     // retry the same lane until something sticks (a stream may finish
     // instantly — e.g. an all-skip image — or block on its gate)
