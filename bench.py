@@ -269,7 +269,7 @@ def main() -> None:
                                        refine=1, i4_parallel=True))
 
     run_dev()
-    dev_mps, _ = best_of(run_dev, nb * mp, reps=2)
+    dev_mps, _ = best_of(run_dev, nb * mp, reps=4)
 
     # batch-amortization point: the wavefront's per-step cost is mostly
     # fixed (dispatch-bound small ops), so a bigger batch raises MP/s
@@ -291,7 +291,7 @@ def main() -> None:
                                        refine=1, i4_parallel=True))
 
     run_dev2()
-    dev_mps2, _ = best_of(run_dev2, nb2 * mp, reps=2)
+    dev_mps2, _ = best_of(run_dev2, nb2 * mp, reps=3)
 
     # phase timings: one compiled search step, one fixed-mode wavefront
     search_fn = partial(openloop_mode_search, try_i4=True, i4_penalty=pen,
@@ -349,9 +349,12 @@ def main() -> None:
         dev_argb = jax.device_put(argb)
         m = predictor_search_entropy(dev_argb, 4)          # warm
         np.asarray(m)
-        t0 = time.perf_counter()
-        np.asarray(predictor_search_entropy(dev_argb, 4))
-        vp8l_ms["tpu_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(predictor_search_entropy(dev_argb, 4))
+            best = min(best, time.perf_counter() - t0)
+        vp8l_ms["tpu_ms"] = round(best * 1000, 1)
         t0 = time.perf_counter()
         _choose_predictors(argb, 4)
         vp8l_ms["host_ms"] = round((time.perf_counter() - t0) * 1000, 1)
