@@ -158,6 +158,23 @@ class TestBatchSymbolDecode:
             np.testing.assert_array_equal(coeffs, c2, err_msg=f"img {i}")
             np.testing.assert_array_equal(modes, m2, err_msg=f"img {i}")
 
+    def test_many_streams_saturate_lanes(self):
+        """>32 interleaved streams: lanes must free, re-install queued
+        streams, and keep both 16-lane groups correct under churn."""
+        from gowebp_tpu.models.vp8.decoder import (decode_vp8_symbols,
+                                                   decode_vp8_symbols_batch)
+
+        base = self._payloads()
+        payloads = (base * 5)[:40]          # ~130 token streams
+        want = [decode_vp8_symbols(p) for p in base]
+        got = decode_vp8_symbols_batch(payloads)
+        for i, p in enumerate(payloads):
+            st, coeffs, modes = want[base.index(p)]
+            st2, c2, m2 = got[i]
+            assert (st2.mb_w, st2.mb_h) == (st.mb_w, st.mb_h)
+            np.testing.assert_array_equal(coeffs, c2, err_msg=f"img {i}")
+            np.testing.assert_array_equal(modes, m2, err_msg=f"img {i}")
+
     def test_truncated_stream_fails_cleanly(self):
         from gowebp_tpu.errors import BitstreamError
         from gowebp_tpu.models.vp8.decoder import decode_vp8_symbols_batch
