@@ -175,6 +175,50 @@ class TestBatchSymbolDecode:
             np.testing.assert_array_equal(coeffs, c2, err_msg=f"img {i}")
             np.testing.assert_array_equal(modes, m2, err_msg=f"img {i}")
 
+    def test_concurrent_batch_calls_are_isolated(self):
+        """All mutable engine state is per-call; static tables are
+        const.  4 threads decoding simultaneously must each match the
+        sequential oracle (the production pipeline runs 2-threaded)."""
+        import concurrent.futures as cf
+
+        from gowebp_tpu.models.vp8.decoder import (decode_vp8_symbols,
+                                                   decode_vp8_symbols_batch)
+
+        payloads = self._payloads()
+        want = [decode_vp8_symbols(p) for p in payloads]
+        with cf.ThreadPoolExecutor(4) as pool:
+            results = list(pool.map(
+                lambda _: decode_vp8_symbols_batch(payloads), range(4)))
+        for got in results:
+            for i in range(len(payloads)):
+                np.testing.assert_array_equal(want[i][1], got[i][1],
+                                              err_msg=f"img {i}")
+                np.testing.assert_array_equal(want[i][2], got[i][2],
+                                              err_msg=f"img {i}")
+
+    def test_corruption_fuzz_batch_engine(self):
+        """Random byte flips in the token partitions must never crash or
+        hang the interleaved engine — typed failure or a well-formed
+        result (the scalar decoder's fuzz contract, applied to the
+        batch path where the memory-safety guards live)."""
+        from gowebp_tpu.errors import WebPError
+        from gowebp_tpu.models.vp8.decoder import decode_vp8_symbols_batch
+
+        payloads = self._payloads()
+        rng = np.random.default_rng(31)
+        for p in payloads[:3]:
+            buf = bytearray(p)
+            for _ in range(60):
+                i = int(rng.integers(len(buf) // 2, len(buf)))
+                old = buf[i]
+                buf[i] = int(rng.integers(0, 256))
+                try:
+                    out = decode_vp8_symbols_batch([bytes(buf)] * 3)
+                    assert len(out) == 3
+                except WebPError:
+                    pass
+                buf[i] = old
+
     def test_truncated_stream_fails_cleanly(self):
         from gowebp_tpu.errors import BitstreamError
         from gowebp_tpu.models.vp8.decoder import decode_vp8_symbols_batch
