@@ -22,6 +22,7 @@ from .decode import (
 )
 from .decode_options import DecoderConfig
 from .encode import encode_rgba, encode_rgba_batch, encode_yuv
+from .idec import IncrementalDecoder
 from .picture import picture_crop, picture_rescale, picture_view
 from .errors import (
     BitstreamError,
@@ -48,6 +49,7 @@ __all__ = [
     "picture_crop",
     "picture_rescale",
     "picture_view",
+    "IncrementalDecoder",
     "EncoderConfig",
     "DecoderConfig",
     "WebPError",
