@@ -145,13 +145,13 @@ def main() -> None:
     lst = [imgs[i] for i in range(n_e2e)]
     mp = size * size / 1e6
 
-    def best_of(fn, mps_for, reps=2, healthy=None):
+    def best_of(fn, mps_for, reps=2, healthy=None, extras=2, pause=20.0):
         """Max throughput over reps (the tunnel stalls randomly).
 
         `healthy` (MP/s): if after `reps` the best is still below this
         floor, the tunnel is likely mid-stall (stalls persist for
-        minutes) — take up to 2 extra reps with a pause so the
-        recorded number reflects the software, not the stall.
+        minutes) — take up to `extras` extra reps spaced `pause` s so
+        the recorded number reflects the software, not the stall.
         """
         best, out = 0.0, None
         for _ in range(reps):
@@ -159,8 +159,8 @@ def main() -> None:
             out = fn()
             best = max(best, mps_for / (time.perf_counter() - t0))
         extra = 0
-        while healthy is not None and best < healthy and extra < 2:
-            time.sleep(20.0)
+        while healthy is not None and best < healthy and extra < extras:
+            time.sleep(pause)
             extra += 1
             t0 = time.perf_counter()
             out = fn()
@@ -208,7 +208,8 @@ def main() -> None:
     dec, _ = best_of(
         lambda: jax.block_until_ready(
             decode_rgba_batch(datas, device_out=True)),
-        len(datas) * mp, reps=3, healthy=None if smoke else 110.0)
+        len(datas) * mp, reps=3, healthy=None if smoke else 110.0,
+        extras=5, pause=30.0)
     dec_base = libwebp_decode_mps(datas, size)
 
     # --- headline: end-to-end batch encode, HYBRID engine ---
