@@ -310,7 +310,14 @@ def _skew_index(mb_w: int, mb_h: int):
 
 
 def _shift_down(x, fill):
-    """Row my reads row my-1: shift along the mb_h axis, pad with fill."""
+    """Row my reads row my-1: shift along the mb_h axis, pad with fill.
+
+    The mb_h==1 case is special-cased: concatenating the empty
+    ``x[:, :-1]`` slice miscompiles on the axon TPU backend (luma loop
+    filter output corrupted for 1-MB-row images; CPU XLA is correct).
+    """
+    if x.shape[1] == 1:
+        return jnp.full_like(x, fill)
     pad = jnp.full_like(x[:, :1], fill)
     return jnp.concatenate([pad, x[:, :-1]], axis=1)
 
@@ -336,6 +343,8 @@ def _halo_shifts(axis_name, n_shards):
     otherwise."""
     if axis_name is None:
         def shift_up(x, last_rows):
+            if x.shape[1] == 1:      # empty-slice concat: see _shift_down
+                return last_rows
             return jnp.concatenate([x[:, 1:], last_rows], axis=1)
 
         return _shift_down, shift_up
@@ -744,6 +753,22 @@ def recon_frame(coeffs, is_i4, imodes, uvmode, fparams, *,
     imodes (B, N, 16) int; fparams (B, mb_h, mb_w, 4) int32.
     Returns uint8 planes (B, 16*mb_h, 16*mb_w), (B, 8*mb_h, 8*mb_w) x2.
     """
+    if mb_h == 1:
+        # The axon TPU backend miscompiles the fused M==1 wavefront
+        # graph (luma/chroma corrupted for 1-MB-row images; eager
+        # dispatch and CPU XLA are both correct).  Run with a dead
+        # second MB row — row 0 never reads from the row below, and
+        # limit=-1 disables every filter edge the dead row owns
+        # (including its top edge into row 0) — then slice it off.
+        z = jnp.zeros_like
+        Y, U, V = recon_frame(
+            jnp.concatenate([coeffs, z(coeffs)], axis=1),
+            jnp.concatenate([is_i4, z(is_i4)], axis=1),
+            jnp.concatenate([imodes, z(imodes)], axis=1),
+            jnp.concatenate([uvmode, z(uvmode)], axis=1),
+            jnp.concatenate([fparams, jnp.full_like(fparams, -1)], axis=1),
+            mb_w=mb_w, mb_h=2, filter_type=filter_type)
+        return Y[:, :16], U[:, :8], V[:, :8]
     Yres, Ures, Vres = residual_blocks(coeffs.astype(I32))
     Sk_y, Sk_u, Sk_v = recon_wavefront(
         Yres, Ures, Vres, is_i4.astype(I32), imodes.astype(I32),

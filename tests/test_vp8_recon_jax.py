@@ -163,6 +163,24 @@ def test_decode_rgba_batch_covers_vp8l_and_alpha():
         np.testing.assert_array_equal(np.asarray(g), w)
 
 
+def test_decode_rgba_batch_degenerate_shapes():
+    """1xN / Nx1 / single-MB-row images through BOTH batch backends.
+
+    mb_h==1 exercises the dead-row padding in recon_frame (the axon
+    TPU backend miscompiles the fused M==1 wavefront graph; the pad
+    sidesteps it on every backend, and this pins its semantics)."""
+    for h, w in [(1, 64), (1, 16), (2, 200), (17, 1), (9, 300)]:
+        img = _photo((h, w), seed=h * 100 + w)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "WEBP", quality=80)
+        data = buf.getvalue()
+        want = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+        for backend in ("jax", "host"):
+            got = gowebp_tpu.decode_rgba_batch([data], recon_backend=backend)
+            np.testing.assert_array_equal(
+                np.asarray(got[0]), want, err_msg=f"{backend} {h}x{w}")
+
+
 def test_decode_rgba_batch_jax_backend():
     imgs = [_photo((40, 56), seed=s) for s in range(4)]
     datas = []
