@@ -19,9 +19,14 @@ Extras:
     device (parallel search vs fixed-mode wavefront; refine=1 runs
     search+wavefront twice) plus an HBM/FLOP utilization estimate from
     XLA's own cost analysis — the "where does device time go" answer.
-  - vp8_decode_to_device_mps + decode_breakdown: batch decode with
-    device-resident output, and the host symbol phase (the AVX-512
-    16-lane interleaved entropy decoder) timed alone.
+  - vp8_decode_mps_host_2t + decode_breakdown: batch decode to host
+    pixels (apples-to-apples with libwebp: native recon + fused
+    fancy-upsample C++, no accelerator round trip), the host symbol
+    phase (the 32-lane interleaved AVX-512 entropy decoder) timed
+    alone, and decode to device-resident pixels TRUE-synced via scalar
+    fetches (block_until_ready through this tunnel can return early —
+    the r3/r4 "decode_to_device" figures were phantom syncs; the
+    true-synced number is wire-bound on the dense coeff upload).
   - vp8_e2e_exact_search_mps: the exact in-loop-search wavefront.
     Role: **verification oracle** (bit-identical to the sequential
     host encoder; pins the hybrid engine down) — not a production
@@ -203,13 +208,28 @@ def main() -> None:
                           [payloads[0::2], payloads[1::2]]))
             sym_2t = max(sym_2t, n_dec * mp / (time.perf_counter() - t0))
 
-    outs_d = decode_rgba_batch(datas, device_out=True)  # warm
-    jax.block_until_ready(outs_d)
+    # Full batch decode to HOST pixels — the apples-to-apples number
+    # (libwebp decodes to host memory too): native recon + fused
+    # fancy-upsample/YUV→RGBA, no accelerator round trip.
+    decode_rgba_batch(datas[:4], recon_backend="host")  # warm
     dec, _ = best_of(
-        lambda: jax.block_until_ready(
-            decode_rgba_batch(datas, device_out=True)),
-        len(datas) * mp, reps=3, healthy=None if smoke else 110.0,
-        extras=5, pause=30.0)
+        lambda: decode_rgba_batch(datas, recon_backend="host", threads=2),
+        len(datas) * mp, reps=3)
+
+    # Decode to DEVICE-resident pixels, TRUE-synced: block_until_ready
+    # through the axon tunnel can return before transfers/compute
+    # finish (phantom sync — rounds 3/4 recorded 112-166 MP/s that
+    # way), so force a scalar fetch from every output.  Wire-bound
+    # here: the dense coeff upload (~3 MB/MP at ~20-30 MB/s) dominates;
+    # PCIe-attached TPUs move that in milliseconds.
+    def dec_dev_true():
+        outs = decode_rgba_batch(datas, device_out=True)
+        for o in outs:
+            np.asarray(o[0, 0, :1])
+        return outs
+
+    dec_dev_true()  # warm
+    dec_dev, _ = best_of(dec_dev_true, len(datas) * mp, reps=2)
     dec_base = libwebp_decode_mps(datas, size)
 
     # --- headline: end-to-end batch encode, HYBRID engine ---
@@ -392,12 +412,16 @@ def main() -> None:
             "vp8_hybrid_device_mps": round(dev_mps, 2),
             "vp8_hybrid_device_mps_b32": round(dev_mps2, 2),
             "device_breakdown": breakdown,
-            "vp8_decode_to_device_mps": round(dec, 2),
+            "vp8_decode_mps_host_2t": round(dec, 2),
             "libwebp_decode_mps_1core": round(dec_base, 2),
             "decode_vs_baseline": round(dec / dec_base, 2),
             "decode_breakdown": {
                 "symbols_host_1t_mps": round(sym_1t, 1),
                 "symbols_host_2t_mps": round(sym_2t, 1),
+                "to_device_true_sync_mps": round(dec_dev, 2),
+                "to_device_note": "coeff-upload wire-bound on this "
+                "tunnel; r3/r4 block_until_ready figures were phantom "
+                "syncs",
             },
             "vp8l_analysis_ms": vp8l_ms,
             "stage_seconds": {k: round(v, 2) for k, v in timings.items()},

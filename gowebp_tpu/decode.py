@@ -201,9 +201,9 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
     (width, height, filter_type) group.
 
     recon_backend: "jax" reconstructs on-device
-    (ops/vp8_recon_jax.recon_frame); "host" keeps reconstruction in the
-    native C++ path and only post-processes on TPU.  Outputs are
-    bit-identical either way.
+    (ops/vp8_recon_jax.recon_frame); "host" runs the whole pipeline on
+    the host (native C++ recon + fused fancy-upsample/YUV→RGBA) with
+    no accelerator round trip.  Outputs are bit-identical either way.
 
     device_out=True returns per-image jax device arrays instead of
     NumPy — for TPU ML-ingestion pipelines the decoded pixels stay on
@@ -233,9 +233,13 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         if use_jax_recon:
             return ("vp8", i, vp8.payload,
                     alpha.payload if alpha else None)
-        if alpha is not None:
-            return ("full", i, data, None)
-        return ("planes", i, vp8.payload, None)
+        # recon_backend="host": the ENTIRE pipeline stays on the host
+        # (native recon + fused fancy-upsample/YUV→RGBA C++), so the
+        # result never crosses the accelerator link.  This is the fast
+        # path when that link is slow (the dev tunnel) or when the
+        # pixels are wanted in host memory anyway.
+        return ("hostrgba", i, (vp8.payload,
+                                alpha.payload if alpha else None), None)
 
     routed = [classify(i, d) for i, d in enumerate(datas)]
     vp8_items = [(i, p, a) for kind, i, p, a in routed if kind == "vp8"]
@@ -247,6 +251,11 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         kind, i, payload = item
         if kind == "full":
             return (i, "full", decode_rgba(payload))
+        if kind == "hostrgba":
+            from .models.vp8.decoder import decode_vp8_rgba
+
+            vp8_payload, ap = payload
+            return (i, "rgba", decode_vp8_rgba(vp8_payload, ap))
         if kind == "vp8l":
             # VP8L: the sequential Huffman + inverse-transform phases run
             # here (native, GIL-released, parallel across images); only
