@@ -40,6 +40,14 @@ kernel-compile path wedges the whole chip for ~an hour (see
 in interpret mode by the suite and NOT compiled here; no
 pallas_device_mps extra can be recorded on this tunnel.
 
+Sync policy (audited after the phantom-sync find): every timed device
+phase ends in a scalar fetch — the hybrid device phases via sync()
+(one scalar element of the single jitted executable's output), VP8L
+analysis via full np.asarray, decode-to-device via a scalar per
+output, and the e2e pipeline is honest by construction (it must fetch
+real token bytes to emit .webp output).  block_until_ready is never
+used for timing.
+
 Environment note: this host reaches the TPU through a tunnel whose
 transfers run at ~12-60 MB/s with multi-second stalls (time-varying);
 production PCIe is 2-3 orders of magnitude faster, so the e2e numbers
