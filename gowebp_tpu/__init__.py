@@ -18,6 +18,7 @@ from .decode import (
     decode_rgba,
     decode_rgba_batch,
     decode_yuv,
+    decode_yuva,
     features,
 )
 from .decode_options import DecoderConfig
@@ -41,6 +42,7 @@ __all__ = [
     "decode_rgba",
     "decode_rgb",
     "decode_yuv",
+    "decode_yuva",
     "decode_rgba_batch",
     "encode_rgba",
     "encode_rgba_batch",

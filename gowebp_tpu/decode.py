@@ -189,6 +189,67 @@ def decode_yuv(data: bytes):
     return decode_vp8_yuv(vp8.payload)
 
 
+def decode_yuva(data: bytes, config: DecoderConfig | None = None):
+    """Decode a lossy file to raw Y/U/V(/A) planes with output options.
+
+    The reference's MODE_YUV/MODE_YUVA output path with crop →
+    per-plane fixed-point rescale → flip (io_dec.c.go:232-520
+    EmitRescaledYUV/ExportYUVA, buffer_dec.c.go WebPDecodeYUV).
+    Returns ``(y, u, v, a)`` uint8 arrays; ``a`` is None for files
+    without an ALPH chunk.  Crop offsets snap down to even for chroma
+    alignment, like the reference's crop validation.
+    """
+    from .decode_options import _rescale
+
+    config = config or DecoderConfig()
+    parsed = parse_riff(data)
+    vp8 = parsed.find(CHUNK_VP8)
+    if vp8 is None:
+        raise BitstreamError("YUV output requires a lossy (VP8) file")
+    from .models.vp8.decoder import decode_vp8_yuv
+
+    y, u, v = decode_vp8_yuv(
+        vp8.payload,
+        bypass_filtering=config.bypass_filtering,
+        dithering_strength=config.dithering_strength)
+    H, W = y.shape
+    config.validate(W, H)
+    alpha_chunk = parsed.find(CHUNK_ALPHA)
+    a = None
+    if alpha_chunk is not None:
+        from .models.vp8.alpha import decode_alpha
+
+        a = decode_alpha(alpha_chunk.payload, W, H)
+
+    if config.use_cropping:
+        left, top = config.crop_left & ~1, config.crop_top & ~1
+        cw, ch = config.crop_width, config.crop_height
+        y = y[top:top + ch, left:left + cw]
+        u = u[top // 2:(top + ch + 1) // 2,
+              left // 2:(left + cw + 1) // 2]
+        v = v[top // 2:(top + ch + 1) // 2,
+              left // 2:(left + cw + 1) // 2]
+        if a is not None:
+            a = a[top:top + ch, left:left + cw]
+    if config.use_scaling:
+        sw, sh = config.resolve_scale(y.shape[1], y.shape[0])
+
+        def rs(p, w2, h2):
+            return _rescale(p[..., None], w2, h2)[..., 0]
+
+        y, u, v = (rs(y, sw, sh),
+                   rs(u, (sw + 1) // 2, (sh + 1) // 2),
+                   rs(v, (sw + 1) // 2, (sh + 1) // 2))
+        if a is not None:
+            a = rs(a, sw, sh)
+    if config.flip:
+        y, u, v = y[::-1], u[::-1], v[::-1]
+        if a is not None:
+            a = a[::-1]
+    cc = np.ascontiguousarray
+    return cc(y), cc(u), cc(v), (cc(a) if a is not None else None)
+
+
 def decode_rgba_batch(datas: list, use_tpu: bool = True,
                       threads: int = 0, recon_backend: str = "jax",
                       device_out: bool = False) -> list:

@@ -3,7 +3,9 @@
 import numpy as np
 import pytest
 
+import gowebp_tpu
 from gowebp_tpu import decode_rgba
+from gowebp_tpu.config import EncoderConfig
 from gowebp_tpu.decode import DecoderConfig, decode, decode_yuv
 from gowebp_tpu.errors import InvalidConfig, NotEnoughData
 from gowebp_tpu.idec import STATE_DONE, IncrementalDecoder
@@ -231,6 +233,77 @@ class TestOutputModesExtended:
         np.testing.assert_array_equal(out[vis], arr[vis])
         np.testing.assert_array_equal(out[..., 3], arr[..., 3])
         np.testing.assert_array_equal(decode_rgba(d_exact), arr)
+
+
+class TestDecodeYUVA:
+    """Rescaled/cropped YUVA output path (reference io_dec.c.go:232-520
+    EmitRescaledYUV/ExportYUVA; the last §2 buffer-mgmt delta)."""
+
+    def _file(self, with_alpha=False, h=64, w=80):
+        rng = np.random.default_rng(41)
+        img = np.clip(rng.normal(120, 40, (h, w, 3)), 0, 255).astype(np.uint8)
+        if with_alpha:
+            img = np.dstack([img, np.clip(
+                200 + rng.integers(-80, 50, (h, w)), 0, 255).astype(np.uint8)])
+        return gowebp_tpu.encode_rgba(
+            img, config=EncoderConfig(lossless=False, quality=80.0))
+
+    def test_plain_matches_decode_yuv(self):
+        data = self._file()
+        y, u, v, a = gowebp_tpu.decode_yuva(data)
+        y0, u0, v0 = gowebp_tpu.decode_yuv(data)
+        np.testing.assert_array_equal(y, y0)
+        np.testing.assert_array_equal(u, u0)
+        np.testing.assert_array_equal(v, v0)
+        assert a is None
+
+    def test_alpha_plane_present(self):
+        data = self._file(with_alpha=True)
+        y, u, v, a = gowebp_tpu.decode_yuva(data)
+        assert a is not None and a.shape == y.shape
+        rgba = gowebp_tpu.decode_rgba(data)
+        np.testing.assert_array_equal(a, rgba[..., 3])
+
+    def test_crop_is_plane_slice_with_even_snap(self):
+        data = self._file()
+        cfg = DecoderConfig(use_cropping=True, crop_left=13, crop_top=7,
+                            crop_width=32, crop_height=24)
+        y, u, v, a = gowebp_tpu.decode_yuva(data, cfg)
+        y0, u0, v0 = gowebp_tpu.decode_yuv(data)
+        # offsets snap down to even (12, 6) for chroma alignment
+        np.testing.assert_array_equal(y, y0[6:30, 12:44])
+        np.testing.assert_array_equal(u, u0[3:15, 6:22])
+        assert y.shape == (24, 32) and u.shape == (12, 16) == v.shape
+
+    def test_scale_matches_per_plane_rescaler(self):
+        from gowebp_tpu.decode_options import _rescale
+
+        data = self._file(with_alpha=True)
+        cfg = DecoderConfig(use_scaling=True, scaled_width=40,
+                            scaled_height=0)   # aspect-preserving height
+        y, u, v, a = gowebp_tpu.decode_yuva(data, cfg)
+        y0, u0, v0 = gowebp_tpu.decode_yuv(data)
+        sh = 64 * 40 // 80
+        assert y.shape == (sh, 40) and a.shape == (sh, 40)
+        assert u.shape == ((sh + 1) // 2, 20) == v.shape
+        np.testing.assert_array_equal(
+            y, _rescale(y0[..., None], 40, sh)[..., 0])
+
+    def test_flip_reverses_rows(self):
+        data = self._file()
+        y, u, v, _ = gowebp_tpu.decode_yuva(data, DecoderConfig(flip=True))
+        y0, u0, v0 = gowebp_tpu.decode_yuv(data)
+        np.testing.assert_array_equal(y, y0[::-1])
+        np.testing.assert_array_equal(v, v0[::-1])
+
+    def test_bad_crop_raises(self):
+        from gowebp_tpu.errors import InvalidConfig
+
+        data = self._file()
+        with pytest.raises(InvalidConfig):
+            gowebp_tpu.decode_yuva(data, DecoderConfig(
+                use_cropping=True, crop_left=70, crop_top=0,
+                crop_width=32, crop_height=24))
 
 
 class TestOutputModes:
