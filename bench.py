@@ -19,9 +19,10 @@ Extras:
     device (parallel search vs fixed-mode wavefront; refine=1 runs
     search+wavefront twice) plus an HBM/FLOP utilization estimate from
     XLA's own cost analysis — the "where does device time go" answer.
-  - vp8_decode_mps_host_2t + decode_breakdown: batch decode to host
-    pixels (apples-to-apples with libwebp: native recon + fused
-    fancy-upsample C++, no accelerator round trip), the host symbol
+  - vp8_decode_mps_host + decode_breakdown: batch decode to host
+    pixels (apples-to-apples with libwebp: interleaved-engine
+    symbols -> native array-driven recon -> fused fancy-upsample C++,
+    no accelerator round trip), the host symbol
     phase (the 32-lane interleaved AVX-512 entropy decoder) timed
     alone, and decode to device-resident pixels TRUE-synced via scalar
     fetches (block_until_ready through this tunnel can return early —
@@ -221,7 +222,7 @@ def main() -> None:
     # fancy-upsample/YUV→RGBA, no accelerator round trip.
     decode_rgba_batch(datas[:4], recon_backend="host")  # warm
     dec, _ = best_of(
-        lambda: decode_rgba_batch(datas, recon_backend="host", threads=2),
+        lambda: decode_rgba_batch(datas, recon_backend="host", threads=4),
         len(datas) * mp, reps=3)
 
     # Decode to DEVICE-resident pixels, TRUE-synced: block_until_ready
@@ -420,7 +421,7 @@ def main() -> None:
             "vp8_hybrid_device_mps": round(dev_mps, 2),
             "vp8_hybrid_device_mps_b32": round(dev_mps2, 2),
             "device_breakdown": breakdown,
-            "vp8_decode_mps_host_2t": round(dec, 2),
+            "vp8_decode_mps_host": round(dec, 2),   # 2-core host, 4 threads
             "libwebp_decode_mps_1core": round(dec_base, 2),
             "decode_vs_baseline": round(dec / dec_base, 2),
             "decode_breakdown": {

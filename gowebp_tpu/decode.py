@@ -291,16 +291,10 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
                 return ("full", i, data, None)
             return ("vp8l", i, vp8l.payload, None)
         alpha = parsed.find(CHUNK_ALPHA)
-        if use_jax_recon:
-            return ("vp8", i, vp8.payload,
-                    alpha.payload if alpha else None)
-        # recon_backend="host": the ENTIRE pipeline stays on the host
-        # (native recon + fused fancy-upsample/YUV→RGBA C++), so the
-        # result never crosses the accelerator link.  This is the fast
-        # path when that link is slow (the dev tunnel) or when the
-        # pixels are wanted in host memory anyway.
-        return ("hostrgba", i, (vp8.payload,
-                                alpha.payload if alpha else None), None)
+        # Both recon backends ride the interleaved symbol engine; they
+        # differ only in where the pixel-rate phases run (vp8_group vs
+        # vp8_host_group below).
+        return ("vp8", i, vp8.payload, alpha.payload if alpha else None)
 
     routed = [classify(i, d) for i, d in enumerate(datas)]
     vp8_items = [(i, p, a) for kind, i, p, a in routed if kind == "vp8"]
@@ -312,11 +306,6 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         kind, i, payload = item
         if kind == "full":
             return (i, "full", decode_rgba(payload))
-        if kind == "hostrgba":
-            from .models.vp8.decoder import decode_vp8_rgba
-
-            vp8_payload, ap = payload
-            return (i, "rgba", decode_vp8_rgba(vp8_payload, ap))
         if kind == "vp8l":
             # VP8L: the sequential Huffman + inverse-transform phases run
             # here (native, GIL-released, parallel across images); only
@@ -377,18 +366,44 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
                 out.append((r[0], "rgba_dev", (rgba, k)))
         return out
 
+    def vp8_host_group(items):
+        """recon_backend="host": the ENTIRE pipeline stays on the host —
+        interleaved symbol engine → native array-driven recon + loop
+        filter → fused fancy-upsample/YUV→RGBA C++ — so nothing ever
+        crosses the accelerator link.  The fast path when that link is
+        slow (the dev tunnel) or the pixels are wanted in host memory
+        anyway; bit-identical to the device path."""
+        from .models.vp8.alpha import decode_alpha
+        from .models.vp8.decoder import (decode_vp8_rgba, recon_vp8_yuv_host,
+                                         yuv_planes_to_rgba)
+
+        syms = decode_vp8_symbols_batch([p for _, p, _ in items])
+        out = []
+        for (i, p, ap), (st, coeffs, modes) in zip(items, syms):
+            planes = recon_vp8_yuv_host(st, coeffs, modes)
+            if planes is None:                 # no native layer
+                out.append((i, "rgba", decode_vp8_rgba(p, ap)))
+                continue
+            rgba = yuv_planes_to_rgba(*planes)
+            if ap is not None:
+                rgba[..., 3] = decode_alpha(ap, st.width, st.height)
+            out.append((i, "rgba", rgba))
+        return out
+
+    group_fn = vp8_group if use_jax_recon else vp8_host_group
+
     host = []
     # One engine call per thread (32 interleave lanes each); each
     # group's device recon overlaps the next group's symbol phase.
     ng = min(workers, max(1, -(-len(vp8_items) // 32)))
     if workers <= 1 or (ng <= 1 and not other):
         if vp8_items:
-            host.extend(vp8_group(vp8_items))
+            host.extend(group_fn(vp8_items))
         host.extend(other_one(it) for it in other)
     else:
         with cf.ThreadPoolExecutor(max_workers=workers) as pool:
             groups = [vp8_items[g::ng] for g in range(ng)] if vp8_items else []
-            futs = [pool.submit(vp8_group, g) for g in groups]
+            futs = [pool.submit(group_fn, g) for g in groups]
             other_res = list(pool.map(other_one, other))
             for f in futs:
                 host.extend(f.result())

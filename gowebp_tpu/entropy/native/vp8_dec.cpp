@@ -1084,30 +1084,16 @@ static int parse_frame_mbs(
 
 extern "C" {
 
-int wtpu_vp8_decode_frame(
-    const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
-    uint32_t p0_range, uint32_t p0_bitcount,
-    const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
-    int mb_w, int mb_h,
-    int update_map, const uint8_t* segment_probs,
-    int use_skip, int skip_p,
-    const uint8_t* coeff_probs,          // [4][8][3][11]
-    const int32_t* quants,               // [4][6]
-    int filter_type,
-    const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
+// Reconstruction + loop filter + chroma dither from a parsed MB list;
+// shared by the single-stream frame decoder and the array-driven entry
+// (batch symbol engine output -> host planes).
+static void recon_filter_dither(
+    std::vector<MB>& mbs, int mb_w, int mb_h,
+    int filter_type, const int32_t* finfo,
     uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
-    const int32_t* dither_amps /* [4] per-segment, NULL = off */) {
+    const int32_t* dither_amps) {
   const int ys = mb_w * 16;          // luma stride
   const int cs = mb_w * 8;           // chroma stride
-  std::vector<MB> mbs;
-  {
-    int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
-                             p0_bitcount, parts, part_offsets, num_parts,
-                             mb_w, mb_h, update_map, segment_probs,
-                             use_skip, skip_p, coeff_probs, quants, mbs);
-    if (rc != 0) return rc;
-  }
-
   // --- reconstruction (raster order) ---
   std::vector<uint8_t> ybuf(17 * BUFS), ubuf(9 * BUFS), vbuf(9 * BUFS);
   for (int mb_y = 0; mb_y < mb_h; mb_y++) {
@@ -1245,6 +1231,62 @@ int wtpu_vp8_decode_frame(
       }
     }
   }
+}
+
+extern "C" int wtpu_vp8_decode_frame(
+    const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
+    uint32_t p0_range, uint32_t p0_bitcount,
+    const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
+    int mb_w, int mb_h,
+    int update_map, const uint8_t* segment_probs,
+    int use_skip, int skip_p,
+    const uint8_t* coeff_probs,          // [4][8][3][11]
+    const int32_t* quants,               // [4][6]
+    int filter_type,
+    const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
+    const int32_t* dither_amps /* [4] per-segment, NULL = off */) {
+  std::vector<MB> mbs;
+  int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
+                           p0_bitcount, parts, part_offsets, num_parts,
+                           mb_w, mb_h, update_map, segment_probs,
+                           use_skip, skip_p, coeff_probs, quants, mbs);
+  if (rc != 0) return rc;
+  recon_filter_dither(mbs, mb_w, mb_h, filter_type, finfo,
+                      y_out, u_out, v_out, dither_amps);
+  return 0;
+}
+
+// Reconstruct host planes from the batch symbol engine's output arrays
+// (decoder.py decode_vp8_symbols_batch): coeffs (N,24,16) dequantized
+// int16, modes (N,21) = [is_i4, uvmode, segment, skip, dither,
+// imodes[16]].  Lets the interleaved multi-stream entropy engine feed
+// the host reconstruction path.
+extern "C" int wtpu_vp8_recon_frame_arrays(
+    const int16_t* coeffs, const uint8_t* modes,
+    int mb_w, int mb_h, int filter_type, const int32_t* finfo,
+    const int32_t* dither_amps,
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
+  const size_t n = (size_t)mb_w * mb_h;
+  std::vector<MB> mbs(n);
+  for (size_t i = 0; i < n; i++) {
+    MB& mb = mbs[i];
+    const uint8_t* m = modes + i * 21;
+    mb.is_i4 = m[0]; mb.uvmode = m[1]; mb.segment = m[2];
+    mb.skip = m[3]; mb.dither = m[4];
+    std::memcpy(mb.imodes, m + 5, 16);
+    mb.ymode = mb.imodes[0];
+    const int16_t* c = coeffs + i * 24 * 16;
+    std::memcpy(mb.coeffs, c, 24 * 16 * sizeof(int16_t));
+    for (int b = 0; b < 24; b++) {
+      const int16_t* q = c + b * 16;
+      int16_t any = 0;
+      for (int k = 0; k < 16; k++) any |= q[k];
+      mb.has_nz[b] = (uint8_t)(any != 0);
+    }
+  }
+  recon_filter_dither(mbs, mb_w, mb_h, filter_type, finfo,
+                      y_out, u_out, v_out, dither_amps);
   return 0;
 }
 

@@ -239,6 +239,15 @@ def _configure(lib) -> None:
         i32p,                                 # dither_amps[4]
     ]
 
+    lib.wtpu_vp8_recon_frame_arrays.restype = c.c_int
+    lib.wtpu_vp8_recon_frame_arrays.argtypes = [
+        i16p, u8p,                            # coeffs (N,24,16), modes (N,21)
+        c.c_int, c.c_int,                     # mb_w, mb_h
+        c.c_int, i32p,                        # filter_type, finfo
+        i32p,                                 # dither_amps[4] (NULL = off)
+        u8p, u8p, u8p,                        # y, u, v out
+    ]
+
     lib.wtpu_vp8_decode_symbols.restype = c.c_int
     lib.wtpu_vp8_decode_symbols.argtypes = [
         u8p, c.c_uint64, c.c_uint64, c.c_uint32, c.c_uint32, c.c_uint32,

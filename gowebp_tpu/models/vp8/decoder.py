@@ -776,6 +776,53 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder,
     )
 
 
+def recon_vp8_yuv_host(st: FrameState, coeffs: np.ndarray,
+                       modes: np.ndarray):
+    """Host reconstruction from symbol-engine arrays → cropped YUV planes.
+
+    Pairs with :func:`decode_vp8_symbols_batch`: the interleaved
+    multi-stream entropy engine produces (coeffs, modes) for many
+    images at once, and this reconstructs each on the host (native
+    recon + loop filter, GIL released) without touching a device.
+    Bit-identical to :func:`decode_vp8_yuv`.  None if the native layer
+    is unavailable.
+    """
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_recon_frame_arrays"):
+        return None
+    mb_w, mb_h = st.mb_w, st.mb_h
+    finfo_py = _precompute_filter_info(st)
+    finfo = np.full((4, 2, 3), -1, np.int32)
+    for s in range(4):
+        for i4 in range(2):
+            fi = finfo_py[s][i4]
+            if fi is not None:
+                finfo[s, i4] = fi
+    Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+    U = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+    V = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+    cf = np.ascontiguousarray(coeffs.reshape(-1), np.int16)
+    md = np.ascontiguousarray(modes.reshape(-1), np.uint8)
+
+    def p(arr, t):
+        return arr.ctypes.data_as(ctypes.POINTER(t))
+
+    rc = lib.wtpu_vp8_recon_frame_arrays(
+        p(cf, ctypes.c_int16), p(md, ctypes.c_uint8),
+        mb_w, mb_h, st.filter_type,
+        p(finfo, ctypes.c_int32), None,
+        p(Y, ctypes.c_uint8), p(U, ctypes.c_uint8), p(V, ctypes.c_uint8))
+    if rc != 0:
+        raise BitstreamError(f"native vp8 recon failed (code {rc})")
+    W, H = st.width, st.height
+    return (Y[:H, :W], U[: (H + 1) // 2, : (W + 1) // 2],
+            V[: (H + 1) // 2, : (W + 1) // 2])
+
+
 def _bitpos(bd: BoolDecoder) -> int:
     """Monotone consumed-bits proxy for the boolean decoder."""
     return 8 * bd.pos + bd.bit_count
@@ -1129,15 +1176,15 @@ def decode_vp8_yuv(payload: bytes, bypass_filtering: bool = False,
     return y, u, v
 
 
-def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
-                    fancy_upsampling: bool = True,
-                    bypass_filtering: bool = False,
-                    dithering_strength: int = 0) -> np.ndarray:
-    """Decode VP8 (+optional ALPH) → (H, W, 4) uint8 RGBA."""
-    y, u, v = decode_vp8_yuv(payload, bypass_filtering=bypass_filtering,
-                             dithering_strength=dithering_strength)
+def yuv_planes_to_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       fancy_upsampling: bool = True) -> np.ndarray:
+    """Host YUV planes → (H, W, 4) RGBA (alpha 255).
+
+    Native fused fancy-upsample + BT.601 conversion when available
+    (entropy/native/vp8_dec.cpp wtpu_yuv_to_rgba_fancy), NumPy twin
+    otherwise.
+    """
     H, W = y.shape
-    out = None
     if fancy_upsampling:
         from ...entropy.native_loader import get_lib
 
@@ -1154,20 +1201,31 @@ def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
                 return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
             lib.wtpu_yuv_to_rgba_fancy(
-                u8(yc), u8(uc), u8(vc), W, H, yc.shape[1], uc.shape[1], u8(out)
-            )
-    if out is None:
-        if fancy_upsampling:
-            uf = yuv_np.fancy_upsample(u, H, W)
-            vf = yuv_np.fancy_upsample(v, H, W)
-        else:
-            uf = yuv_np.simple_upsample(u, H, W)
-            vf = yuv_np.simple_upsample(v, H, W)
-        rgb = yuv_np.yuv_to_rgb(y.astype(np.int64), uf.astype(np.int64),
-                                vf.astype(np.int64))
-        out = np.empty((H, W, 4), np.uint8)
-        out[..., :3] = rgb
-        out[..., 3] = 255
+                u8(yc), u8(uc), u8(vc), W, H, yc.shape[1], uc.shape[1],
+                u8(out))
+            return out
+        uf = yuv_np.fancy_upsample(u, H, W)
+        vf = yuv_np.fancy_upsample(v, H, W)
+    else:
+        uf = yuv_np.simple_upsample(u, H, W)
+        vf = yuv_np.simple_upsample(v, H, W)
+    rgb = yuv_np.yuv_to_rgb(y.astype(np.int64), uf.astype(np.int64),
+                            vf.astype(np.int64))
+    out = np.empty((H, W, 4), np.uint8)
+    out[..., :3] = rgb
+    out[..., 3] = 255
+    return out
+
+
+def decode_vp8_rgba(payload: bytes, alpha_payload: bytes | None = None,
+                    fancy_upsampling: bool = True,
+                    bypass_filtering: bool = False,
+                    dithering_strength: int = 0) -> np.ndarray:
+    """Decode VP8 (+optional ALPH) → (H, W, 4) uint8 RGBA."""
+    y, u, v = decode_vp8_yuv(payload, bypass_filtering=bypass_filtering,
+                             dithering_strength=dithering_strength)
+    H, W = y.shape
+    out = yuv_planes_to_rgba(y, u, v, fancy_upsampling=fancy_upsampling)
     if alpha_payload is not None:
         from .alpha import decode_alpha
 
