@@ -239,6 +239,19 @@ def main() -> None:
 
     dec_dev_true()  # warm
     dec_dev, _ = best_of(dec_dev_true, len(datas) * mp, reps=2)
+
+    # VP8L (lossless) batch decode to host pixels vs libwebp 1-core.
+    n_ll = 2 if smoke else 8
+    ll_datas = []
+    for b in range(n_ll):
+        buf = io.BytesIO()
+        Image.fromarray(imgs[b]).save(buf, "WEBP", lossless=True)
+        ll_datas.append(buf.getvalue())
+    decode_rgba_batch(ll_datas[:2], recon_backend="host")  # warm
+    dec_ll, _ = best_of(
+        lambda: decode_rgba_batch(ll_datas, recon_backend="host", threads=4),
+        n_ll * mp, reps=2)
+    ll_base = libwebp_decode_mps(ll_datas, size)
     dec_base = libwebp_decode_mps(datas, size)
 
     # --- headline: end-to-end batch encode, HYBRID engine ---
@@ -427,6 +440,8 @@ def main() -> None:
             "decode_breakdown": {
                 "symbols_host_1t_mps": round(sym_1t, 1),
                 "symbols_host_2t_mps": round(sym_2t, 1),
+                "vp8l_host_mps": round(dec_ll, 2),
+                "vp8l_libwebp_mps_1core": round(ll_base, 2),
                 "to_device_true_sync_mps": round(dec_dev, 2),
                 "to_device_note": "coeff-upload wire-bound on this "
                 "tunnel; r3/r4 block_until_ready figures were phantom "
