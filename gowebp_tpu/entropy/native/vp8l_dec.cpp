@@ -300,7 +300,82 @@ static int decode_pixels_loop(BitReader& br, int width, int height,
 
 }  // namespace
 
+// One prefix code's per-symbol code lengths (decoder.py
+// _read_code_lengths: simple 1-2 symbol codes or code-length-coded
+// with 16/17/18 repeats).  Returns 0 ok, 1 invalid, 2 truncated.
+static int read_code_lengths_native(BitReader& br, int alphabet,
+                                    int32_t* out) {
+  static const uint8_t kClOrder[19] = {17, 18, 0, 1, 2, 3, 4, 5, 16,
+                                       6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+  std::fill(out, out + alphabet, 0);
+  if (br.read(1)) {  // simple code
+    int num_symbols = (int)br.read(1) + 1;
+    int sym0 = br.read(1) ? (int)br.read(8) : (int)br.read(1);
+    if (sym0 >= alphabet) return 1;
+    out[sym0] = 1;
+    if (num_symbols == 2) {
+      int sym1 = (int)br.read(8);
+      if (sym1 >= alphabet) return 1;
+      out[sym1] = 1;
+    }
+    return br.overrun() ? 2 : 0;
+  }
+  int num_codes = (int)br.read(4) + 4;
+  if (num_codes > 19) return 1;
+  int32_t cl_len[19] = {0};
+  for (int i = 0; i < num_codes; i++) cl_len[kClOrder[i]] = (int32_t)br.read(3);
+  HuffTable cl;
+  if (!build_table(cl_len, 19, &cl)) return 1;
+  int max_symbol = alphabet;
+  if (br.read(1)) {
+    int nb = 2 + 2 * (int)br.read(3);
+    max_symbol = 2 + (int)br.read(nb);
+    if (max_symbol > alphabet) return 1;
+  }
+  int prev_len = 8, sym = 0;
+  while (sym < alphabet) {
+    if (max_symbol == 0) break;
+    max_symbol--;
+    int code = cl.decode(br);
+    if (code < 16) {
+      out[sym++] = code;
+      if (code != 0) prev_len = code;
+    } else {
+      static const int kOff[3] = {3, 3, 11};
+      static const int kExt[3] = {2, 3, 7};
+      int repeat = kOff[code - 16] + (int)br.read(kExt[code - 16]);
+      if (sym + repeat > alphabet) return 1;
+      int fill = (code == 16) ? prev_len : 0;
+      for (int r = 0; r < repeat; r++) out[sym++] = fill;
+    }
+    if (br.overrun()) return 2;
+  }
+  return 0;
+}
+
 extern "C" {
+
+// Parse num_groups x 5 prefix codes' code lengths (the meta-huffman
+// "huffman codes" section) in one native pass; lengths_out is the same
+// concatenated layout wtpu_vp8l_decode_pixels consumes (fixed
+// per-group stride = sum of the 5 alphabet sizes).
+int wtpu_vp8l_read_groups(
+    const uint8_t* data, uint64_t data_size, uint64_t bit_pos_in,
+    int num_groups, const int32_t* alphabet_sizes,
+    int32_t* lengths_out, uint64_t* bit_pos_out) {
+  BitReader br{data, data_size, bit_pos_in};
+  br.refill();
+  int32_t* out = lengths_out;
+  for (int g = 0; g < num_groups; g++) {
+    for (int c = 0; c < 5; c++) {
+      int rc = read_code_lengths_native(br, alphabet_sizes[c], out);
+      if (rc != 0) return rc;
+      out += alphabet_sizes[c];
+    }
+  }
+  *bit_pos_out = br.bit_pos;
+  return 0;
+}
 
 // Decode the pixel stream.  Group tables are described by concatenated
 // code-length arrays: for group g, code c (0..4), lengths are at

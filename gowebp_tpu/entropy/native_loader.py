@@ -239,6 +239,13 @@ def _configure(lib) -> None:
         i32p,                                 # dither_amps[4]
     ]
 
+    lib.wtpu_vp8l_read_groups.restype = c.c_int
+    lib.wtpu_vp8l_read_groups.argtypes = [
+        u8p, c.c_uint64, c.c_uint64,          # data, size, bit_pos
+        c.c_int, i32p,                        # num_groups, alphabet_sizes[5]
+        i32p, u64p,                           # lengths_out, bit_pos_out
+    ]
+
     lib.wtpu_vp8_recon_frame_arrays.restype = c.c_int
     lib.wtpu_vp8_recon_frame_arrays.argtypes = [
         i16p, u8p,                            # coeffs (N,24,16), modes (N,21)

@@ -132,14 +132,71 @@ def _read_code_lengths(br: BitReader, alphabet_size: int) -> np.ndarray:
     return lengths
 
 
-@dataclass
 class PrefixGroup:
-    green: HuffmanDecodeTable   # literals + lengths + cache indices
-    red: HuffmanDecodeTable
-    blue: HuffmanDecodeTable
-    alpha: HuffmanDecodeTable
-    dist: HuffmanDecodeTable
-    lengths: list | None = None  # raw code lengths (for the native decoder)
+    """One meta-group's five prefix codes.
+
+    Decode tables build lazily from ``lengths`` — the native pixel
+    decoder consumes raw lengths only, so when both the group parse and
+    the pixel loop run natively no Python table is ever constructed
+    (the Python fallback and the incremental decoder still get tables
+    on first access)."""
+
+    __slots__ = ("_tables", "lengths")
+    _NAMES = ("green", "red", "blue", "alpha", "dist")
+
+    def __init__(self, green=None, red=None, blue=None, alpha=None,
+                 dist=None, lengths=None):
+        self._tables = [green, red, blue, alpha, dist]
+        self.lengths = lengths
+
+    def _tab(self, i):
+        t = self._tables[i]
+        if t is None:
+            t = self._tables[i] = HuffmanDecodeTable(self.lengths[i])
+        return t
+
+
+for _i, _nm in enumerate(PrefixGroup._NAMES):
+    setattr(PrefixGroup, _nm, property(
+        lambda self, _i=_i: self._tab(_i)))
+
+
+def _read_prefix_groups_native(br: BitReader, num_groups: int,
+                               alphabets: list) -> list | None:
+    """C++ fast path for the groups' code-length section; None if
+    the native layer is unavailable."""
+    import ctypes
+
+    from ...entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8l_read_groups"):
+        return None
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    stride = sum(alphabets)
+    out = np.zeros(num_groups * stride, np.int32)
+    al = np.array(alphabets, np.int32)
+    bp = ctypes.c_uint64(0)
+    rc = lib.wtpu_vp8l_read_groups(
+        ctypes.cast(ctypes.c_char_p(data),
+                    ctypes.POINTER(ctypes.c_uint8)),
+        len(data), br.bit_pos, num_groups,
+        al.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(bp))
+    if rc == 2:
+        raise BitstreamError("truncated huffman code lengths")
+    if rc != 0:
+        raise BitstreamError("bad huffman code lengths")
+    br.bit_pos = bp.value
+    groups = []
+    for g in range(num_groups):
+        lens, off = [], g * stride
+        for a in alphabets:
+            lens.append(out[off:off + a])
+            off += a
+        groups.append(PrefixGroup(lengths=lens))
+    return groups
 
 
 def _read_prefix_groups(
@@ -153,6 +210,9 @@ def _read_prefix_groups(
         NUM_LITERAL_CODES,
         NUM_DISTANCE_CODES,
     ]
+    native = _read_prefix_groups_native(br, num_groups, alphabets)
+    if native is not None:
+        return native
     groups = []
     for _ in range(num_groups):
         tables = []
