@@ -285,6 +285,67 @@ static void iwht4x4(const int16_t* in, int32_t* out) {
 static inline int mul1(int a) { return a + ((a * 20091) >> 16); }
 static inline int mul2(int a) { return (a * 35468) >> 16; }
 
+#ifdef __SSE4_1__
+// 4 int32 lanes carry one column (pass 1) / one row (pass 2) each;
+// bit-identical to the scalar butterflies below (same >>16 fixed-point
+// products, same +4 >>3 rounding, saturating pack for the clip).
+static inline __m128i mul1_v(__m128i a) {
+  return _mm_add_epi32(a,
+      _mm_srai_epi32(_mm_mullo_epi32(a, _mm_set1_epi32(20091)), 16));
+}
+static inline __m128i mul2_v(__m128i a) {
+  return _mm_srai_epi32(_mm_mullo_epi32(a, _mm_set1_epi32(35468)), 16);
+}
+
+static void idct_add(const int16_t* in, uint8_t* dst, int stride) {
+  // Rows of `in` are the four frequency lines; lanes are columns i.
+  __m128i r0 = _mm_cvtepi16_epi32(_mm_loadl_epi64((const __m128i*)(in + 0)));
+  __m128i r1 = _mm_cvtepi16_epi32(_mm_loadl_epi64((const __m128i*)(in + 4)));
+  __m128i r2 = _mm_cvtepi16_epi32(_mm_loadl_epi64((const __m128i*)(in + 8)));
+  __m128i r3 = _mm_cvtepi16_epi32(_mm_loadl_epi64((const __m128i*)(in + 12)));
+  __m128i a = _mm_add_epi32(r0, r2);
+  __m128i b = _mm_sub_epi32(r0, r2);
+  __m128i c = _mm_sub_epi32(mul2_v(r1), mul1_v(r3));
+  __m128i d = _mm_add_epi32(mul1_v(r1), mul2_v(r3));
+  __m128i C0 = _mm_add_epi32(a, d);            // C[0*4+i]
+  __m128i C1 = _mm_add_epi32(b, c);
+  __m128i C2 = _mm_sub_epi32(b, c);
+  __m128i C3 = _mm_sub_epi32(a, d);
+  // Transpose so lanes become rows: Vk[r] = C[r*4+k].
+  __m128i t0 = _mm_unpacklo_epi32(C0, C1), t1 = _mm_unpackhi_epi32(C0, C1);
+  __m128i t2 = _mm_unpacklo_epi32(C2, C3), t3 = _mm_unpackhi_epi32(C2, C3);
+  __m128i V0 = _mm_unpacklo_epi64(t0, t2);
+  __m128i V1 = _mm_unpackhi_epi64(t0, t2);
+  __m128i V2 = _mm_unpacklo_epi64(t1, t3);
+  __m128i V3 = _mm_unpackhi_epi64(t1, t3);
+  __m128i dc = _mm_add_epi32(V0, _mm_set1_epi32(4));
+  a = _mm_add_epi32(dc, V2);
+  b = _mm_sub_epi32(dc, V2);
+  c = _mm_sub_epi32(mul2_v(V1), mul1_v(V3));
+  d = _mm_add_epi32(mul1_v(V1), mul2_v(V3));
+  __m128i o0 = _mm_srai_epi32(_mm_add_epi32(a, d), 3);   // col 0, rows 0..3
+  __m128i o1 = _mm_srai_epi32(_mm_add_epi32(b, c), 3);
+  __m128i o2 = _mm_srai_epi32(_mm_sub_epi32(b, c), 3);
+  __m128i o3 = _mm_srai_epi32(_mm_sub_epi32(a, d), 3);
+  // Transpose back: lanes become columns within each output row.
+  t0 = _mm_unpacklo_epi32(o0, o1); t1 = _mm_unpackhi_epi32(o0, o1);
+  t2 = _mm_unpacklo_epi32(o2, o3); t3 = _mm_unpackhi_epi32(o2, o3);
+  __m128i row0 = _mm_unpacklo_epi64(t0, t2);
+  __m128i row1 = _mm_unpackhi_epi64(t0, t2);
+  __m128i row2 = _mm_unpacklo_epi64(t1, t3);
+  __m128i row3 = _mm_unpackhi_epi64(t1, t3);
+  const __m128i rows[4] = {row0, row1, row2, row3};
+  for (int r = 0; r < 4; r++) {
+    uint8_t* o = dst + r * stride;
+    __m128i px = _mm_cvtepu8_epi32(_mm_cvtsi32_si128(
+        *(const int32_t*)o));
+    __m128i s = _mm_add_epi32(px, rows[r]);
+    __m128i p16 = _mm_packs_epi32(s, s);
+    __m128i p8 = _mm_packus_epi16(p16, p16);
+    *(int32_t*)o = _mm_cvtsi128_si32(p8);
+  }
+}
+#else
 static void idct_add(const int16_t* in, uint8_t* dst, int stride) {
   int32_t C[16];
   for (int i = 0; i < 4; i++) {
@@ -310,6 +371,7 @@ static void idct_add(const int16_t* in, uint8_t* dst, int stride) {
     o[3] = (uint8_t)clip255i(o[3] + ((a - d) >> 3));
   }
 }
+#endif  // __SSE4_1__
 
 // ----------------------------------------------------------------------
 // Intra predictors on a bordered working buffer.
