@@ -220,10 +220,17 @@ def main() -> None:
     # Full batch decode to HOST pixels — the apples-to-apples number
     # (libwebp decodes to host memory too): native recon + fused
     # fancy-upsample/YUV→RGBA, no accelerator round trip.
+    # Ours and the libwebp baseline alternate rep-by-rep: this VM gets
+    # starved for minutes at a time (observed 2x swings), and adjacent
+    # sampling keeps the ratio fair — both bests come from the same
+    # load conditions.
     decode_rgba_batch(datas[:4], recon_backend="host")  # warm
-    dec, _ = best_of(
-        lambda: decode_rgba_batch(datas, recon_backend="host", threads=4),
-        len(datas) * mp, reps=3)
+    dec = dec_base = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_rgba_batch(datas, recon_backend="host", threads=4)
+        dec = max(dec, len(datas) * mp / (time.perf_counter() - t0))
+        dec_base = max(dec_base, libwebp_decode_mps(datas, size))
 
     # Decode to DEVICE-resident pixels, TRUE-synced: block_until_ready
     # through the axon tunnel can return before transfers/compute
@@ -248,11 +255,12 @@ def main() -> None:
         Image.fromarray(imgs[b]).save(buf, "WEBP", lossless=True)
         ll_datas.append(buf.getvalue())
     decode_rgba_batch(ll_datas[:2], recon_backend="host")  # warm
-    dec_ll, _ = best_of(
-        lambda: decode_rgba_batch(ll_datas, recon_backend="host", threads=4),
-        n_ll * mp, reps=2)
-    ll_base = libwebp_decode_mps(ll_datas, size)
-    dec_base = libwebp_decode_mps(datas, size)
+    dec_ll = ll_base = 0.0
+    for _ in range(2):                      # alternate: see decode above
+        t0 = time.perf_counter()
+        decode_rgba_batch(ll_datas, recon_backend="host", threads=4)
+        dec_ll = max(dec_ll, n_ll * mp / (time.perf_counter() - t0))
+        ll_base = max(ll_base, libwebp_decode_mps(ll_datas, size))
 
     # --- headline: end-to-end batch encode, HYBRID engine ---
     encode_rgba_batch_pipelined(lst[:chunk], quality=75.0, threads=8,
@@ -263,6 +271,9 @@ def main() -> None:
             lst, quality=75.0, threads=8, chunk=chunk, depth=3,
             engine="hybrid", timings=timings),
         n_e2e * mp, healthy=None if smoke else 10.0)
+    # Re-sample the libwebp encode baseline adjacent to the e2e phase
+    # (fair under this VM's minutes-long starvation windows).
+    enc_base = max(enc_base, libwebp_encode_mps(imgs[0]))
     hy_sizes = [len(outs[b]) for b in range(nq)]
     hy_psnr = [psnr(np.asarray(
         Image.open(io.BytesIO(outs[b])).convert("RGB")), imgs[b])
