@@ -337,12 +337,14 @@ static void idct_add(const int16_t* in, uint8_t* dst, int stride) {
   const __m128i rows[4] = {row0, row1, row2, row3};
   for (int r = 0; r < 4; r++) {
     uint8_t* o = dst + r * stride;
-    __m128i px = _mm_cvtepu8_epi32(_mm_cvtsi32_si128(
-        *(const int32_t*)o));
+    int32_t w;
+    std::memcpy(&w, o, 4);
+    __m128i px = _mm_cvtepu8_epi32(_mm_cvtsi32_si128(w));
     __m128i s = _mm_add_epi32(px, rows[r]);
     __m128i p16 = _mm_packs_epi32(s, s);
     __m128i p8 = _mm_packus_epi16(p16, p16);
-    *(int32_t*)o = _mm_cvtsi128_si32(p8);
+    w = _mm_cvtsi128_si32(p8);
+    std::memcpy(o, &w, 4);
   }
 }
 #else
