@@ -428,12 +428,23 @@ def main() -> None:
     except Exception:
         pass
 
+    # Host-health telemetry: this VM gets core-starved for minutes at a
+    # time.  sym_2t/sym_1t ~2.0 on a healthy 2-core host; ~1.0 means the
+    # run effectively had ONE core, which erases the multi-threaded
+    # decode numbers' parallelism (honestly — but read them accordingly).
+    scaling = round(sym_2t / max(sym_1t, 1e-9), 2)
+    health = ("ok" if scaling >= 1.5 else
+              "DEGRADED: host was core-starved during this run; "
+              "multi-thread decode figures reflect ~1 usable core")
+
     result = {
         "metric": "vp8_e2e_encode_throughput_hybrid",
         "value": round(e2e_hybrid, 2),
         "unit": "megapixels/s",
         "vs_baseline": round(e2e_hybrid / enc_base, 2),
         "extra": {
+            "host_parallel_scaling_2t": scaling,
+            "host_health": health,
             "libwebp_encode_mps_1core": round(enc_base, 2),
             "hybrid_psnr_db": round(float(np.mean(hy_psnr)), 3),
             "libwebp_psnr_db": round(float(np.mean(lw_psnr)), 3),
