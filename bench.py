@@ -433,7 +433,8 @@ def main() -> None:
     # run effectively had ONE core, which erases the multi-threaded
     # decode numbers' parallelism (honestly — but read them accordingly).
     scaling = round(sym_2t / max(sym_1t, 1e-9), 2)
-    health = ("ok" if scaling >= 1.5 else
+    health = ("n/a (smoke corpus too small to probe)" if smoke else
+              "ok" if scaling >= 1.5 else
               "DEGRADED: host was core-starved during this run; "
               "multi-thread decode figures reflect ~1 usable core")
 
