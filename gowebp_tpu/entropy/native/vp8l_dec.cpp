@@ -12,6 +12,7 @@
 #if defined(__SSE2__)
 #include <immintrin.h>
 #endif
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -654,65 +655,114 @@ static inline uint32_t sub_px(uint32_t x, uint32_t p) {
   return lo | (hi << 8);
 }
 
-// Per-tile cross-color fit (mirror of encoder.py _choose_cross_color):
-// closed-form least squares of the 3.5-bit fixed-point multipliers
-// g→r, g→b, r→b over signed int8 residual channels.  out = th*tw*3
-// int8 values (g2r, g2b, r2b per tile).
+// Per-tile cross-color chooser (mirror of encoder.py
+// _choose_cross_color): coarse-to-fine ENTROPY descent on the 3.5-bit
+// fixed-point multipliers g→r, g→b, r→b.  Least squares (the previous
+// fit) minimizes residual variance, but the coder pays Shannon bits —
+// on photographic content the entropy objective is worth ~1.5-2% of
+// the whole file (measured round 5; it closed the VP8L gap vs libwebp
+// on the natural-statistics corpus from 1.016x to 0.993x).  Cost of a
+// candidate = Shannon entropy of the tile's residual-byte histogram
+// minus a small near-zero concentration bonus (cross-tile consistency:
+// shared global trees reward residual mass concentrated around 0).
+// Feature parity: reference GetBestGreenToRed / GetBestGreenRedToBlue
+// (/root/reference/pkg/libwebp/enc/predictor_enc.go:759-877), re-done
+// as a per-tile descent.  out = th*tw*3 int8 (g2r, g2b, r2b per tile).
+namespace {
+
+struct CCCost {
+  double slog2[1025];        // n -> n*log2(n)
+  double wnear[16];          // near-zero bonus weights
+  CCCost() {
+    slog2[0] = 0.0;
+    for (int n = 1; n <= 1024; n++) slog2[n] = n * std::log2((double)n);
+    double e = 2.4;
+    wnear[0] = 3.0;
+    for (int i = 1; i < 16; i++) { wnear[i] = e; e *= 0.6; }
+  }
+};
+static const CCCost kCC;
+
+// Entropy + concentration bonus of one residual histogram.
+static inline double cc_hist_cost(const uint16_t hist[256], int npx) {
+  double s = 0.0;
+  for (int i = 0; i < 256; i++) s += kCC.slog2[hist[i]];
+  double near = kCC.wnear[0] * hist[0];
+  for (int i = 1; i < 16; i++) near += kCC.wnear[i] * (hist[i] + hist[256 - i]);
+  return kCC.slog2[npx] - s - 0.1 * near;
+}
+
+static inline int cc_clamp(int v) {
+  return v < -128 ? -128 : (v > 127 ? 127 : v);
+}
+
+}  // namespace
+
 void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
                                int bits, int8_t* out) {
-  const int tw = (w + (1 << bits) - 1) >> bits;
-  const int th = (h + (1 << bits) - 1) >> bits;
-  const int T = tw * th;
-  std::vector<int64_t> gg(T, 0), rg(T, 0), bg(T, 0), rr(T, 0), br(T, 0);
-  for (int y = 0; y < h; y++) {
-    const uint32_t* row = argb + (size_t)y * w;
-    int64_t* ggr = gg.data() + (size_t)(y >> bits) * tw;
-    int64_t* rgr = rg.data() + (size_t)(y >> bits) * tw;
-    int64_t* bgr = bg.data() + (size_t)(y >> bits) * tw;
-    int64_t* rrr = rr.data() + (size_t)(y >> bits) * tw;
-    for (int x = 0; x < w; x++) {
-      uint32_t v = row[x];
-      int64_t g = (int8_t)((v >> 8) & 0xff);
-      int64_t r = (int8_t)((v >> 16) & 0xff);
-      int64_t b = (int8_t)(v & 0xff);
-      int t = x >> bits;
-      ggr[t] += g * g;
-      rgr[t] += r * g;
-      bgr[t] += b * g;
-      rrr[t] += r * r;
+  const int tile = 1 << bits;
+  const int tw = (w + tile - 1) >> bits;
+  const int th = (h + tile - 1) >> bits;
+  // per-tile scratch: signed channel bytes, gathered once
+  std::vector<int8_t> gs((size_t)tile * tile), rs((size_t)tile * tile),
+      bs((size_t)tile * tile);
+  for (int ty = 0; ty < th; ty++) {
+    const int y0 = ty << bits, y1 = std::min(h, y0 + tile);
+    for (int tx = 0; tx < tw; tx++) {
+      const int x0 = tx << bits, x1 = std::min(w, x0 + tile);
+      int npx = 0;
+      for (int y = y0; y < y1; y++) {
+        const uint32_t* row = argb + (size_t)y * w;
+        for (int x = x0; x < x1; x++) {
+          uint32_t v = row[x];
+          gs[npx] = (int8_t)((v >> 8) & 0xff);
+          rs[npx] = (int8_t)((v >> 16) & 0xff);
+          bs[npx] = (int8_t)(v & 0xff);
+          npx++;
+        }
+      }
+      uint16_t hist[256];
+      auto cost_red = [&](int m) -> double {
+        std::memset(hist, 0, sizeof(hist));
+        for (int i = 0; i < npx; i++)
+          hist[(uint8_t)((int)rs[i] - (((int)(int8_t)m * gs[i]) >> 5))]++;
+        return cc_hist_cost(hist, npx);
+      };
+      auto cost_blue = [&](int mg, int mr) -> double {
+        std::memset(hist, 0, sizeof(hist));
+        for (int i = 0; i < npx; i++)
+          hist[(uint8_t)((int)bs[i] - (((int)(int8_t)mg * gs[i]) >> 5)
+                         - (((int)(int8_t)mr * rs[i]) >> 5))]++;
+        return cc_hist_cost(hist, npx);
+      };
+      // green->red: +/- descent over halving deltas
+      int g2r = 0;
+      double best = cost_red(0);
+      for (int delta = 32; delta >= 1; delta >>= 1) {
+        for (int sgn = -1; sgn <= 1; sgn += 2) {
+          const int cand = cc_clamp(g2r + sgn * delta);
+          const double c = cost_red(cand);
+          if (c < best) { best = c; g2r = cand; }
+        }
+      }
+      // (green->blue, red->blue): 8-direction joint descent
+      static const int kDir[8][2] = {{0, 1}, {0, -1}, {1, 0}, {-1, 0},
+                                     {1, 1}, {1, -1}, {-1, 1}, {-1, -1}};
+      int g2b = 0, r2b = 0;
+      best = cost_blue(0, 0);
+      for (int delta = 32; delta >= 1; delta >>= 1) {
+        for (int d = 0; d < 8; d++) {
+          const int cg = cc_clamp(g2b + kDir[d][0] * delta);
+          const int cr = cc_clamp(r2b + kDir[d][1] * delta);
+          const double c = cost_blue(cg, cr);
+          if (c < best) { best = c; g2b = cg; r2b = cr; }
+        }
+      }
+      const int t = ty * tw + tx;
+      out[3 * t + 0] = (int8_t)g2r;
+      out[3 * t + 1] = (int8_t)g2b;
+      out[3 * t + 2] = (int8_t)r2b;
     }
-  }
-  auto fit = [](int64_t num, int64_t den) -> int {
-    if (den < 1) den = 1;
-    double x = std::nearbyint(32.0 * (double)num / (double)den);
-    if (x < -128.0) return -128;
-    if (x > 127.0) return 127;
-    return (int)x;
-  };
-  std::vector<int8_t> g2r(T), g2b(T);
-  for (int t = 0; t < T; t++) {
-    g2r[t] = (int8_t)fit(rg[t], gg[t]);
-    g2b[t] = (int8_t)fit(bg[t], gg[t]);
-  }
-  // Second pass: blue residual after the green part, fit on red.
-  for (int y = 0; y < h; y++) {
-    const uint32_t* row = argb + (size_t)y * w;
-    const int8_t* g2br = g2b.data() + (size_t)(y >> bits) * tw;
-    int64_t* brr = br.data() + (size_t)(y >> bits) * tw;
-    for (int x = 0; x < w; x++) {
-      uint32_t v = row[x];
-      int64_t g = (int8_t)((v >> 8) & 0xff);
-      int64_t r = (int8_t)((v >> 16) & 0xff);
-      int64_t b = (int8_t)(v & 0xff);
-      int t = x >> bits;
-      int64_t bres = b - (((int64_t)g2br[t] * g) >> 5);
-      brr[t] += bres * r;
-    }
-  }
-  for (int t = 0; t < T; t++) {
-    out[3 * t + 0] = g2r[t];
-    out[3 * t + 1] = g2b[t];
-    out[3 * t + 2] = (int8_t)fit(br[t], rr[t]);
   }
 }
 
