@@ -698,11 +698,18 @@ static inline int cc_clamp(int v) {
 
 }  // namespace
 
+// row_step > 1 subsamples the SCORING rows (the transform stays exact;
+// only the cost histograms see fewer pixels) — the low-method speed
+// knob.  gain_out (nullable): total cost saved vs the zero transform,
+// letting the caller skip the cross-color-vs-none trial probe.
 void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
-                               int bits, int8_t* out) {
+                               int bits, int row_step, int8_t* out,
+                               double* gain_out) {
   const int tile = 1 << bits;
   const int tw = (w + tile - 1) >> bits;
   const int th = (h + tile - 1) >> bits;
+  if (row_step < 1) row_step = 1;
+  double gain = 0.0;
   // per-tile scratch: signed channel bytes, gathered once
   std::vector<int8_t> gs((size_t)tile * tile), rs((size_t)tile * tile),
       bs((size_t)tile * tile);
@@ -711,7 +718,7 @@ void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
     for (int tx = 0; tx < tw; tx++) {
       const int x0 = tx << bits, x1 = std::min(w, x0 + tile);
       int npx = 0;
-      for (int y = y0; y < y1; y++) {
+      for (int y = y0; y < y1; y += row_step) {
         const uint32_t* row = argb + (size_t)y * w;
         for (int x = x0; x < x1; x++) {
           uint32_t v = row[x];
@@ -737,7 +744,8 @@ void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
       };
       // green->red: +/- descent over halving deltas
       int g2r = 0;
-      double best = cost_red(0);
+      const double zero_red = cost_red(0);
+      double best = zero_red;
       for (int delta = 32; delta >= 1; delta >>= 1) {
         for (int sgn = -1; sgn <= 1; sgn += 2) {
           const int cand = cc_clamp(g2r + sgn * delta);
@@ -745,11 +753,13 @@ void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
           if (c < best) { best = c; g2r = cand; }
         }
       }
+      gain += zero_red - best;
       // (green->blue, red->blue): 8-direction joint descent
       static const int kDir[8][2] = {{0, 1}, {0, -1}, {1, 0}, {-1, 0},
                                      {1, 1}, {1, -1}, {-1, 1}, {-1, -1}};
       int g2b = 0, r2b = 0;
-      best = cost_blue(0, 0);
+      const double zero_blue = cost_blue(0, 0);
+      best = zero_blue;
       for (int delta = 32; delta >= 1; delta >>= 1) {
         for (int d = 0; d < 8; d++) {
           const int cg = cc_clamp(g2b + kDir[d][0] * delta);
@@ -758,12 +768,16 @@ void wtpu_vp8l_cross_color_fit(const uint32_t* argb, int h, int w,
           if (c < best) { best = c; g2b = cg; r2b = cr; }
         }
       }
+      gain += zero_blue - best;
       const int t = ty * tw + tx;
       out[3 * t + 0] = (int8_t)g2r;
       out[3 * t + 1] = (int8_t)g2b;
       out[3 * t + 2] = (int8_t)r2b;
     }
   }
+  // Subsampled scoring sees 1/row_step of the pixels; scale the gain
+  // back to full-image bits for the caller's header-vs-savings test.
+  if (gain_out) *gain_out = gain * row_step;
 }
 
 // Forward predictor transform: residual = pixel - pred(tile mode), with
@@ -788,12 +802,56 @@ void wtpu_vp8l_predictor_residual(const uint32_t* argb, int h, int w,
   }
 }
 
+// Stage-1 histogram scan with the mode specialized at compile time:
+// hoists the predictor switch and the edge branches out of the pixel
+// loop (the generic enc_pred_at per-pixel path costs ~3x).
+extern "C++" {
+template <int MODE>
+static void cp_scan_mode(const uint32_t* argb, int h, int w, int bits,
+                         int row_step, int tw, uint32_t* hbase) {
+  for (int y = 0; y < h; y += row_step) {
+    const uint32_t* row = argb + (size_t)y * w;
+    uint32_t* hrow = hbase + (size_t)(y >> bits) * tw * 1024;
+    auto bump = [&](int xx, uint32_t res) {
+      uint32_t* hh = hrow + (size_t)(xx >> bits) * 1024;
+      hh[(res >> 24) & 0xff]++;
+      hh[256 + ((res >> 16) & 0xff)]++;
+      hh[512 + ((res >> 8) & 0xff)]++;
+      hh[768 + (res & 0xff)]++;
+    };
+    if (y == 0 || w <= 2) {
+      for (int x = 0; x < w; x++)
+        bump(x, sub_px(row[x], enc_pred_at(argb, w, y, x, MODE)));
+      continue;
+    }
+    bump(0, sub_px(row[0], enc_pred_at(argb, w, y, 0, MODE)));
+    const uint32_t* up = row - w;
+    for (int x = 1; x < w - 1; x++)
+      bump(x, sub_px(row[x], predict(MODE, row[x - 1], up[x],
+                                     up[x - 1], up[x + 1])));
+    bump(w - 1, sub_px(row[w - 1],
+                       enc_pred_at(argb, w, y, w - 1, MODE)));
+  }
+}
+
+typedef void (*CpScanFn)(const uint32_t*, int, int, int, int, int,
+                         uint32_t*);
+static const CpScanFn kCpScan[14] = {
+    cp_scan_mode<0>, cp_scan_mode<1>, cp_scan_mode<2>, cp_scan_mode<3>,
+    cp_scan_mode<4>, cp_scan_mode<5>, cp_scan_mode<6>, cp_scan_mode<7>,
+    cp_scan_mode<8>, cp_scan_mode<9>, cp_scan_mode<10>, cp_scan_mode<11>,
+    cp_scan_mode<12>, cp_scan_mode<13>};
+}  // extern "C++"
+
+// row_step > 1 subsamples the SCORING rows only (residuals still use
+// the true neighbours from the full image) — the low-method speed knob.
 void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
-                                 int bits, int refine_iters,
+                                 int bits, int refine_iters, int row_step,
                                  uint8_t* modes_out) {
   const int tw = (w + (1 << bits) - 1) >> bits;
   const int th = (h + (1 << bits) - 1) >> bits;
   const int T = tw * th;
+  if (row_step < 1) row_step = 1;
 
   // Keep every mode's per-tile histograms when they fit: stage 2's
   // refinement costs are pure histogram algebra (cost_acc[t][m] =
@@ -809,56 +867,79 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
   // Stage 1: per-tile entropy (+0.04*folded magnitude bias) per mode.
   std::vector<double> best_cost((size_t)T, 1e300);
   std::vector<uint8_t> modes((size_t)T, 0);
-  std::vector<uint32_t> hist_all;
-  if (keep_all) hist_all.resize((size_t)14 * T * 1024);
-  std::vector<uint32_t> hist((size_t)(keep_all ? 0 : T * 1024));
+  // The (14, T, 1024) tensor is tens of MB; reusing a thread-local
+  // arena avoids re-faulting those pages on every call (worth ~25% of
+  // the whole chooser).  Safe under the trial thread pool: one arena
+  // per thread.  memset below replaces the vector's zero-fill.
+  static thread_local std::vector<uint32_t> hist_arena;
+  const size_t need = (size_t)(keep_all ? 14 : 1) * T * 1024;
+  if (hist_arena.size() < need) hist_arena.resize(need);
+  uint32_t* hist_all = hist_arena.data();
+  uint32_t* hist = hist_arena.data();
+  if (keep_all)
+    std::memset(hist_all, 0, (size_t)14 * T * 1024 * sizeof(uint32_t));
   std::vector<double> npx((size_t)T, 0.0);
-  for (int y = 0; y < h; y++)
+  int npx_max = 0;
+  for (int y = 0; y < h; y += row_step)
     for (int x = 0; x < w; x++)
       npx[(size_t)(y >> bits) * tw + (x >> bits)] += 1.0;
-  static std::vector<double> log2_lut;
-  if (log2_lut.empty()) {
-    log2_lut.resize(1 << 16);
-    for (int i = 1; i < (1 << 16); i++) log2_lut[i] = std::log2((double)i);
-  }
-  double mag_bias[256];
-  for (int b = 0; b < 256; b++) {
+  for (int t = 0; t < T; t++)
+    if ((int)npx[t] > npx_max) npx_max = (int)npx[t];
+  // float n*log2(n) LUT sized to the largest per-bin count: the
+  // per-tile cost reduce (14 x T x 1024 bins, plus refine iterations)
+  // dominates the chooser, and float + a branch-free gatherable LUT
+  // lets the compiler vectorize it (~4x; mode picks only flip on
+  // sub-ulp ties, within the suite's 95%-agreement tolerance).
+  std::vector<float> slog2f((size_t)npx_max + 1);
+  slog2f[0] = 0.0f;
+  for (int i = 1; i <= npx_max; i++)
+    slog2f[i] = (float)(i * std::log2((double)i));
+  float magb4[1024];
+  for (int i = 0; i < 1024; i++) {
+    int b = i & 255;
     int folded = b < 256 - b ? b : 256 - b;
     if (b == 0) folded = 0;
-    mag_bias[b] = 0.04 * folded;
+    magb4[i] = 0.04f * folded;
   }
 
   for (int mode = 0; mode < 14; mode++) {
-    uint32_t* hbase = keep_all ? hist_all.data() + (size_t)mode * T * 1024
-                               : hist.data();
+    uint32_t* hbase = keep_all ? hist_all + (size_t)mode * T * 1024
+                               : hist;
     if (!keep_all)
       std::memset(hbase, 0, (size_t)T * 1024 * sizeof(uint32_t));
-    for (int y = 0; y < h; y++) {
-      const uint32_t* row = argb + (size_t)y * w;
-      uint32_t* hrow_base = hbase + (size_t)(y >> bits) * tw * 1024;
-      for (int x = 0; x < w; x++) {
-        uint32_t res = sub_px(row[x], enc_pred_at(argb, w, y, x, mode));
-        uint32_t* hh = hrow_base + (size_t)(x >> bits) * 1024;
-        hh[(res >> 24) & 0xff]++;
-        hh[256 + ((res >> 16) & 0xff)]++;
-        hh[512 + ((res >> 8) & 0xff)]++;
-        hh[768 + (res & 0xff)]++;
-      }
-    }
+    kCpScan[mode](argb, h, w, bits, row_step, tw, hbase);
     for (int t = 0; t < T; t++) {
       const uint32_t* hh = hbase + (size_t)t * 1024;
       double n_log_n = 4.0 * npx[t] * (npx[t] > 0 ? std::log2(npx[t]) : 0.0);
-      double ent = n_log_n;
-      double bias = 0.0;
+      float s = 0.0f, bias = 0.0f;
+#if defined(__AVX2__)
+      // Residual histograms are ~75% empty and the zeros cluster, so an
+      // 8-wide all-zero skip + LUT gather beats both the branchy scalar
+      // loop and a dense vector pass.
+      __m256 vs = _mm256_setzero_ps(), vb = _mm256_setzero_ps();
+      for (int i = 0; i < 1024; i += 8) {
+        __m256i c = _mm256_loadu_si256((const __m256i*)(hh + i));
+        if (_mm256_testz_si256(c, c)) continue;
+        vs = _mm256_add_ps(
+            vs, _mm256_i32gather_ps(slog2f.data(), c, 4));
+        vb = _mm256_fmadd_ps(_mm256_cvtepi32_ps(c),
+                             _mm256_loadu_ps(magb4 + i), vb);
+      }
+      float tmp[8];
+      _mm256_storeu_ps(tmp, vs);
+      for (int k = 0; k < 8; k++) s += tmp[k];
+      _mm256_storeu_ps(tmp, vb);
+      for (int k = 0; k < 8; k++) bias += tmp[k];
+#else
       for (int i = 0; i < 1024; i++) {
         uint32_t c = hh[i];
         if (c) {
-          ent -= c < (1 << 16) ? c * log2_lut[c]
-                               : (double)c * std::log2((double)c);
-          bias += c * mag_bias[i & 255];
+          s += slog2f[c];
+          bias += (float)c * magb4[i];
         }
       }
-      double cost = ent + bias;
+#endif
+      double cost = n_log_n - (double)s + (double)bias;
       if (cost < best_cost[t]) {
         best_cost[t] = cost;
         modes[t] = (uint8_t)mode;
@@ -878,11 +959,11 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
     if (keep_all) {
       for (int t = 0; t < T; t++) {
         const uint32_t* hh =
-            hist_all.data() + ((size_t)modes[t] * T + t) * 1024;
+            hist_all + ((size_t)modes[t] * T + t) * 1024;
         for (int i = 0; i < 1024; i++) glob[i >> 8][i & 255] += hh[i];
       }
     } else {
-      for (int y = 0; y < h; y++) {
+      for (int y = 0; y < h; y += row_step) {
         const uint32_t* row = argb + (size_t)y * w;
         const uint8_t* mrow = modes.data() + (size_t)(y >> bits) * tw;
         for (int x = 0; x < w; x++) {
@@ -912,20 +993,33 @@ void wtpu_vp8l_choose_predictors(const uint32_t* argb, int h, int w,
     std::vector<double> best((size_t)T, 1e300);
     for (int mode = 0; mode < 14; mode++) {
       if (keep_all) {
-        double logp_flat[1024];
+        float nlp_flat[1024];
         for (int i = 0; i < 1024; i++)
-          logp_flat[i] = logp[i >> 8][i & 255];
+          nlp_flat[i] = (float)-logp[i >> 8][i & 255];
         for (int t = 0; t < T; t++) {
           const uint32_t* hh =
-              hist_all.data() + ((size_t)mode * T + t) * 1024;
-          double acc = 0.0;
+              hist_all + ((size_t)mode * T + t) * 1024;
+          float acc = 0.0f;
+#if defined(__AVX2__)
+          __m256 va = _mm256_setzero_ps();
+          for (int i = 0; i < 1024; i += 8) {
+            __m256i c = _mm256_loadu_si256((const __m256i*)(hh + i));
+            if (_mm256_testz_si256(c, c)) continue;
+            va = _mm256_fmadd_ps(_mm256_cvtepi32_ps(c),
+                                 _mm256_loadu_ps(nlp_flat + i), va);
+          }
+          float tmp[8];
+          _mm256_storeu_ps(tmp, va);
+          for (int k = 0; k < 8; k++) acc += tmp[k];
+#else
           for (int i = 0; i < 1024; i++)
-            if (hh[i]) acc -= hh[i] * logp_flat[i];
-          cost_acc[t] = acc;
+            acc += (float)hh[i] * nlp_flat[i];
+#endif
+          cost_acc[t] = (double)acc;
         }
       } else {
         std::fill(cost_acc.begin(), cost_acc.end(), 0.0);
-        for (int y = 0; y < h; y++) {
+        for (int y = 0; y < h; y += row_step) {
           const uint32_t* row = argb + (size_t)y * w;
           double* crow = cost_acc.data() + (size_t)(y >> bits) * tw;
           for (int x = 0; x < w; x++) {

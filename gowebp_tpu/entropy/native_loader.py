@@ -182,11 +182,12 @@ def _configure(lib) -> None:
     ]
     lib.wtpu_vp8l_choose_predictors.restype = None
     lib.wtpu_vp8l_choose_predictors.argtypes = [
-        u32p, c.c_int, c.c_int, c.c_int, c.c_int, u8p,
+        u32p, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, u8p,
     ]
     lib.wtpu_vp8l_cross_color_fit.restype = None
     lib.wtpu_vp8l_cross_color_fit.argtypes = [
-        u32p, c.c_int, c.c_int, c.c_int, c.POINTER(c.c_int8),
+        u32p, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_int8), c.POINTER(c.c_double),
     ]
     lib.wtpu_vp8l_predictor_residual.restype = None
     lib.wtpu_vp8l_predictor_residual.argtypes = [

@@ -571,7 +571,8 @@ def _emit_refs(bw: BitWriter, refs: RefStream, codes, width: int, lut) -> None:
 
 
 def _choose_predictors_auto(argb: np.ndarray, bits: int,
-                            refine_iters: int) -> np.ndarray:
+                            refine_iters: int,
+                            row_step: int = 1) -> np.ndarray:
     """Dispatch the predictor analysis to TPU for large images.
 
     The per-tile entropy chooser is the pixel-rate part of VP8L
@@ -594,17 +595,21 @@ def _choose_predictors_auto(argb: np.ndarray, bits: int,
             if force or jax.default_backend() not in ("cpu",):
                 from ...ops.lossless_jax import predictor_search_entropy
 
+                # (the device pass is fast enough to score every row;
+                # row_step only throttles the host chooser)
                 modes = np.asarray(predictor_search_entropy(
                     jax.device_put(np.ascontiguousarray(argb, np.uint32)),
                     bits, refine_iters=refine_iters)).astype(np.uint32)
                 return (0xFF000000 | (modes << 8)).astype(np.uint32)
         except Exception:
             pass   # host fallback below
-    return _choose_predictors(argb, bits, refine_iters=refine_iters)
+    return _choose_predictors(argb, bits, refine_iters=refine_iters,
+                              row_step=row_step)
 
 
 def _choose_predictors(argb: np.ndarray, bits: int,
-                       refine_iters: int = 4) -> np.ndarray:
+                       refine_iters: int = 4,
+                       row_step: int = 1) -> np.ndarray:
     """Per-tile best predictor by residual-histogram entropy.
 
     Evaluates all 14 predictors over the whole image at once (this is the
@@ -636,14 +641,17 @@ def _choose_predictors(argb: np.ndarray, bits: int,
         out = np.empty(T, np.uint8)
         lib.wtpu_vp8l_choose_predictors(
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            h, w, bits, refine_iters,
+            h, w, bits, refine_iters, row_step,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         modes = out.reshape(th, tw).astype(np.uint32)
         return (0xFF000000 | (modes << 8)).astype(np.uint32)
 
-    # Per-pixel tile id, flattened once.
-    ty = np.arange(h) >> bits
+    # row_step > 1: score on every row_step'th row only (residuals are
+    # still exact — they read true neighbours from the full plane).
+    rsel = np.arange(0, h, max(1, row_step))
+    # Per-pixel tile id over the scored rows, flattened once.
+    ty = rsel >> bits
     tx = np.arange(w) >> bits
     tile_id = (ty[:, None] * tw + tx[None, :]).ravel()
     # Combined bin index base: tile*1024 + channel*256 (+ byte).
@@ -659,7 +667,7 @@ def _choose_predictors(argb: np.ndarray, bits: int,
     costs = np.empty((14, T), np.float64)
     for mode in range(14):
         pred = _predict_plane(argb, mode)
-        res = _sub_pixels_vec(argb, pred).ravel()
+        res = _sub_pixels_vec(argb, pred)[rsel].ravel()
         hist = np.zeros(T * 1024, np.int64)
         for ch, shift in enumerate((24, 16, 8, 0)):
             b = (res >> shift) & 0xFF
@@ -689,14 +697,16 @@ def _choose_predictors(argb: np.ndarray, bits: int,
             for ch, shift in enumerate((24, 16, 8, 0)):
                 res_bytes[mode, ch] = (res >> shift) & 0xFF
 
-    tile_2d = tile_id.reshape(h, w)
+    tile_2d = tile_id.reshape(len(rsel), w)
     for _ in range(refine_iters):
-        # Global per-channel byte distribution under current modes.
-        mode_px = np.repeat(np.repeat(modes, tile_sz, 0), tile_sz, 1)[:h, :w]
+        # Global per-channel byte distribution under current modes
+        # (scored rows only, matching stage 1).
+        mode_px = np.repeat(np.repeat(modes, tile_sz, 0), tile_sz, 1)[
+            :h, :w][rsel]
         glob = np.zeros((4, 256), np.float64)
         if cache_bytes:
-            pick = res_bytes[mode_px, :, np.arange(h)[:, None], np.arange(w)]
-            # pick: (h, w, 4)
+            pick = res_bytes[mode_px, :, rsel[:, None], np.arange(w)]
+            # pick: (len(rsel), w, 4)
             for ch in range(4):
                 glob[ch] = np.bincount(pick[..., ch].ravel(), minlength=256)
         else:
@@ -705,7 +715,7 @@ def _choose_predictors(argb: np.ndarray, bits: int,
                 if not sel.any():
                     continue
                 pred = _predict_plane(argb, mode)
-                res = _sub_pixels_vec(argb, pred)[sel]
+                res = _sub_pixels_vec(argb, pred)[rsel][sel]
                 for ch, shift in enumerate((24, 16, 8, 0)):
                     glob[ch] += np.bincount((res >> shift) & 0xFF,
                                             minlength=256)
@@ -716,13 +726,13 @@ def _choose_predictors(argb: np.ndarray, bits: int,
         new_costs = np.empty((14, T), np.float64)
         for mode in range(14):
             if cache_bytes:
-                per_px = (logp[0][res_bytes[mode, 0]]
-                          + logp[1][res_bytes[mode, 1]]
-                          + logp[2][res_bytes[mode, 2]]
-                          + logp[3][res_bytes[mode, 3]])
+                per_px = (logp[0][res_bytes[mode, 0][rsel]]
+                          + logp[1][res_bytes[mode, 1][rsel]]
+                          + logp[2][res_bytes[mode, 2][rsel]]
+                          + logp[3][res_bytes[mode, 3][rsel]])
             else:
                 pred = _predict_plane(argb, mode)
-                res = _sub_pixels_vec(argb, pred)
+                res = _sub_pixels_vec(argb, pred)[rsel]
                 per_px = (logp[0][(res >> 24) & 0xFF]
                           + logp[1][(res >> 16) & 0xFF]
                           + logp[2][(res >> 8) & 0xFF]
@@ -963,7 +973,18 @@ def _cc_cost_rows(hist: np.ndarray) -> np.ndarray:
 
 
 def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
+    return _choose_cross_color_scored(argb, bits)[0]
+
+
+def _choose_cross_color_scored(
+        argb: np.ndarray, bits: int, row_step: int = 1
+) -> tuple[np.ndarray | None, float]:
     """Per-tile g→r / g→b / r→b multipliers by ENTROPY descent.
+
+    Returns (transform_image | None, gain_bits): the summed cost saved
+    versus the zero transform — lets the caller decide cross-color
+    on/off without a trial probe.  row_step > 1 subsamples the scoring
+    rows (the transform itself stays exact).
 
     Least squares minimizes residual variance, but the coder pays
     Shannon bits; on photographic content the entropy objective is
@@ -986,30 +1007,33 @@ def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
 
         flat = np.ascontiguousarray(argb, np.uint32)
         out = np.empty(th * tw * 3, np.int8)
+        gain_c = ctypes.c_double(0.0)
         lib.wtpu_vp8l_cross_color_fit(
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            h, w, bits,
+            h, w, bits, row_step,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.byref(gain_c),
         )
         mults = out.reshape(th, tw, 3).astype(np.int64)
         g2r, g2b, r2b = mults[..., 0], mults[..., 1], mults[..., 2]
         if not (g2r.any() or g2b.any() or r2b.any()):
-            return None
+            return None, 0.0
         return (
             0xFF000000
             | ((r2b & 0xFF).astype(np.uint32) << 16)
             | ((g2b & 0xFF).astype(np.uint32) << 8)
             | (g2r & 0xFF).astype(np.uint32)
-        ).astype(np.uint32)
+        ).astype(np.uint32), float(gain_c.value)
 
     T = th * tw
-    ty = np.arange(h) >> bits
+    rsel = np.arange(0, h, max(1, row_step))
+    ty = rsel >> bits
     tx = np.arange(w) >> bits
     tile_id = (ty[:, None] * tw + tx[None, :]).ravel()
     base = tile_id * 256
 
     def signed(shift):
-        return ((argb >> shift) & 0xFF).astype(np.uint8).astype(
+        return ((argb[rsel] >> shift) & 0xFF).astype(np.uint8).astype(
             np.int8).astype(np.int32).ravel()
 
     g = signed(8)
@@ -1030,7 +1054,8 @@ def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
         return _cc_cost_rows(hist)
 
     g2r = np.zeros(T, np.int32)
-    bcost = cost_red(g2r)
+    zero_red = cost_red(g2r)
+    bcost = zero_red
     for delta in (32, 16, 8, 4, 2, 1):
         for sgn in (-1, 1):
             cand = np.clip(g2r + sgn * delta, -128, 127)
@@ -1038,10 +1063,12 @@ def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
             take = c < bcost
             g2r = np.where(take, cand, g2r)
             bcost = np.where(take, c, bcost)
+    gain = float((zero_red - bcost).sum())
 
     g2b = np.zeros(T, np.int32)
     r2b = np.zeros(T, np.int32)
-    bcost = cost_blue(g2b, r2b)
+    zero_blue = cost_blue(g2b, r2b)
+    bcost = zero_blue
     for delta in (32, 16, 8, 4, 2, 1):
         for dg, dr in ((0, 1), (0, -1), (1, 0), (-1, 0),
                        (1, 1), (1, -1), (-1, 1), (-1, -1)):
@@ -1052,16 +1079,18 @@ def _choose_cross_color(argb: np.ndarray, bits: int) -> np.ndarray | None:
             g2b = np.where(take, cg, g2b)
             r2b = np.where(take, cr, r2b)
             bcost = np.where(take, c, bcost)
+    gain += float((zero_blue - bcost).sum())
+    gain *= max(1, row_step)
 
     if not (g2r.any() or g2b.any() or r2b.any()):
-        return None
+        return None, 0.0
     timg = (
         0xFF000000
         | ((r2b.astype(np.int64) & 0xFF).astype(np.uint32) << 16)
         | ((g2b.astype(np.int64) & 0xFF).astype(np.uint32) << 8)
         | (g2r.astype(np.int64) & 0xFF).astype(np.uint32)
     ).astype(np.uint32).reshape(th, tw)
-    return timg
+    return timg, gain
 
 
 # ---------------------------------------------------------------------------
@@ -1868,6 +1897,11 @@ def _crunch_params(quality: int, method: int, n_pixels: int,
         bit_cands: tuple = (3, 4, 5)
     elif method >= 5 and quality >= 50:
         bit_cands = (4, 5)
+    elif method <= 2:
+        # Low effort: coarse tiles (reference GetTransformBits allows
+        # up to 6 below method 4) — 4x fewer tiles to score; bits=5
+        # measured best on the natural corpus (0.999 vs libwebp m1).
+        bit_cands = (5,)
     else:
         bit_cands = (4,)
     # Trying both subtract-green settings is the single highest-value
@@ -1973,15 +2007,29 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             sg_opts = ((analysis_mode == "spatial-subgreen"),)
         iters = crunch["refine_iters"]
         use_cross = quality >= 50
-        cc_bits = 4
+        cc_bits = 5 if method <= 2 else 4
+        # Low methods trade analysis precision for speed: score the
+        # choosers on every 2nd row (the transforms stay exact).
+        speed_step = 2 if method <= 2 else 1
+        # The uniform/no-predictor extras only need to run under ONE
+        # subtract-green setting: the one-pass entropy analysis ranks
+        # sg-vs-not reliably for those (their whole point is the LZ77
+        # periodicity the analysis can't see, which sg doesn't change).
+        # Halves the extra probe chains at method >= 3.
+        sg_extra = True
+        if len(sg_opts) > 1 and quality >= 50 and method >= 3:
+            am = analysis_mode or analyze_entropy(argb)
+            sg_extra = am in ("subgreen", "spatial-subgreen")
         jobs = []
         for sg in sg_opts:
             base = tnp.subtract_green_forward(argb) if sg else argb
             cand_imgs = [
-                (bits, _choose_predictors_auto(base, bits, iters))
+                (bits, _choose_predictors_auto(base, bits, iters,
+                                               row_step=speed_step))
                 for bits in bit_cands
             ]
-            if quality >= 50:
+            if quality >= 50 and method >= 3 and (sg == sg_extra
+                                                  or len(sg_opts) == 1):
                 th5 = tnp.subsample_size(h, 5)
                 tw5 = tnp.subsample_size(w, 5)
                 for um in (2, 1):      # uniform TOP, uniform LEFT
@@ -1997,6 +2045,10 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
             jobs.extend((sg, base, bits, mode_img)
                         for bits, mode_img in cand_imgs)
 
+        # With one job and no rescore stage, ranking probes decide
+        # nothing — the single candidate ships regardless.
+        fast_single = len(jobs) == 1 and crunch["rescore"] <= 1
+
         def _trial(job):
             sg, base, bits, mode_img = job
             if mode_img is None:       # direct / subtract-green-only
@@ -2007,21 +2059,36 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
                 scratch = BitWriter()
                 _write_image_stream(scratch, mode_img, mode_img.shape[1])
                 phdr = scratch.bit_count + 6   # + transform signal bits
-            cc_img = (_choose_cross_color(res, cc_bits)
-                      if use_cross else None)
-            cand = [(None, res, 0)]
+            cc_img, cc_gain = (
+                _choose_cross_color_scored(res, cc_bits,
+                                           row_step=speed_step)
+                if use_cross else (None, 0.0))
+            chdr = 0
             if cc_img is not None:
-                cc_res = tnp.color_transform_forward(res, cc_img, cc_bits)
                 s2 = BitWriter()
                 _write_image_stream(s2, cc_img, cc_img.shape[1])
-                cand.append((cc_img, cc_res, s2.bit_count + 6))
-            out = []
-            for cimg, cres, chdr in cand:
-                cost = (_refs_cost_bits(_probe_rows(cres), w, 25)
-                        + phdr + chdr)
-                out.append((cost, sg, bits, mode_img, cimg, cres,
-                            phdr + chdr))
-            return out
+                chdr = s2.bit_count + 6
+                # Decisive entropy-gain bands skip the cc-vs-none probe
+                # pair; only the ambiguous middle still pays for it.
+                if cc_gain <= chdr:
+                    cc_img = None
+                    chdr = 0
+                elif not (fast_single or cc_gain >= 4 * chdr):
+                    cc_res = tnp.color_transform_forward(
+                        res, cc_img, cc_bits)
+                    out = []
+                    for cimg, cres, ch in ((None, res, 0),
+                                           (cc_img, cc_res, chdr)):
+                        cost = (_refs_cost_bits(_probe_rows(cres), w, 25)
+                                + phdr + ch)
+                        out.append((cost, sg, bits, mode_img, cimg, cres,
+                                    phdr + ch))
+                    return out
+            cres = (tnp.color_transform_forward(res, cc_img, cc_bits)
+                    if cc_img is not None else res)
+            cost = 0.0 if fast_single else (
+                _refs_cost_bits(_probe_rows(cres), w, 25) + phdr + chdr)
+            return [(cost, sg, bits, mode_img, cc_img, cres, phdr + chdr)]
 
         # The heavy probe work is native (GIL released); run trials
         # concurrently — the codec analog of the reference's side-worker
@@ -2088,24 +2155,19 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         bw.put_bits(1, 1)
         bw.put_bits(2, 2)              # SUBTRACT_GREEN
         cc_bits = 4
-        cc_img = _choose_cross_color(work, cc_bits)
+        cc_img, cc_gain = _choose_cross_color_scored(
+            work, cc_bits, row_step=2 if method <= 2 else 1)
         if cc_img is not None:
-            trial = tnp.color_transform_forward(work, cc_img, cc_bits)
             scratch = BitWriter()
             _write_image_stream(scratch, cc_img, cc_img.shape[1])
-            # Probed costs cover only probe_frac of the rows, so amortize
-            # the one-time header cost by the same fraction before the
-            # absolute header-vs-savings comparison (full-height savings
-            # are ~1/probe_frac times the probed delta).
-            probe_frac = min(1.0, _probe_rows(work).shape[0] / work.shape[0])
-            if (_refs_cost_bits(_probe_rows(trial), w, quality)
-                    + (scratch.bit_count + 6) * probe_frac
-                    < _refs_cost_bits(_probe_rows(work), w, quality)):
+            # header-vs-entropy-savings test (the descent's own gain
+            # replaces the old double LZ77 probe)
+            if cc_gain > scratch.bit_count + 6:
                 bw.put_bits(1, 1)
                 bw.put_bits(1, 2)      # COLOR_TRANSFORM
                 bw.put_bits(cc_bits - 2, 3)
                 _write_image_stream(bw, cc_img, cc_img.shape[1])
-                work = trial
+                work = tnp.color_transform_forward(work, cc_img, cc_bits)
                 if stats is not None:
                     stats.transforms.append("cross-color")
     else:

@@ -1025,10 +1025,11 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
 
 
 @partial(jax.jit, static_argnames=("try_i4", "refine", "use_derr",
-                                   "i4_parallel"))
+                                   "i4_parallel", "cold"))
 def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
                        try_i4: bool, i4_penalty=0, refine: int = 1,
-                       use_derr: bool = False, i4_parallel: bool = False):
+                       use_derr: bool = False, i4_parallel: bool = False,
+                       cold: str = "dense"):
     """Hybrid engine: parallel mode search + fixed-mode exact wavefront.
 
     Phase 1 (fully parallel) decides ymode/uvmode/is_i4/imodes from
@@ -1040,6 +1041,15 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
     alone flips ~60% of i4 sub-modes; one refinement round brings the
     decisions and the bitrate within a few % of the full search).
 
+    ``cold`` picks the round-0 search (loop-amortized device timings,
+    B=16 x 1 MP, round 5): "dense" — the plane-context parallel i4
+    search (75 ms; its (B, 65k, 10) candidate tensors are HBM-bound);
+    "i16" — i16/uv argmin only, no i4 (3.7 ms; round 0's only job is
+    seeding the recon context for the refine round, and the refine's
+    Gauss-Seidel walk (51 ms) re-decides every i4 mode anyway).  With
+    refine >= 1, "i16" reaches the same fixed point ~1.4x faster
+    end-to-end; quality stays gated by bench.py/test_corpus.
+
     Output streams always decode bit-exactly regardless of ``refine``
     (levels are true closed-loop for whatever modes were chosen).
     """
@@ -1050,7 +1060,8 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
     # context) whose decisions the final stream actually uses.
     modes = openloop_mode_search(
         y, u, v, seg_map, qsteps, tables,
-        try_i4=try_i4, i4_penalty=i4_penalty,
+        try_i4=try_i4 and not (cold == "i16" and refine > 0),
+        i4_penalty=i4_penalty,
         i4_parallel=i4_parallel and refine > 0)
     for r in range(refine + 1):
         last = r == refine
