@@ -94,6 +94,14 @@ def main() -> None:
         "i16_1": dict(refine=1, i4_parallel=True, cold="i16"),
         "gs1": dict(refine=1, i4_parallel=False, cold="dense"),
         "i16_2": dict(refine=2, i4_parallel=True, cold="i16"),
+        "dense1_k4": dict(refine=1, i4_parallel=True, cold="dense",
+                          i4_topk=4),
+        "i16_1_k4": dict(refine=1, i4_parallel=True, cold="i16",
+                         i4_topk=4),
+        "gs1_k4": dict(refine=1, i4_parallel=False, cold="dense",
+                       i4_topk=4),
+        "i16_2_k4": dict(refine=2, i4_parallel=True, cold="i16",
+                         i4_topk=4),
     }
     k1, k2 = (1, 2) if args.smoke else (1, 4)
     for name in args.variants.split(","):
@@ -111,7 +119,8 @@ def main() -> None:
         # e2e quality through the real pipeline
         outs = encode_rgba_batch_pipelined(
             lst, quality=75.0, threads=8, chunk=nb, engine="hybrid",
-            refine=kw["refine"], cold=kw["cold"])
+            refine=kw["refine"], cold=kw["cold"],
+            i4_topk=kw.get("i4_topk"))
         sizes = [len(o) for o in outs]
         psnrs = [psnr(np.asarray(
             Image.open(io.BytesIO(outs[b])).convert("RGB")), imgs[b])

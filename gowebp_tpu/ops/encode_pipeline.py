@@ -374,12 +374,13 @@ def activity_step(y):
 
 
 @partial(jax.jit, static_argnames=("cap_s", "cap_b", "try_i4", "search",
-                                   "use_derr", "refine", "cold"))
+                                   "use_derr", "refine", "cold", "i4_topk"))
 def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
                                  cap_s, cap_b, try_i4, i4_penalty,
                                  search: str = "closed",
                                  use_derr: bool = False,
-                                 refine: int = 1, cold: str = "dense"):
+                                 refine: int = 1, cold: str = "i16",
+                                 i4_topk=None):
     """Closed-loop wavefront encode from uint8 planes + G4PACKv2.
 
     search="closed": full in-loop RD mode search (bit-identical to the
@@ -402,7 +403,7 @@ def planes_wavefront_packed_step(y, u, v, seg_map, qsteps, tables, *,
         # still under libwebp size at equal PSNR — the refine round's
         # Seidel walk makes the decisions that ship)
         dense = partial(encode_hybrid_core, refine=refine,
-                        i4_parallel=True, cold=cold)
+                        i4_parallel=True, cold=cold, i4_topk=i4_topk)
     else:
         dense = encode_wavefront_core
     out = dense(
@@ -510,7 +511,8 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
                                 threads: int = 2, chunk: int = 8,
                                 config=None, engine: str = "wavefront",
                                 depth: int = 3, timings: dict | None = None,
-                                refine: int = 1, cold: str = "dense"):
+                                refine: int = 1, cold: str = "i16",
+                                i4_topk=None):
     """Lossy-encode same-shaped uint8 RGB(A) images, fully pipelined.
 
     Returns a list of complete .webp byte strings (order preserved).
@@ -719,7 +721,8 @@ def encode_rgba_batch_pipelined(images, *, quality: float = 75.0,
             cap_s=cap_s, cap_b=cap_b, try_i4=try_i4,
             i4_penalty=jax.device_put(pens),
             search=("open" if engine == "hybrid" else "closed"),
-            use_derr=use_derr, refine=refine, cold=cold)
+            use_derr=use_derr, refine=refine, cold=cold,
+            i4_topk=i4_topk)
         return out, idxs, segs[: len(idxs)]
 
     # Sticky export buckets: start minimal, grow on overflow; every

@@ -225,8 +225,53 @@ def _i4_search_parallel_pallas(tl, top4, tr4, left4, src4, seg, pen_n,
     return bm, bc.sum(axis=-1)
 
 
+def _topk_onehot(score, k: int):
+    """(..., C) scores → (..., k, C) f32 one-hot rows of the k smallest.
+
+    Iterative masked argmin re-expressed as compare/cumsum (ties break
+    to the lowest index) — no gathers, and the downstream candidate
+    selection contracts these rows as small matmuls, so TPU never sees
+    a dynamic index.
+    """
+    s = score.astype(jnp.float32)
+    hots = []
+    for _ in range(k):
+        m = s.min(axis=-1, keepdims=True)
+        hit = s == m
+        first = (jnp.cumsum(hit, axis=-1) == 1) & hit
+        hots.append(first.astype(jnp.float32))
+        s = jnp.where(first, jnp.inf, s)
+    return jnp.stack(hots, axis=-2)
+
+
+def _i4_candidates(preds, src4_b, i4_topk):
+    """All-10 candidate preds → (cand_preds, mode_ids, mode_bits).
+
+    With ``i4_topk`` set, pre-ranks the 10 B-modes by prediction-domain
+    SSE and keeps only the top k for the expensive DCT/quant/rate
+    pipeline (the RD winner is almost always among the best-predicting
+    modes; the quality gates hold at k=4 while the search cost drops
+    ~2.5x).  preds: (..., 10, 4, 4); src4_b broadcastable to it.
+    """
+    lead = preds.shape[:-3]
+    if not i4_topk:
+        ids = jnp.broadcast_to(jnp.arange(10, dtype=I32), lead + (10,))
+        bits = jnp.broadcast_to(jnp.asarray(_MODE4_BITS256), lead + (10,))
+        return preds, ids, bits
+    pdist = _sse(src4_b, preds, (-1, -2))                # (..., 10)
+    sel = _topk_onehot(pdist, i4_topk)                   # (..., k, 10)
+    pf = preds.reshape(lead + (10, 16)).astype(jnp.float32)
+    cand = jnp.einsum("...kc,...cp->...kp", sel, pf).astype(I32)
+    cand = cand.reshape(lead + (i4_topk, 4, 4))
+    ids = jnp.einsum("...kc,c->...k", sel,
+                     _np.arange(10, dtype=_np.float32)).astype(I32)
+    bits = jnp.einsum("...kc,c->...k", sel,
+                      _MODE4_BITS256.astype(_np.float32)).astype(I32)
+    return cand, ids, bits
+
+
 def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
-                        B, mh, mw):
+                        B, mh, mw, i4_topk=None):
     """Fully parallel i4 sub-block search from PLANE context.
 
     The Gauss-Seidel 16-substep loop exists to feed each sub-block its
@@ -297,6 +342,8 @@ def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
             seg, pen_n, qs6, iqs6, tables, B, mh, mw, sh, sw)
 
     preds = _pred_luma4_all(flat(tl), flat(top4), flat(tr), flat(left4))
+    preds, mode_ids, mode_bits = _i4_candidates(
+        preds, src4[:, :, None], i4_topk)
     res4 = src4[:, :, None].astype(I32) - preds
     cf = dct_jax.fdct4x4(res4)
     # per-sub-block quant lanes: the MB's segment
@@ -315,8 +362,11 @@ def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
     pen_sb = jnp.repeat(jnp.repeat(
         pen_n.reshape(B, mh, mw), 4, axis=1), 4, axis=2).reshape(
         B, sh * sw)
-    cost = dist + _mul_shr16(pen_sb[..., None], rate + _MODE4_BITS256)
-    bmode = jnp.argmin(cost, axis=-1).astype(I32)       # (B, sh*sw)
+    cost = dist + _mul_shr16(pen_sb[..., None], rate + mode_bits)
+    kidx = jnp.argmin(cost, axis=-1)                    # (B, sh*sw)
+    khot = jax.nn.one_hot(kidx, cost.shape[-1], dtype=jnp.float32)
+    bmode = jnp.einsum("...k,...k->...", khot,
+                       mode_ids.astype(jnp.float32)).astype(I32)
     bcost = cost.min(axis=-1)
     # regroup sub-blocks to (B, N, 16) in the MB's raster order
     bm = bmode.reshape(B, sh, sw).reshape(B, mh, 4, mw, 4).transpose(
@@ -328,7 +378,7 @@ def _i4_search_parallel(y, cy, seg, pen_n, qs6, iqs6, tables,
 
 def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
                          try_i4: bool, i4_penalty: int = 0, ctx=None,
-                         i4_parallel: bool = False):
+                         i4_parallel: bool = False, i4_topk=None):
     """Fully parallel mode search with SOURCE-pixel prediction context.
 
     ``ctx`` (refinement passes): a (y_rec, u_rec, v_rec) tuple of
@@ -466,6 +516,9 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
             src4 = lax.dynamic_slice_in_dim(
                 lax.dynamic_slice_in_dim(src, r, 4, axis=2), c, 4, axis=3)
             preds = _pred_luma4_all(tl, top, tr, left)  # (B,N,10,4,4)
+            preds, mode_ids, mode_bits = _i4_candidates(
+                preds, src4[:, :, None], i4_topk)
+            ncand = preds.shape[2]
             res4 = src4[:, :, None].astype(I32) - preds
             cf = dct_jax.fdct4x4(res4)
             lv = _quant_lanes(cf, lane(0)[..., None], lane(1)[..., None],
@@ -475,10 +528,12 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
             dist = _sse(src4[:, :, None], rec, (-1, -2))
             rate = block_rate256(lv, tables, type=3, first=0, ctx0=1)
             cost = dist + _mul_shr16(pen_n[..., None],
-                                     rate + _MODE4_BITS256)
-            bmode = jnp.argmin(cost, axis=-1).astype(I32)  # (B, N)
+                                     rate + mode_bits)
+            kidx = jnp.argmin(cost, axis=-1).astype(I32)   # (B, N)
+            bmode = _switch(kidx, [mode_ids[:, :, k]
+                                   for k in range(ncand)], 0)
             bcost = cost.min(axis=-1)
-            brec = _switch(bmode, [rec[:, :, k] for k in range(10)], 2)
+            brec = _switch(kidx, [rec[:, :, k] for k in range(ncand)], 2)
             scr = lax.dynamic_update_slice(scr, brec, (0, 0, r + 1, c + 1))
             bmodes = lax.dynamic_update_slice(
                 bmodes, bmode[..., None], (0, 0, n))
@@ -488,7 +543,8 @@ def openloop_mode_search(y, u, v, seg_map, qsteps, tables, *,
             # fully parallel sub-block search from plane context (no
             # within-MB Gauss-Seidel) — phase-1 approximation only
             bmode, s4 = _i4_search_parallel(
-                y, cy, seg, pen_n, qs, iqs, tables, B, mh, mw)
+                y, cy, seg, pen_n, qs, iqs, tables, B, mh, mw,
+                i4_topk=i4_topk)
         else:
             scr, bmode, s4 = lax.fori_loop(0, 16, sub, (scr, bmodes, s4),
                                            unroll=True if _UNROLL_SUB else 1)
@@ -1025,11 +1081,11 @@ def encode_wavefront(y, u, v, *, y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac):
 
 
 @partial(jax.jit, static_argnames=("try_i4", "refine", "use_derr",
-                                   "i4_parallel", "cold"))
+                                   "i4_parallel", "cold", "i4_topk"))
 def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
                        try_i4: bool, i4_penalty=0, refine: int = 1,
                        use_derr: bool = False, i4_parallel: bool = False,
-                       cold: str = "dense"):
+                       cold: str = "dense", i4_topk=None):
     """Hybrid engine: parallel mode search + fixed-mode exact wavefront.
 
     Phase 1 (fully parallel) decides ymode/uvmode/is_i4/imodes from
@@ -1062,7 +1118,7 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
         y, u, v, seg_map, qsteps, tables,
         try_i4=try_i4 and not (cold == "i16" and refine > 0),
         i4_penalty=i4_penalty,
-        i4_parallel=i4_parallel and refine > 0)
+        i4_parallel=i4_parallel and refine > 0, i4_topk=i4_topk)
     for r in range(refine + 1):
         last = r == refine
         out = encode_wavefront_core(
@@ -1074,7 +1130,7 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
         if not last:
             modes = openloop_mode_search(
                 y, u, v, seg_map, qsteps, tables,
-                try_i4=try_i4, i4_penalty=i4_penalty,
+                try_i4=try_i4, i4_penalty=i4_penalty, i4_topk=i4_topk,
                 ctx=(out["recon_y"], out["recon_u"], out["recon_v"]))
     return out
 

@@ -103,9 +103,17 @@ def natural_image(h: int, w: int, seed: int = 0) -> np.ndarray:
 
 
 def natural_images(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
-    """(n, h, w, 3) uint8 batch of distinct deterministic images."""
-    return np.stack([natural_image(h, w, seed=seed * 1000 + i)
-                     for i in range(n)])
+    """(n, h, w, 3) uint8 batch of distinct deterministic images.
+
+    Generated on a small thread pool (the FFT/raster work releases the
+    GIL); output is independent of thread scheduling.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(4, max(1, n))) as ex:
+        return np.stack(list(ex.map(
+            lambda i: natural_image(h, w, seed=seed * 1000 + i),
+            range(n))))
 
 
 __all__ = ["natural_image", "natural_images"]
