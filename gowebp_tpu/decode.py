@@ -328,7 +328,7 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
         import numpy as np
 
         from .models.vp8.alpha import decode_alpha
-        from .ops.vp8_recon_jax import recon_frame
+        from .ops.coeff_pack import pack_coeffs, recon_frame_packed
         from .ops.yuv_jax import batch_yuv_to_rgba
 
         syms = decode_vp8_symbols_batch([p for _, p, _ in items])
@@ -349,10 +349,19 @@ def decode_rgba_batch(datas: list, use_tpu: bool = True,
             coeffs = np.stack([r[2] for r in recs])
             modes = np.stack([r[3] for r in recs])
             fps = np.stack([r[4] for r in recs])
-            Y, U, V = recon_frame(
-                coeffs, modes[:, :, 0].astype(np.int32),
-                modes[:, :, 5:21].astype(np.int32),
-                modes[:, :, 1].astype(np.int32), fps,
+            # Sparse wire layout: int8 levels + exceptions instead of
+            # the dense int16 coefficients — 3-4x fewer upload bytes;
+            # the device re-dequantizes fused into the recon program
+            # (ops/coeff_pack.py), bit-identical to the dense path.
+            qmat = np.stack([
+                np.array([[m.y1_dc, m.y1_ac, m.y2_dc, m.y2_ac,
+                           m.uv_dc, m.uv_ac] for m in r[1].dqm], np.int32)
+                for r in recs])
+            packed, K, _cap = pack_coeffs(
+                coeffs, modes[:, :, 2], modes[:, :, 0], qmat)
+            Y, U, V = recon_frame_packed(
+                packed, modes[:, :, 0], modes[:, :, 5:21],
+                modes[:, :, 1], fps.astype(np.int16), K=K,
                 mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=ftype)
             h2, w2 = (H + 1) // 2, (W + 1) // 2
             rgba = batch_yuv_to_rgba(

@@ -1,0 +1,204 @@
+"""Sparse/packed coefficient upload for device-resident VP8 decode.
+
+The dense decode-to-device path uploads (B, N, 24, 16) int16
+dequantized coefficients — 768 B per macroblock (~3 MB/MP), which is
+the wire bound on the decode-to-device pipeline (BENCH r4
+``to_device_true_sync_mps``).  The format itself never moves dense
+coefficients (the token partitions ARE the sparse representation —
+reference pkg/vp8/vp8_dec.go GetCoeffs stops at the EOB token), so the
+device path has to earn its layout: this module re-compresses the host
+symbol engine's dequantized output into
+
+- ``lv8``: int8 quantization LEVELS, zigzag order, truncated to the
+  first K positions (K in {4, 8, 16}, chosen per batch by measured
+  byte cost).  Levels are recovered on the host by exact division
+  (dequantized = level * q, so division by the per-segment quantizer
+  reconstructs them losslessly; verified per lane);
+- ``dc16``: the i16 macroblocks' luma DC lanes (inverse-WHT outputs,
+  NOT level multiples) as a dense (B, N, 16) int16 side plane;
+- ``exc``: an exception table (flat block index + raw int16 zigzag
+  row) for blocks that don't fit the fast layout — nonzero
+  coefficients past position K, |level| > 127, or a non-exact
+  division.  Capacity is rounded up to a power of two so compilations
+  stay bounded;
+- per-image (4, 6) quantizer matrices + the per-MB segment map, which
+  the device uses to re-dequantize with the same where-chain select
+  the encoder's quant lanes use (no gathers).
+
+Typical payload at q75 natural images: ~190-230 B/MB vs 768 dense
+(3.3-4x fewer wire bytes); the unpack is a handful of fused
+elementwise ops + one (..., 16) zigzag MXU select + one row scatter,
+bit-identical to the dense path (tests/test_vp8_recon_jax.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import dct_jax
+
+I32 = jnp.int32
+
+# zigzag position n -> raster index (RFC 6386)
+_ZZ = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15],
+               np.int32)
+
+
+def _pow2_cap(n: int, lo: int = 64) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def pack_coeffs(coeffs: np.ndarray, seg: np.ndarray, is_i4: np.ndarray,
+                qmat: np.ndarray):
+    """Host-side pack of dequantized coefficients into the wire layout.
+
+    coeffs: (B, N, 24, 16) int16 raster (the symbol engines' output);
+    seg/is_i4: (B, N) per-MB segment id / i4 flag; qmat: (B, 4, 6)
+    int32 per-image per-segment (y1dc, y1ac, y2dc, y2ac, uvdc, uvac).
+
+    Returns a dict of numpy arrays (the jit inputs of
+    :func:`unpack_coeffs`) plus the static ints ``K`` and ``cap``.
+    """
+    B, N = coeffs.shape[:2]
+    c = np.ascontiguousarray(coeffs, np.int16)
+    zz = c[..., _ZZ].astype(np.int32)                  # (B, N, 24, 16) zigzag
+    seg = seg.astype(np.int64)
+
+    # per-block quantizer lanes (DC lane = zigzag position 0)
+    qs = qmat.astype(np.int32)                          # (B, 4, 6)
+    bi = np.arange(B)[:, None]
+    q_y1dc = qs[bi, seg, 0]                             # (B, N)
+    q_y1ac = qs[bi, seg, 1]
+    q_uvdc = qs[bi, seg, 4]
+    q_uvac = qs[bi, seg, 5]
+    is_luma = np.arange(24) < 16                        # (24,)
+    q_ac = np.where(is_luma[None, None, :], q_y1ac[..., None],
+                    q_uvac[..., None]).astype(np.int32)     # (B, N, 24)
+    q_dc = np.where(is_luma[None, None, :], q_y1dc[..., None],
+                    q_uvdc[..., None]).astype(np.int32)
+    q = np.empty((B, N, 24, 16), np.int32)
+    q[..., 0] = q_dc
+    q[..., 1:] = q_ac[..., None]
+
+    # i16 luma DC lanes are inverse-WHT outputs: excluded from the
+    # level math, carried in the dense dc16 side plane instead.
+    i16mask = (is_i4.astype(np.int64) == 0)[:, :, None] & is_luma[None, None]
+    dc16 = np.where(i16mask, c[..., 0], 0)[:, :, :16].astype(np.int16)
+    zz_lv = zz.copy()
+    zz_lv[..., 0] = np.where(i16mask, 0, zz[..., 0])
+
+    # exact level recovery: dequantized = level * q with |level| < 2^12
+    # and q < 2^9, so float32 division + rint is exact; any lane that
+    # fails the multiply-back check makes its block an exception.
+    lv = np.rint(zz_lv.astype(np.float32) / q.astype(np.float32))
+    lv = lv.astype(np.int32)
+    bad_div = (lv * q != zz_lv).any(axis=-1)            # (B, N, 24)
+    bad_mag = (np.abs(lv) > 127).any(axis=-1)
+
+    nzpos = zz != 0                                     # raw values decide eob
+    # choose K: smallest of {4, 8, 16} by total wire bytes
+    tail8 = nzpos[..., 8:].any(axis=-1)
+    tail4 = tail8 | nzpos[..., 4:8].any(axis=-1)
+    base = bad_div | bad_mag
+    nblocks = B * N * 24
+    best_k, best_bytes, best_exc = 16, None, base
+    for K, tail in ((4, tail4), (8, tail8), (16, None)):
+        exc = base if tail is None else (base | tail)
+        nexc = int(exc.sum())
+        bytes_k = nblocks * K + nexc * 36
+        if best_bytes is None or bytes_k < best_bytes:
+            best_k, best_bytes, best_exc = K, bytes_k, exc
+    K, exc = best_k, best_exc
+
+    lv8 = np.where(exc[..., None], 0, lv)[..., :K].astype(np.int8)
+    flat_idx = np.flatnonzero(exc.reshape(-1)).astype(np.int32)
+    cap = _pow2_cap(len(flat_idx))
+    exc_idx = np.full(cap, nblocks, np.int32)           # OOB rows drop
+    exc_idx[: len(flat_idx)] = flat_idx
+    exc_val = np.zeros((cap, 16), np.int16)
+    exc_val[: len(flat_idx)] = zz.reshape(-1, 16)[flat_idx].astype(np.int16)
+
+    return {
+        "lv8": lv8,
+        "dc16": dc16,
+        "exc_idx": exc_idx,
+        "exc_val": exc_val,
+        "seg": seg.astype(np.uint8),
+        "is_i4": is_i4.astype(np.uint8),
+        "qmat": qs,
+    }, K, cap
+
+
+def packed_nbytes(packed) -> int:
+    """Total wire bytes of a packed dict (telemetry)."""
+    return sum(int(a.nbytes) for a in packed.values())
+
+
+def unpack_coeffs(packed, *, K: int):
+    """Device-side unpack: packed wire layout → (B, N, 24, 16) int32
+    dequantized raster coefficients, bit-identical to the dense input
+    of :func:`ops.vp8_recon_jax.recon_frame`.  Runs inside the caller's
+    jit (recon_frame_packed)."""
+    lv8 = packed["lv8"].astype(I32)                     # (B, N, 24, K)
+    B, N = lv8.shape[:2]
+    seg = packed["seg"].astype(I32)                     # (B, N)
+    qs = packed["qmat"].astype(I32)                     # (B, 4, 6)
+
+    def seg_sel(col):
+        out = qs[:, 0, col][:, None]
+        for k in (1, 2, 3):
+            out = jnp.where(seg == k, qs[:, k, col][:, None], out)
+        return out                                      # (B, N)
+
+    is_luma = (jnp.arange(24) < 16)[None, None, :]
+    q_ac = jnp.where(is_luma, seg_sel(1)[..., None], seg_sel(5)[..., None])
+    q_dc = jnp.where(is_luma, seg_sel(0)[..., None], seg_sel(4)[..., None])
+
+    if K < 16:
+        lv8 = jnp.pad(lv8, ((0, 0),) * 3 + ((0, 16 - K),))
+    pos0 = jnp.arange(16) == 0
+    q = jnp.where(pos0, q_dc[..., None], q_ac[..., None])
+    zz = lv8 * q                                        # (B, N, 24, 16)
+
+    # i16 luma DC lanes from the dense side plane
+    i16 = (packed["is_i4"].astype(I32) == 0)[:, :, None]
+    dcl = jnp.where(i16, packed["dc16"].astype(I32), zz[:, :, :16, 0])
+    zz = zz.at[:, :, :16, 0].set(dcl)
+
+    # exception rows override whole blocks (raw int16 zigzag)
+    flat = zz.reshape(B * N * 24, 16)
+    flat = flat.at[packed["exc_idx"]].set(
+        packed["exc_val"].astype(I32), mode="drop")
+    zz = flat.reshape(B, N, 24, 16)
+    return dct_jax.zigzag_inv(zz)
+
+
+@partial(jax.jit, static_argnames=("K", "mb_w", "mb_h", "filter_type"))
+def recon_frame_packed(packed, is_i4, imodes, uvmode, fparams, *,
+                       K: int, mb_w: int, mb_h: int, filter_type: int):
+    """recon_frame with the packed coefficient wire layout.
+
+    Same contract as :func:`ops.vp8_recon_jax.recon_frame` but the
+    coefficients arrive packed (see :func:`pack_coeffs`); the unpack
+    runs fused at the head of the same compiled program.  The narrow
+    mode/filter inputs (uint8/int16) are widened on device too, so the
+    whole upload is the packed payload.
+    """
+    from .vp8_recon_jax import recon_frame
+
+    coeffs = unpack_coeffs(packed, K=K)
+    return recon_frame(coeffs, is_i4.astype(I32), imodes.astype(I32),
+                       uvmode.astype(I32), fparams.astype(I32),
+                       mb_w=mb_w, mb_h=mb_h, filter_type=filter_type)
+
+
+__all__ = ["pack_coeffs", "unpack_coeffs", "recon_frame_packed",
+           "packed_nbytes"]

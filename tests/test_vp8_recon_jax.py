@@ -195,3 +195,53 @@ def test_decode_rgba_batch_jax_backend():
     got_host = gowebp_tpu.decode_rgba_batch(datas, recon_backend="host")
     for g, w in zip(got_host, want):
         np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.parametrize("quality", [20, 75, 95])
+def test_packed_coeff_upload_bit_exact(quality):
+    """Sparse wire layout (int8 levels + exceptions, ops/coeff_pack.py)
+    must reproduce the dense coefficient tensor and the reconstructed
+    planes bit-exactly at every quality (low q => dense blocks and
+    many exceptions; high q => sparse blocks, small K)."""
+    from gowebp_tpu.ops import coeff_pack as CP
+
+    imgs = [_photo((80, 96), seed=s) for s in range(3)]
+    payloads = []
+    for img in imgs:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "WEBP", quality=quality, method=4)
+        payloads.append(_vp8_payload(buf.getvalue()))
+    sts, cs, ms, fs = [], [], [], []
+    for p in payloads:
+        st, c, m = D.decode_vp8_symbols(p)
+        sts.append(st)
+        cs.append(c)
+        ms.append(m)
+        fs.append(D.vp8_filter_params(st, m))
+    st0 = sts[0]
+    coeffs = np.stack(cs)
+    modes = np.stack(ms)
+    qmat = np.stack([
+        np.array([[m.y1_dc, m.y1_ac, m.y2_dc, m.y2_ac, m.uv_dc, m.uv_ac]
+                  for m in st.dqm], np.int32) for st in sts])
+    packed, K, cap = CP.pack_coeffs(
+        coeffs, modes[:, :, 2], modes[:, :, 0], qmat)
+    assert K in (4, 8, 16) and cap >= 64
+    dense = np.asarray(CP.unpack_coeffs(
+        {k: np.asarray(v) for k, v in packed.items()}, K=K))
+    np.testing.assert_array_equal(dense, coeffs.astype(np.int32))
+    # wire payload must actually be smaller than the dense tensor
+    assert CP.packed_nbytes(packed) < coeffs.astype(np.int16).nbytes
+
+    Yd, Ud, Vd = R.recon_frame(
+        coeffs, modes[:, :, 0].astype(np.int32),
+        modes[:, :, 5:21].astype(np.int32),
+        modes[:, :, 1].astype(np.int32), np.stack(fs),
+        mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=st0.filter_type)
+    Yp, Up, Vp = CP.recon_frame_packed(
+        packed, modes[:, :, 0], modes[:, :, 5:21], modes[:, :, 1],
+        np.stack(fs).astype(np.int16), K=K,
+        mb_w=st0.mb_w, mb_h=st0.mb_h, filter_type=st0.filter_type)
+    np.testing.assert_array_equal(np.asarray(Yp), np.asarray(Yd))
+    np.testing.assert_array_equal(np.asarray(Up), np.asarray(Ud))
+    np.testing.assert_array_equal(np.asarray(Vp), np.asarray(Vd))
