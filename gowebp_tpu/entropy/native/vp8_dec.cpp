@@ -12,8 +12,10 @@
 #if defined(__SSE2__)
 #include <immintrin.h>
 #endif
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "vp8_tables.h"
@@ -991,7 +993,7 @@ static int parse_frame_mbs(
     int update_map, const uint8_t* segment_probs,
     int use_skip, int skip_p,
     const uint8_t* coeff_probs, const int32_t* quants,
-    std::vector<MB>& mbs) {
+    std::vector<MB>& mbs, std::atomic<int>* row_progress = nullptr) {
   BoolDec bd;
   bd.data = p0; bd.size = p0_size; bd.pos = p0_pos;
   bd.value = p0_value; bd.range = p0_range; bd.bit_count = (int)p0_bitcount;
@@ -1001,7 +1003,8 @@ static int parse_frame_mbs(
     tparts[i].init(parts + part_offsets[i],
                    part_offsets[i + 1] - part_offsets[i]);
 
-  mbs.assign((size_t)mb_w * mb_h, MB{});
+  // mbs is pre-assigned by the caller (the overlapped entry reads it
+  // from a second thread, so the storage must exist before parsing).
   std::vector<uint8_t> intra_t((size_t)4 * mb_w, 0);
   std::vector<Ctx> ctx_above(mb_w);
 
@@ -1140,6 +1143,8 @@ static int parse_frame_mbs(
       }
     }
     if (bd.exhausted()) return 2;
+    if (row_progress)
+      row_progress->store(mb_y + 1, std::memory_order_release);
   }
   return 0;
 }
@@ -1151,16 +1156,20 @@ extern "C" {
 // Reconstruction + loop filter + chroma dither from a parsed MB list;
 // shared by the single-stream frame decoder and the array-driven entry
 // (batch symbol engine output -> host planes).
-static void recon_filter_dither(
-    std::vector<MB>& mbs, int mb_w, int mb_h,
-    int filter_type, const int32_t* finfo,
-    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
-    const int32_t* dither_amps) {
+// Reconstruction of MB rows [row0, row1).  Context comes straight from
+// the output planes (the row above must already be reconstructed and
+// still UNFILTERED at its bottom row — which filter_rows guarantees:
+// filtering row F only touches luma rows 16F-3..16F+13, never a row's
+// bottom two), so the frame can be produced in bands while the symbol
+// parser is still working on later rows (the reference's 2-thread
+// pipeline, frame_dec.c.go:493-536, re-expressed as band pipelining).
+static void recon_rows(
+    std::vector<MB>& mbs, int mb_w, int row0, int row1,
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
   const int ys = mb_w * 16;          // luma stride
   const int cs = mb_w * 8;           // chroma stride
-  // --- reconstruction (raster order) ---
   std::vector<uint8_t> ybuf(17 * BUFS), ubuf(9 * BUFS), vbuf(9 * BUFS);
-  for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+  for (int mb_y = row0; mb_y < row1; mb_y++) {
     for (int mb_x = 0; mb_x < mb_w; mb_x++) {
       MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
       bool ht = mb_y > 0, hl = mb_x > 0;
@@ -1230,10 +1239,21 @@ static void recon_filter_dither(
       }
     }
   }
+}
 
-  // --- loop filter ---
+// Loop filter for MB rows [row0, row1).  Filtering row F requires
+// recon of rows <= F+1: its column edges (left + inner vertical)
+// modify every row of F including the bottom one, which row F+1's
+// intra prediction reads unfiltered — so a banded caller keeps the
+// filter one reconstructed row behind (libwebp's 1-MB filter lag).
+static void filter_rows(
+    std::vector<MB>& mbs, int mb_w, int row0, int row1,
+    int filter_type, const int32_t* finfo,
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
+  const int ys = mb_w * 16;
+  const int cs = mb_w * 8;
   if (filter_type > 0) {
-    for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+    for (int mb_y = row0; mb_y < row1; mb_y++) {
       for (int mb_x = 0; mb_x < mb_w; mb_x++) {
         MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
         const int32_t* fi = finfo + (mb.segment * 2 + (mb.is_i4 ? 1 : 0)) * 3;
@@ -1277,12 +1297,20 @@ static void recon_filter_dither(
     }
   }
 
-  // --- chroma dithering (after filtering, raster order; reference
-  // frame_dec.c.go FinishRow: FilterRow then DitherRow) ---
+}
+
+// Chroma dithering for MB rows [row0, row1) (after filtering, raster
+// order; reference frame_dec.c.go FinishRow: FilterRow then DitherRow).
+// The RNG state threads across calls.  Dithering row D touches chroma
+// rows 8D..8D+7, which row D+1's top-edge filter also modifies — so a
+// banded caller must keep dither one filtered row behind.
+static void dither_rows(
+    VP8Random& rg, std::vector<MB>& mbs, int mb_w, int row0, int row1,
+    const int32_t* dither_amps, uint8_t* u_out, uint8_t* v_out) {
+  const int cs = mb_w * 8;
   if (dither_amps != nullptr &&
       (dither_amps[0] | dither_amps[1] | dither_amps[2] | dither_amps[3])) {
-    VP8Random rg;
-    for (int mb_y = 0; mb_y < mb_h; mb_y++) {
+    for (int mb_y = row0; mb_y < row1; mb_y++) {
       for (int mb_x = 0; mb_x < mb_w; mb_x++) {
         const MB& mb = mbs[(size_t)mb_y * mb_w + mb_x];
         const int amp = mb.dither ? dither_amps[mb.segment] : 0;
@@ -1295,6 +1323,17 @@ static void recon_filter_dither(
       }
     }
   }
+}
+
+static void recon_filter_dither(
+    std::vector<MB>& mbs, int mb_w, int mb_h,
+    int filter_type, const int32_t* finfo,
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
+    const int32_t* dither_amps) {
+  recon_rows(mbs, mb_w, 0, mb_h, y_out, u_out, v_out);
+  filter_rows(mbs, mb_w, 0, mb_h, filter_type, finfo, y_out, u_out, v_out);
+  VP8Random rg;
+  dither_rows(rg, mbs, mb_w, 0, mb_h, dither_amps, u_out, v_out);
 }
 
 extern "C" int wtpu_vp8_decode_frame(
@@ -1310,7 +1349,7 @@ extern "C" int wtpu_vp8_decode_frame(
     const int32_t* finfo,                // [4][2][3] limit/ilevel/hev; limit<0=off
     uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
     const int32_t* dither_amps /* [4] per-segment, NULL = off */) {
-  std::vector<MB> mbs;
+  std::vector<MB> mbs((size_t)mb_w * mb_h);
   int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
                            p0_bitcount, parts, part_offsets, num_parts,
                            mb_w, mb_h, update_map, segment_probs,
@@ -1318,6 +1357,83 @@ extern "C" int wtpu_vp8_decode_frame(
   if (rc != 0) return rc;
   recon_filter_dither(mbs, mb_w, mb_h, filter_type, finfo,
                       y_out, u_out, v_out, dither_amps);
+  return 0;
+}
+
+// Overlapped single-image decode: the symbol parse runs on a worker
+// thread publishing a per-MB-row progress watermark; this thread
+// reconstructs, loop-filters and dithers completed rows behind it.
+// The band lags encode the data dependencies proven above recon_rows /
+// filter_rows / dither_rows: filter <= recon, dither <= filter - 1.
+// Output is bit-identical to wtpu_vp8_decode_frame (same math, same
+// order within each band).  This is the re-expression of libwebp's
+// 2-thread MT pipeline for a foreign single-partition file
+// (reference frame_dec.c.go:493-536, VP8GetThreadMethod :655).
+extern "C" int wtpu_vp8_decode_frame_mt(
+    const uint8_t* p0, uint64_t p0_size, uint64_t p0_pos, uint32_t p0_value,
+    uint32_t p0_range, uint32_t p0_bitcount,
+    const uint8_t* parts, const uint64_t* part_offsets, int num_parts,
+    int mb_w, int mb_h,
+    int update_map, const uint8_t* segment_probs,
+    int use_skip, int skip_p,
+    const uint8_t* coeff_probs,
+    const int32_t* quants,
+    int filter_type,
+    const int32_t* finfo,
+    uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
+    const int32_t* dither_amps) {
+  std::vector<MB> mbs((size_t)mb_w * mb_h);
+  std::atomic<int> progress{0};
+  std::atomic<int> parse_rc{INT32_MIN};
+  std::thread parser([&] {
+    int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
+                             p0_bitcount, parts, part_offsets, num_parts,
+                             mb_w, mb_h, update_map, segment_probs,
+                             use_skip, skip_p, coeff_probs, quants, mbs,
+                             &progress);
+    parse_rc.store(rc, std::memory_order_release);
+  });
+  int recon_done = 0, filt_done = 0, dith_done = 0;
+  VP8Random rg;
+  for (;;) {
+    const int rc_now = parse_rc.load(std::memory_order_acquire);
+    const int p = progress.load(std::memory_order_acquire);
+    if (p > recon_done) {
+      recon_rows(mbs, mb_w, recon_done, p, y_out, u_out, v_out);
+      recon_done = p;
+      // filter lags recon by one row (column edges touch row F's
+      // bottom row, which recon of F+1 reads unfiltered); dither lags
+      // the filter by one more (row F+1's chroma top edge).
+      const int f = recon_done == mb_h ? mb_h : recon_done - 1;
+      if (f > filt_done) {
+        filter_rows(mbs, mb_w, filt_done, f, filter_type, finfo,
+                    y_out, u_out, v_out);
+        filt_done = f;
+      }
+      const int d = filt_done == mb_h ? mb_h : filt_done - 1;
+      if (d > dith_done) {
+        dither_rows(rg, mbs, mb_w, dith_done, d, dither_amps,
+                    u_out, v_out);
+        dith_done = d;
+      }
+    } else if (rc_now != INT32_MIN) {
+      break;                       // parser finished (ok or error)
+    } else {
+      std::this_thread::yield();
+    }
+    if (recon_done == mb_h) break;
+  }
+  parser.join();
+  const int rc = parse_rc.load(std::memory_order_acquire);
+  if (rc != 0) return rc;
+  if (recon_done < mb_h) {         // parser outran the loop's last look
+    recon_rows(mbs, mb_w, recon_done, mb_h, y_out, u_out, v_out);
+    filter_rows(mbs, mb_w, filt_done, mb_h, filter_type, finfo,
+                y_out, u_out, v_out);
+    filt_done = mb_h;
+  }
+  if (dith_done < mb_h)
+    dither_rows(rg, mbs, mb_w, dith_done, mb_h, dither_amps, u_out, v_out);
   return 0;
 }
 
@@ -1634,7 +1750,7 @@ int wtpu_vp8_decode_symbols(
     const uint8_t* coeff_probs,          // [4][8][3][11]
     const int32_t* quants,               // [4][6]
     int16_t* coeffs_out, uint8_t* modes_out) {
-  std::vector<MB> mbs;
+  std::vector<MB> mbs((size_t)mb_w * mb_h);
   int rc = parse_frame_mbs(p0, p0_size, p0_pos, p0_value, p0_range,
                            p0_bitcount, parts, part_offsets, num_parts,
                            mb_w, mb_h, update_map, segment_probs,

@@ -38,7 +38,7 @@ def _build() -> Path | None:
     if so_path.exists():
         return so_path
     cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
         "-fno-exceptions", "-march=native", "-funroll-loops",
         "-o", str(so_path),
     ] + [str(s) for s in srcs]
@@ -48,7 +48,7 @@ def _build() -> Path | None:
             subprocess.TimeoutExpired):
         # Retry without the arch-specific flags (portability fallback).
         cmd = [
-            "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
             "-fno-exceptions", "-o", str(so_path),
         ] + [str(s) for s in srcs]
         try:
@@ -239,6 +239,11 @@ def _configure(lib) -> None:
         u8p, u8p, u8p,                        # y, u, v out
         i32p,                                 # dither_amps[4]
     ]
+
+    if hasattr(lib, "wtpu_vp8_decode_frame_mt"):
+        lib.wtpu_vp8_decode_frame_mt.restype = c.c_int
+        lib.wtpu_vp8_decode_frame_mt.argtypes = \
+            lib.wtpu_vp8_decode_frame.argtypes
 
     lib.wtpu_vp8l_read_groups.restype = c.c_int
     lib.wtpu_vp8l_read_groups.argtypes = [

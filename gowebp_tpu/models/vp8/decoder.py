@@ -15,6 +15,7 @@ pkg/libwebp/decoder/frame_dec.c.go (ReconstructRow :69-197, filters
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -749,7 +750,18 @@ def _decode_vp8_yuv_native(st: FrameState, bd: BoolDecoder,
     parts_buf = (ctypes.c_uint8 * max(1, len(parts))).from_buffer_copy(
         parts if parts else b"\x00"
     )
-    rc = lib.wtpu_vp8_decode_frame(
+    # Overlapped symbol/recon pipeline for large images: a worker
+    # thread parses tokens row by row while this thread reconstructs,
+    # filters and dithers completed rows behind it — the reference's
+    # 2-thread decode (frame_dec.c.go VP8GetThreadMethod, width >= 512
+    # gate pkg/vp8/constants.go MIN_WIDTH_FOR_THREADS) re-expressed as
+    # band pipelining over the output planes.  Bit-identical output.
+    use_mt = (st.mb_w * 16 >= 512 and st.mb_h >= 8
+              and hasattr(lib, "wtpu_vp8_decode_frame_mt")
+              and os.environ.get("GOWEBP_DECODE_OVERLAP", "1") != "0")
+    entry = (lib.wtpu_vp8_decode_frame_mt if use_mt
+             else lib.wtpu_vp8_decode_frame)
+    rc = entry(
         p0_buf, len(p0), bd.pos, bd.value, bd.range, bd.bit_count,
         parts_buf,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

@@ -227,3 +227,40 @@ class TestBatchSymbolDecode:
         bad = payloads[0][: len(payloads[0]) // 3]
         with pytest.raises(BitstreamError):
             decode_vp8_symbols_batch([bad])
+
+
+def test_overlapped_single_image_decode_bit_exact():
+    """The 2-thread overlapped native decode (symbol parse thread +
+    banded recon/filter/dither behind it, wtpu_vp8_decode_frame_mt)
+    must be bit-identical to the sequential path — including the
+    chroma-dither RNG sequence, whose banding lags are the subtle part.
+    Mirrors the reference's MT pipeline (frame_dec.c.go:493-536)."""
+    import io
+    import os
+
+    from PIL import Image
+
+    from gowebp_tpu.constants import CHUNK_VP8
+    from gowebp_tpu.container.riff import parse_riff
+    from gowebp_tpu.models.vp8.decoder import decode_vp8_yuv
+
+    rng = np.random.default_rng(11)
+    h, w = 160, 640                     # wide enough to pass the MT gate
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        np.clip(120 + 60 * np.sin(xx / 9) + rng.normal(0, 12, (h, w)), 0, 255),
+        np.clip(110 + 50 * np.cos(yy / 7), 0, 255),
+        ((xx + yy) % 256).astype(float)], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=60, method=4)
+    payload = parse_riff(buf.getvalue()).find(CHUNK_VP8).payload
+    try:
+        for dither in (0, 100):
+            os.environ["GOWEBP_DECODE_OVERLAP"] = "0"
+            seq = decode_vp8_yuv(payload, dithering_strength=dither)
+            os.environ["GOWEBP_DECODE_OVERLAP"] = "1"
+            mt = decode_vp8_yuv(payload, dithering_strength=dither)
+            for a, b in zip(seq, mt):
+                np.testing.assert_array_equal(a, b)
+    finally:
+        os.environ.pop("GOWEBP_DECODE_OVERLAP", None)
