@@ -69,62 +69,72 @@ def pack_coeffs(coeffs: np.ndarray, seg: np.ndarray, is_i4: np.ndarray,
     """
     B, N = coeffs.shape[:2]
     c = np.ascontiguousarray(coeffs, np.int16)
-    zz = c[..., _ZZ].astype(np.int32)                  # (B, N, 24, 16) zigzag
     seg = seg.astype(np.int64)
-
-    # per-block quantizer lanes (DC lane = zigzag position 0)
     qs = qmat.astype(np.int32)                          # (B, 4, 6)
-    bi = np.arange(B)[:, None]
-    q_y1dc = qs[bi, seg, 0]                             # (B, N)
-    q_y1ac = qs[bi, seg, 1]
-    q_uvdc = qs[bi, seg, 4]
-    q_uvac = qs[bi, seg, 5]
     is_luma = np.arange(24) < 16                        # (24,)
-    q_ac = np.where(is_luma[None, None, :], q_y1ac[..., None],
-                    q_uvac[..., None]).astype(np.int32)     # (B, N, 24)
-    q_dc = np.where(is_luma[None, None, :], q_y1dc[..., None],
-                    q_uvdc[..., None]).astype(np.int32)
-    q = np.empty((B, N, 24, 16), np.int32)
-    q[..., 0] = q_dc
-    q[..., 1:] = q_ac[..., None]
 
-    # i16 luma DC lanes are inverse-WHT outputs: excluded from the
-    # level math, carried in the dense dc16 side plane instead.
-    i16mask = (is_i4.astype(np.int64) == 0)[:, :, None] & is_luma[None, None]
-    dc16 = np.where(i16mask, c[..., 0], 0)[:, :, :16].astype(np.int16)
-    zz_lv = zz.copy()
-    zz_lv[..., 0] = np.where(i16mask, 0, zz[..., 0])
+    # Per-image processing bounds host memory to ~10 MB of temporaries
+    # per 1 MP image regardless of batch size.
+    def per_image(b):
+        zz = c[b][..., _ZZ].astype(np.int32)            # (N, 24, 16)
+        sg = seg[b]
+        q_ac = np.where(is_luma[None, :], qs[b, sg, 1][:, None],
+                        qs[b, sg, 5][:, None]).astype(np.int32)
+        q_dc = np.where(is_luma[None, :], qs[b, sg, 0][:, None],
+                        qs[b, sg, 4][:, None]).astype(np.int32)
+        q = np.empty((N, 24, 16), np.int32)
+        q[..., 0] = q_dc
+        q[..., 1:] = q_ac[..., None]
+        # i16 luma DC lanes are inverse-WHT outputs: excluded from the
+        # level math, carried in the dense dc16 side plane instead.
+        i16mask = (is_i4[b].astype(np.int64) == 0)[:, None] & is_luma[None]
+        dc16_b = np.where(i16mask, c[b][..., 0], 0)[:, :16].astype(np.int16)
+        zz_lv = zz.copy()
+        zz_lv[..., 0] = np.where(i16mask, 0, zz[..., 0])
+        # exact level recovery: dequantized = level * q with
+        # |level| < 2^12 and q < 2^9, so float32 division + rint is
+        # exact; any lane failing the multiply-back check makes its
+        # block an exception.
+        lv = np.rint(zz_lv.astype(np.float32)
+                     / q.astype(np.float32)).astype(np.int32)
+        base = ((lv * q != zz_lv).any(axis=-1)
+                | (np.abs(lv) > 127).any(axis=-1))      # (N, 24)
+        nzpos = zz != 0                      # raw values decide the eob
+        tail8 = nzpos[..., 8:].any(axis=-1)
+        tail4 = tail8 | nzpos[..., 4:8].any(axis=-1)
+        return zz, lv, base, tail4, tail8, dc16_b
 
-    # exact level recovery: dequantized = level * q with |level| < 2^12
-    # and q < 2^9, so float32 division + rint is exact; any lane that
-    # fails the multiply-back check makes its block an exception.
-    lv = np.rint(zz_lv.astype(np.float32) / q.astype(np.float32))
-    lv = lv.astype(np.int32)
-    bad_div = (lv * q != zz_lv).any(axis=-1)            # (B, N, 24)
-    bad_mag = (np.abs(lv) > 127).any(axis=-1)
+    per = [per_image(b) for b in range(B)]
+    dc16 = np.stack([p[5] for p in per])
 
-    nzpos = zz != 0                                     # raw values decide eob
     # choose K: smallest of {4, 8, 16} by total wire bytes
-    tail8 = nzpos[..., 8:].any(axis=-1)
-    tail4 = tail8 | nzpos[..., 4:8].any(axis=-1)
-    base = bad_div | bad_mag
     nblocks = B * N * 24
-    best_k, best_bytes, best_exc = 16, None, base
-    for K, tail in ((4, tail4), (8, tail8), (16, None)):
-        exc = base if tail is None else (base | tail)
-        nexc = int(exc.sum())
+    n_base = sum(int(p[2].sum()) for p in per)
+    n_t4 = sum(int((p[2] | p[3]).sum()) for p in per)
+    n_t8 = sum(int((p[2] | p[4]).sum()) for p in per)
+    best_k, best_bytes = 16, nblocks * 16 + n_base * 36
+    for K, nexc in ((8, n_t8), (4, n_t4)):
         bytes_k = nblocks * K + nexc * 36
-        if best_bytes is None or bytes_k < best_bytes:
-            best_k, best_bytes, best_exc = K, bytes_k, exc
-    K, exc = best_k, best_exc
+        if bytes_k < best_bytes:
+            best_k, best_bytes = K, bytes_k
+    K = best_k
 
-    lv8 = np.where(exc[..., None], 0, lv)[..., :K].astype(np.int8)
-    flat_idx = np.flatnonzero(exc.reshape(-1)).astype(np.int32)
+    lv8 = np.empty((B, N, 24, K), np.int8)
+    idx_parts, val_parts = [], []
+    for b, (zz, lv, base, tail4, tail8, _) in enumerate(per):
+        exc = base if K == 16 else (base | (tail4 if K == 4 else tail8))
+        lv8[b] = np.where(exc[..., None], 0, lv)[..., :K].astype(np.int8)
+        fi = np.flatnonzero(exc.reshape(-1)).astype(np.int32)
+        idx_parts.append(fi + b * N * 24)
+        val_parts.append(zz.reshape(-1, 16)[fi].astype(np.int16))
+    flat_idx = (np.concatenate(idx_parts) if idx_parts
+                else np.zeros(0, np.int32))
     cap = _pow2_cap(len(flat_idx))
     exc_idx = np.full(cap, nblocks, np.int32)           # OOB rows drop
     exc_idx[: len(flat_idx)] = flat_idx
     exc_val = np.zeros((cap, 16), np.int16)
-    exc_val[: len(flat_idx)] = zz.reshape(-1, 16)[flat_idx].astype(np.int16)
+    if len(flat_idx):
+        exc_val[: len(flat_idx)] = np.concatenate(val_parts)
 
     return {
         "lv8": lv8,

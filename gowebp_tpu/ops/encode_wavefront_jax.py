@@ -191,6 +191,12 @@ def _skew_tiles(plane, mb_w, mb_h, size):
 # "interpret" = the interpret-mode path (wiring tests).
 _PALLAS_I4 = _os.environ.get("GOWEBP_PALLAS_I4", "0")
 
+# Route the hybrid engine's phase 2 (fixed-mode wavefront) through the
+# fully fused Pallas wavefront kernel (ops/pallas/wavefront_fixed.py)
+# — the measured 10x-per-chip route for the dispatch-bound step bodies.
+# Same gating semantics as _PALLAS_I4.
+_PALLAS_WF = _os.environ.get("GOWEBP_PALLAS_WF", "0")
+
 
 def _i4_search_parallel_pallas(tl, top4, tr4, left4, src4, seg, pen_n,
                                qs6, iqs6, tables, B, mh, mw, sh, sw):
@@ -1036,6 +1042,14 @@ def encode_wavefront_core(y, u, v, seg_map, qsteps, tables, *,
     full wavefront).
     """
     mh, mw = y.shape[1] // 16, y.shape[2] // 16
+    if modes is not None and _PALLAS_WF != "0":
+        # Fused Pallas wavefront core (pods with native Mosaic; this
+        # tunnel can't compile it — see ops/pallas/wavefront_fixed.py).
+        from .pallas.wavefront_fixed import wavefront_fixed_pallas
+
+        return wavefront_fixed_pallas(
+            y, u, v, seg_map, qsteps, modes, use_derr=use_derr,
+            want_recon=want_recon, interpret=_PALLAS_WF != "1")
     out = _wavefront_impl(
         y, u, v, seg_map, qsteps, tables, try_i4=try_i4,
         i4_penalty=i4_penalty, modes=modes, want_recon=want_recon,

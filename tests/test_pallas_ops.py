@@ -174,3 +174,92 @@ class TestI4SearchKernel:
         got = search("interpret")
         for k in want:
             np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+class TestWavefrontFixedPallas:
+    """The fused fixed-mode wavefront kernel (one pallas_call runs the
+    whole T-step diagonal loop with compact VMEM boundary state) must
+    be bit-identical to encode_wavefront_core(modes=...) — levels AND
+    recon planes — across i4/i16 mixes, segments, and the UV DC
+    error-diffusion chain (interpret mode; Mosaic compiles are
+    off-limits on this tunnel)."""
+
+    def _planes(self, B, H, W, seed):
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 256, (B, H, W)).astype(np.int32)
+        u = rng.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+        v = rng.integers(0, 256, (B, H // 2, W // 2)).astype(np.int32)
+        return rng, y, u, v
+
+    @pytest.mark.parametrize("derr", [False, True])
+    def test_matches_xla_wavefront(self, derr):
+        from gowebp_tpu.models.vp8.encoder import (
+            _default_cost_tables, make_quants, quality_to_q)
+        from gowebp_tpu.ops.encode_wavefront_jax import encode_wavefront_core
+        from gowebp_tpu.ops.pallas.wavefront_fixed import (
+            wavefront_fixed_pallas)
+
+        B, H, W = 2, 32, 64            # non-square MB grid
+        mh, mw = H // 16, W // 16
+        rng, y, u, v = self._planes(B, H, W, seed=5 + derr)
+        q = make_quants(quality_to_q(40.0))
+        row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                        q.uv_dc.q, q.uv_ac.q], np.int32)
+        qs = np.broadcast_to(row, (B, 4, 6)).copy()
+        qs[:, 1] = np.clip(qs[:, 1] * 2, 1, 255)       # segment deltas
+        qs[:, 2] = np.clip(qs[:, 2] // 2, 4, None)
+        seg = rng.integers(0, 4, (B, mh, mw)).astype(np.int32)
+        tables = tuple(t.astype(np.int32) for t in _default_cost_tables())
+        # random forced decisions: exercises i16 AND i4 paths plus all
+        # 10 B-modes and 4 whole-block modes
+        modes = (rng.integers(0, 4, (B, mh, mw)).astype(np.int32),
+                 rng.integers(0, 4, (B, mh, mw)).astype(np.int32),
+                 rng.integers(0, 2, (B, mh, mw)).astype(np.int32),
+                 rng.integers(0, 10, (B, mh, mw, 16)).astype(np.int32))
+        want = encode_wavefront_core(y, u, v, seg, qs, tables, try_i4=True,
+                                     modes=modes, want_recon=True,
+                                     use_derr=derr)
+        got = wavefront_fixed_pallas(y, u, v, seg, qs, modes,
+                                     use_derr=derr, want_recon=True,
+                                     interpret=True)
+        for k in ("y_levels", "y2_levels", "uv_levels",
+                  "recon_y", "recon_u", "recon_v"):
+            np.testing.assert_array_equal(
+                np.asarray(want[k]), np.asarray(got[k]), err_msg=k)
+
+    def test_wired_into_wavefront_core(self, monkeypatch):
+        """GOWEBP_PALLAS_WF=interpret routes encode_wavefront_core's
+        fixed-mode path through the fused kernel (the production
+        phase-2 flag for pods with native Mosaic)."""
+        import importlib
+
+        from gowebp_tpu.models.vp8.encoder import (
+            _default_cost_tables, make_quants, quality_to_q)
+        from gowebp_tpu.ops import encode_wavefront_jax as wf
+
+        B, H, W = 1, 32, 32
+        mh, mw = H // 16, W // 16
+        rng, y, u, v = self._planes(B, H, W, seed=9)
+        q = make_quants(quality_to_q(75.0))
+        row = np.array([q.y1_dc.q, q.y1_ac.q, q.y2_dc.q, q.y2_ac.q,
+                        q.uv_dc.q, q.uv_ac.q], np.int32)
+        qs = np.broadcast_to(row, (B, 4, 6)).copy()
+        seg = np.zeros((B, mh, mw), np.int32)
+        tables = tuple(t.astype(np.int32) for t in _default_cost_tables())
+        modes = (rng.integers(0, 4, (B, mh, mw)).astype(np.int32),
+                 rng.integers(0, 4, (B, mh, mw)).astype(np.int32),
+                 rng.integers(0, 2, (B, mh, mw)).astype(np.int32),
+                 rng.integers(0, 10, (B, mh, mw, 16)).astype(np.int32))
+
+        def run():
+            return wf.encode_wavefront_core(
+                y, u, v, seg, qs, tables, try_i4=True, modes=modes)
+
+        want = {k: np.asarray(val) for k, val in run().items()}
+        monkeypatch.setattr(wf, "_PALLAS_WF", "interpret")
+        # the gate is read at trace time: drop the cached trace
+        wf.encode_wavefront_core.clear_cache()
+        got = run()
+        for k in ("y_levels", "y2_levels", "uv_levels"):
+            np.testing.assert_array_equal(want[k], np.asarray(got[k]),
+                                          err_msg=k)
