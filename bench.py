@@ -299,9 +299,11 @@ def main() -> None:
     # Decode to DEVICE-resident pixels, TRUE-synced: block_until_ready
     # through the axon tunnel can return before transfers/compute
     # finish (phantom sync — rounds 3/4 recorded 112-166 MP/s that
-    # way), so force a scalar fetch from every output.  Wire-bound
-    # here: the dense coeff upload (~3 MB/MP at ~20-30 MB/s) dominates;
-    # PCIe-attached TPUs move that in milliseconds.
+    # way), so force a scalar fetch from every output.  Round 5: the
+    # upload rides the SPARSE wire layout (ops/coeff_pack.py — int8
+    # levels + exception rows, 3-4x fewer bytes than the r4 dense
+    # int16 coeffs); still wire-bound on this ~20-30 MB/s tunnel,
+    # PCIe-attached TPUs move it in milliseconds.
     def dec_dev_true():
         outs = decode_rgba_batch(datas, device_out=True)
         for o in outs:
@@ -310,6 +312,41 @@ def main() -> None:
 
     dec_dev_true()  # warm
     dec_dev, _ = best_of(dec_dev_true, len(datas) * mp, reps=2)
+
+    # packed-upload byte telemetry (same pack the decode path uses)
+    try:
+        from gowebp_tpu.ops.coeff_pack import pack_coeffs, packed_nbytes
+
+        syms = decode_vp8_symbols_batch(payloads[:8])
+        cstack = np.stack([s[1] for s in syms])
+        mstack = np.stack([s[2] for s in syms])
+        qm = np.stack([np.array(
+            [[m.y1_dc, m.y1_ac, m.y2_dc, m.y2_ac, m.uv_dc, m.uv_ac]
+             for m in s[0].dqm], np.int32) for s in syms])
+        pk, K, _ = pack_coeffs(cstack, mstack[:, :, 2], mstack[:, :, 0], qm)
+        packed_mb_per_mp = round(packed_nbytes(pk) / (8 * mp) / 1e6, 3)
+        dense_mb_per_mp = round(cstack.astype(np.int16).nbytes
+                                / (8 * mp) / 1e6, 3)
+    except Exception:
+        packed_mb_per_mp = dense_mb_per_mp = None
+
+    # Single-image decode (a foreign single-partition file, the case
+    # the reference's 2-thread pipeline covers): sequential vs the r5
+    # overlapped parse/recon band pipeline (wtpu_vp8_decode_frame_mt).
+    from gowebp_tpu.decode import decode_rgba as _dec_one
+
+    single_mps = {}
+    for flag, key in (("0", "seq"), ("1", "overlap")):
+        os.environ["GOWEBP_DECODE_OVERLAP"] = flag
+        _dec_one(datas[0])  # warm
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for d in datas[:4]:
+                _dec_one(d)
+            best = max(best, 4 * mp / (time.perf_counter() - t0))
+        single_mps[key] = round(best, 1)
+    os.environ.pop("GOWEBP_DECODE_OVERLAP", None)
 
     # VP8L (lossless) batch decode to host pixels vs libwebp 1-core.
     n_ll = 2 if smoke else 8
@@ -556,9 +593,12 @@ def main() -> None:
                 "vp8l_host_mps": round(dec_ll, 2),
                 "vp8l_libwebp_mps_1core": round(ll_base, 2),
                 "to_device_true_sync_mps": round(dec_dev, 2),
-                "to_device_note": "coeff-upload wire-bound on this "
-                "tunnel; r3/r4 block_until_ready figures were phantom "
-                "syncs",
+                "to_device_note": "sparse coeff upload (r5): int8 "
+                "levels + exceptions; still wire-bound on this tunnel "
+                "(r3/r4 block_until_ready figures were phantom syncs)",
+                "upload_mb_per_mp_packed": packed_mb_per_mp,
+                "upload_mb_per_mp_dense": dense_mb_per_mp,
+                "single_image_host_mps": single_mps,
             },
             "vp8l_analysis_ms": vp8l_ms,
             "stage_seconds": {k: round(v, 2) for k, v in timings.items()},

@@ -16,19 +16,26 @@ symbol engine's dequantized output into
   reconstructs them losslessly; verified per lane);
 - ``dc16``: the i16 macroblocks' luma DC lanes (inverse-WHT outputs,
   NOT level multiples) as a dense (B, N, 16) int16 side plane;
-- ``exc``: an exception table (flat block index + raw int16 zigzag
-  row) for blocks that don't fit the fast layout — nonzero
-  coefficients past position K, |level| > 127, or a non-exact
-  division.  Capacity is rounded up to a power of two so compilations
+- ``tail``: a second-tier table for blocks whose nonzeros extend past
+  position K: flat block index + the REMAINING 16-K int8 levels
+  (4 + 16-K bytes instead of a fat raw row — eob tails are the common
+  "exception" on textured content, ~15-35% of blocks at q75);
+- ``exc``: a raw exception table (flat block index + int16 zigzag
+  row) for the genuinely irregular blocks — |level| > 127 or a
+  non-exact division (measured ~0 on natural content; the lossless
+  safety net).  Capacities round up to powers of two so compilations
   stay bounded;
 - per-image (4, 6) quantizer matrices + the per-MB segment map, which
   the device uses to re-dequantize with the same where-chain select
   the encoder's quant lanes use (no gathers).
 
-Typical payload at q75 natural images: ~190-230 B/MB vs 768 dense
-(3.3-4x fewer wire bytes); the unpack is a handful of fused
-elementwise ops + one (..., 16) zigzag MXU select + one row scatter,
-bit-identical to the dense path (tests/test_vp8_recon_jax.py).
+Typical payload at q75 natural images: ~330-390 B/MB vs 768 dense
+(2-2.4x fewer wire bytes; more on smoother content); the unpack is a
+handful of fused elementwise ops + two row scatters + a static-slice
+zigzag permutation (deliberately NOT the MXU one-hot matmul — the
+axon TPU backend evaluates f32 matmuls at bf16 mantissa precision,
+which corrupts values above 2^8), bit-identical to the dense path
+(tests/test_vp8_recon_jax.py, verified on the real chip).
 """
 
 from __future__ import annotations
@@ -40,7 +47,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import dct_jax
 
 I32 = jnp.int32
 
@@ -107,38 +113,53 @@ def pack_coeffs(coeffs: np.ndarray, seg: np.ndarray, is_i4: np.ndarray,
     per = [per_image(b) for b in range(B)]
     dc16 = np.stack([p[5] for p in per])
 
-    # choose K: smallest of {4, 8, 16} by total wire bytes
+    # choose K by total wire bytes: a tail entry costs 4 + (16-K)
+    # (index + remaining int8 levels), a raw exception 36.
     nblocks = B * N * 24
     n_base = sum(int(p[2].sum()) for p in per)
-    n_t4 = sum(int((p[2] | p[3]).sum()) for p in per)
-    n_t8 = sum(int((p[2] | p[4]).sum()) for p in per)
+    n_t4 = sum(int((p[3] & ~p[2]).sum()) for p in per)
+    n_t8 = sum(int((p[4] & ~p[2]).sum()) for p in per)
     best_k, best_bytes = 16, nblocks * 16 + n_base * 36
-    for K, nexc in ((8, n_t8), (4, n_t4)):
-        bytes_k = nblocks * K + nexc * 36
+    for K, ntail in ((8, n_t8), (4, n_t4)):
+        bytes_k = nblocks * K + ntail * (4 + 16 - K) + n_base * 36
         if bytes_k < best_bytes:
             best_k, best_bytes = K, bytes_k
     K = best_k
 
     lv8 = np.empty((B, N, 24, K), np.int8)
+    tidx_parts, tval_parts = [], []
     idx_parts, val_parts = [], []
     for b, (zz, lv, base, tail4, tail8, _) in enumerate(per):
-        exc = base if K == 16 else (base | (tail4 if K == 4 else tail8))
-        lv8[b] = np.where(exc[..., None], 0, lv)[..., :K].astype(np.int8)
-        fi = np.flatnonzero(exc.reshape(-1)).astype(np.int32)
+        tail = (np.zeros_like(base) if K == 16
+                else ((tail4 if K == 4 else tail8) & ~base))
+        lv8[b] = np.where(base[..., None], 0, lv)[..., :K].astype(np.int8)
+        ti = np.flatnonzero(tail.reshape(-1)).astype(np.int32)
+        tidx_parts.append(ti + b * N * 24)
+        tval_parts.append(lv.reshape(-1, 16)[ti, K:].astype(np.int8))
+        fi = np.flatnonzero(base.reshape(-1)).astype(np.int32)
         idx_parts.append(fi + b * N * 24)
         val_parts.append(zz.reshape(-1, 16)[fi].astype(np.int16))
-    flat_idx = (np.concatenate(idx_parts) if idx_parts
-                else np.zeros(0, np.int32))
-    cap = _pow2_cap(len(flat_idx))
-    exc_idx = np.full(cap, nblocks, np.int32)           # OOB rows drop
-    exc_idx[: len(flat_idx)] = flat_idx
-    exc_val = np.zeros((cap, 16), np.int16)
-    if len(flat_idx):
-        exc_val[: len(flat_idx)] = np.concatenate(val_parts)
+
+    def table(parts_i, parts_v, width, vdtype):
+        flat_i = (np.concatenate(parts_i) if parts_i
+                  else np.zeros(0, np.int32))
+        cap = _pow2_cap(len(flat_i), lo=16)
+        t_idx = np.full(cap, nblocks, np.int32)         # OOB rows drop
+        t_idx[: len(flat_i)] = flat_i
+        t_val = np.zeros((cap, width), vdtype)
+        if len(flat_i):
+            t_val[: len(flat_i)] = np.concatenate(parts_v)
+        return t_idx, t_val, cap
+
+    tail_idx, tail_val, _tcap = table(tidx_parts, tval_parts,
+                                      max(1, 16 - K), np.int8)
+    exc_idx, exc_val, cap = table(idx_parts, val_parts, 16, np.int16)
 
     return {
         "lv8": lv8,
         "dc16": dc16,
+        "tail_idx": tail_idx,
+        "tail_val": tail_val,
         "exc_idx": exc_idx,
         "exc_val": exc_val,
         "seg": seg.astype(np.uint8),
@@ -174,6 +195,11 @@ def unpack_coeffs(packed, *, K: int):
 
     if K < 16:
         lv8 = jnp.pad(lv8, ((0, 0),) * 3 + ((0, 16 - K),))
+        # second-tier eob tails: scatter the remaining levels back in
+        flat_lv = lv8.reshape(B * N * 24, 16)
+        flat_lv = flat_lv.at[packed["tail_idx"], K:].set(
+            packed["tail_val"].astype(I32), mode="drop")
+        lv8 = flat_lv.reshape(B, N, 24, 16)
     pos0 = jnp.arange(16) == 0
     q = jnp.where(pos0, q_dc[..., None], q_ac[..., None])
     zz = lv8 * q                                        # (B, N, 24, 16)
@@ -188,7 +214,13 @@ def unpack_coeffs(packed, *, K: int):
     flat = flat.at[packed["exc_idx"]].set(
         packed["exc_val"].astype(I32), mode="drop")
     zz = flat.reshape(B, N, 24, 16)
-    return dct_jax.zigzag_inv(zz)
+    # zigzag -> raster as a static slice permutation.  NOT the MXU
+    # one-hot matmul (dct_jax.zigzag_inv): dequantized values reach
+    # ~2^19 and the axon TPU backend evaluates f32 matmuls with bf16
+    # mantissas, which rounded 297 -> 296 (caught by the on-TPU
+    # bit-exactness check); integer slices are exact everywhere.
+    inv = np.argsort(_ZZ)
+    return jnp.stack([zz[..., int(inv[r])] for r in range(16)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("K", "mb_w", "mb_h", "filter_type"))

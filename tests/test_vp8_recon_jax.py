@@ -226,7 +226,7 @@ def test_packed_coeff_upload_bit_exact(quality):
                   for m in st.dqm], np.int32) for st in sts])
     packed, K, cap = CP.pack_coeffs(
         coeffs, modes[:, :, 2], modes[:, :, 0], qmat)
-    assert K in (4, 8, 16) and cap >= 64
+    assert K in (4, 8, 16) and cap >= 16
     dense = np.asarray(CP.unpack_coeffs(
         {k: np.asarray(v) for k, v in packed.items()}, K=K))
     np.testing.assert_array_equal(dense, coeffs.astype(np.int32))
