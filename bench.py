@@ -217,6 +217,24 @@ def main() -> None:
     from gowebp_tpu.ops.encode_pipeline import encode_rgba_batch_pipelined
 
     smoke = os.environ.get("GOWEBP_BENCH_SMOKE") == "1"
+
+    # On-device integer-exactness probe (round-5 find: TPU f32 matmuls
+    # run at bf16 operand precision by default, which silently rounded
+    # one-hot permutation selects of values > 2^8 — the encoder's
+    # zigzag now forces Precision.HIGHEST).  Cheap, runs on whatever
+    # device the bench runs on; a regression flips the flag in extras.
+    def _device_exactness_probe():
+        import jax.numpy as jnp
+
+        from gowebp_tpu.ops.dct_jax import zigzag_fwd, zigzag_inv
+
+        x = (np.random.default_rng(0)
+             .integers(-(2 ** 19), 2 ** 19, (256, 16)).astype(np.int32))
+        got = np.asarray(jax.jit(
+            lambda a: zigzag_inv(zigzag_fwd(a)))(jnp.asarray(x)))
+        return bool(np.array_equal(got, x))
+
+    device_exact = _device_exactness_probe()
     size, chunk = (128, 4) if smoke else (1024, 32)
     n_e2e = 8 if smoke else 64
     imgs = make_images(n_e2e, size)
@@ -570,6 +588,7 @@ def main() -> None:
         "unit": "megapixels/s",
         "vs_baseline": round(e2e_hybrid / enc_base, 2),
         "extra": {
+            "device_integer_exactness_ok": device_exact,
             "host_parallel_scaling_2t": scaling,
             "host_health": health,
             "libwebp_encode_mps_1core": round(enc_base, 2),

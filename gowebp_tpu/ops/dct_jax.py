@@ -27,7 +27,12 @@ _INV_ZIGZAG = _np.array([ZIGZAG.index(i) for i in range(16)], _np.int32)
 
 # Permutations as one-hot f32 matmuls: TPU serializes gathers (even
 # static ones), while a (..., 16) @ (16, 16) select matrix rides the
-# MXU and is exact for |values| < 2^24 (true of all VP8 coefficients).
+# MXU.  Precision note (round-5 on-chip find): TPU backends evaluate
+# f32 matmuls with bf16 operand mantissas by DEFAULT, which rounds
+# selected values above 2^8 (297 -> 296 observed on the axon chip).
+# Precision.HIGHEST forces the multi-pass f32-exact path, making the
+# select exact for |values| < 2^24 (true of all VP8 coefficients) at
+# negligible cost on these (..., 16) x (16, 16) shapes.
 _ZZ_SEL = _np.zeros((16, 16), _np.float32)
 _ZZ_SEL[_ZIGZAG, _np.arange(16)] = 1.0             # out[i] = in[ZIGZAG[i]]
 _INV_SEL = _ZZ_SEL.T                               # out[i] = in[INVZZ[i]]
@@ -36,13 +41,17 @@ _INV_SEL = _ZZ_SEL.T                               # out[i] = in[INVZZ[i]]
 def zigzag_fwd(flat: jnp.ndarray) -> jnp.ndarray:
     """(..., 16) raster → zigzag order (exact, MXU select)."""
     return jnp.matmul(flat.astype(jnp.float32), _ZZ_SEL,
-                      preferred_element_type=jnp.float32).astype(flat.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).astype(flat.dtype)
 
 
 def zigzag_inv(zz: jnp.ndarray) -> jnp.ndarray:
     """(..., 16) zigzag → raster order (exact, MXU select)."""
     return jnp.matmul(zz.astype(jnp.float32), _INV_SEL,
-                      preferred_element_type=jnp.float32).astype(zz.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).astype(zz.dtype)
 
 
 def _mul1(a):
