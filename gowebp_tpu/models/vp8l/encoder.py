@@ -1929,15 +1929,19 @@ def _bits_entropy(h: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum() * tot)
 
 
-def analyze_entropy(argb: np.ndarray) -> str:
+def analyze_entropy(argb: np.ndarray, row_step: int = 1) -> str:
     """One-pass entropy-mode analysis (reference AnalyzeEntropy,
     vp8l_encoder.go:56-164): score kDirect / kSpatial / kSubGreen /
     kSpatialSubGreen from per-channel histograms of the raw pixels and
     their left-neighbour deltas, all gathered in a single sweep.
 
     Used to pick the transform set directly at low effort (method ≤ 2)
-    instead of running trial encodes.
+    instead of running trial encodes.  ``row_step`` subsamples the
+    scored rows — a ranking heuristic, so sampling every 2nd/4th row
+    changes decisions only on near-ties (ratio-gated).
     """
+    if row_step > 1:
+        argb = argb[::row_step]
     flat = argb.reshape(-1).astype(np.uint32)
     prev = np.concatenate([flat[:1], flat[:-1]])
     diff = _sub_pixels_vec(flat, prev)
@@ -1985,7 +1989,8 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         # Low effort: one-pass 13-histogram analysis picks the
         # transform set outright — no trial encodes (reference
         # EncoderAnalyze at low method).
-        analysis_mode = analyze_entropy(argb)
+        analysis_mode = analyze_entropy(
+            argb, row_step=2 if h * w >= (1 << 17) else 1)
         use_predictor = analysis_mode in ("spatial", "spatial-subgreen")
     if use_predictor is None:
         use_predictor = quality >= 10
@@ -2005,11 +2010,20 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         sg_opts = crunch["sg_opts"]
         if analysis_mode is not None:
             sg_opts = ((analysis_mode == "spatial-subgreen"),)
+        # NOTE an experiment that looked obvious and failed: pruning
+        # the sg sweep by the one-pass left-delta entropy margin (the
+        # reference's own analysis) flips sg=True on the natural photo
+        # corpus where the TRIAL discovers sg=False wins through the
+        # predictor+LZ77 pipeline — that sweep is exactly where the
+        # ~3% size advantage over libwebp comes from.  Keep the sweep.
         iters = crunch["refine_iters"]
         use_cross = quality >= 50
         cc_bits = 5 if method <= 2 else 4
         # Low methods trade analysis precision for speed: score the
         # choosers on every 2nd row (the transforms stay exact).
+        # (Extending this to m3/m4 measured ~0 wall-clock — the native
+        # scorers have fixed floors — while nudging 256px images over
+        # the ratio gate; keep it at <= 2.)
         speed_step = 2 if method <= 2 else 1
         # The uniform/no-predictor extras only need to run under ONE
         # subtract-green setting: the one-pass entropy analysis ranks
@@ -2018,16 +2032,33 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         # Halves the extra probe chains at method >= 3.
         sg_extra = True
         if len(sg_opts) > 1 and quality >= 50 and method >= 3:
-            am = analysis_mode or analyze_entropy(argb)
+            am = analysis_mode or analyze_entropy(
+                argb, row_step=2 if h * w >= (1 << 17) else 1)
             sg_extra = am in ("subgreen", "spatial-subgreen")
+        # The per-(sg, bits) predictor choosers are the priciest serial
+        # analysis step (~100 ms each at 512px); they are independent
+        # and the native chooser releases the GIL, so run them in one
+        # small pool instead of back to back.
+        sg_bases = {sg: (tnp.subtract_green_forward(argb) if sg else argb)
+                    for sg in sg_opts}
+        chooser_keys = [(sg, bits) for sg in sg_opts for bits in bit_cands]
+        if len(chooser_keys) > 1:
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(min(4, len(chooser_keys))) as ex:
+                chosen = dict(zip(chooser_keys, ex.map(
+                    lambda k: _choose_predictors_auto(
+                        sg_bases[k[0]], k[1], iters, row_step=speed_step),
+                    chooser_keys)))
+        else:
+            chosen = {k: _choose_predictors_auto(
+                sg_bases[k[0]], k[1], iters, row_step=speed_step)
+                for k in chooser_keys}
+
         jobs = []
         for sg in sg_opts:
-            base = tnp.subtract_green_forward(argb) if sg else argb
-            cand_imgs = [
-                (bits, _choose_predictors_auto(base, bits, iters,
-                                               row_step=speed_step))
-                for bits in bit_cands
-            ]
+            base = sg_bases[sg]
+            cand_imgs = [(bits, chosen[(sg, bits)]) for bits in bit_cands]
             if quality >= 50 and method >= 3 and (sg == sg_extra
                                                   or len(sg_opts) == 1):
                 th5 = tnp.subsample_size(h, 5)
@@ -2048,6 +2079,12 @@ def _encode_stream_photo(bw: BitWriter, argb: np.ndarray, quality: int,
         # With one job and no rescore stage, ranking probes decide
         # nothing — the single candidate ships regardless.
         fast_single = len(jobs) == 1 and crunch["rescore"] <= 1
+        # Measured dead end kept for the record: deferring the
+        # per-trial cross-color descent (fit once on the winner)
+        # saves only ~3% wall — the native scorer has a ~13 ms floor
+        # independent of row subsampling — while costing 0.6% size,
+        # because cc and subtract-green decorrelate the same r/g/b
+        # redundancy and a cc-blind ranking mis-ranks the sg sweep.
 
         def _trial(job):
             sg, base, bits, mode_img = job
