@@ -976,7 +976,13 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
 
     carry = (Sk_y, Sk_u, Sk_v, Sk_dt, Sk_dl,
              O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
-    carry = lax.fori_loop(0, T, step, carry)
+    # Outer-loop unrolling: the per-step bodies are dispatch-bound
+    # tiny ops, so folding k steps into one while-loop turn lets XLA
+    # fuse across consecutive diagonals.  Env-tunable for measurement;
+    # 1 = off (identical graph to previous rounds).
+    wf_unroll = int(_os.environ.get("GOWEBP_WF_UNROLL", "1"))
+    carry = lax.fori_loop(0, T, step, carry,
+                          unroll=wf_unroll if wf_unroll > 1 else 1)
     (Sk_y, Sk_u, Sk_v, _, _,
      O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im) = carry
 
@@ -1128,10 +1134,27 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
     # sub-block search suffices there; refinement rounds keep the
     # within-MB Gauss-Seidel greedy walk (with true recon boundary
     # context) whose decisions the final stream actually uses.
+    #
+    # Search-lambda calibration (round 5): the parallel (Jacobi)
+    # iteration evaluates candidates against APPROXIMATE context, which
+    # systematically understates the true coding rate on textured
+    # content — its self-consistent solution carries ~2.5% more
+    # nonzero levels than the sequential search's at the same lambda
+    # (measured on the dead-leaves corpus; on smooth content the two
+    # coincide).  Scaling the SEARCH lambda by 7/4 recenters the
+    # decision threshold; the emitted stream is exact closed-loop for
+    # whatever modes win, so this only moves the decisions (quality
+    # stays inside the bench/suite RD gates, which is how the factor
+    # was picked).  The exact engine keeps the uncalibrated lambda.
+    if isinstance(i4_penalty, (int, _np.integer)):
+        pen_search = min((int(i4_penalty) * 7) >> 2, (1 << 19) - 1)
+    else:
+        pen_search = jnp.minimum((jnp.asarray(i4_penalty) * 7) >> 2,
+                                 (1 << 19) - 1)
     modes = openloop_mode_search(
         y, u, v, seg_map, qsteps, tables,
         try_i4=try_i4 and not (cold == "i16" and refine > 0),
-        i4_penalty=i4_penalty,
+        i4_penalty=pen_search,
         i4_parallel=i4_parallel and refine > 0, i4_topk=i4_topk)
     for r in range(refine + 1):
         last = r == refine
@@ -1144,7 +1167,7 @@ def encode_hybrid_core(y, u, v, seg_map, qsteps, tables, *,
         if not last:
             modes = openloop_mode_search(
                 y, u, v, seg_map, qsteps, tables,
-                try_i4=try_i4, i4_penalty=i4_penalty, i4_topk=i4_topk,
+                try_i4=try_i4, i4_penalty=pen_search, i4_topk=i4_topk,
                 ctx=(out["recon_y"], out["recon_u"], out["recon_v"]))
     return out
 
