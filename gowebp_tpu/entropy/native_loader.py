@@ -240,6 +240,22 @@ def _configure(lib) -> None:
         i32p,                                 # dither_amps[4]
     ]
 
+    i8p = c.POINTER(c.c_int8)
+    i16p_ = c.POINTER(c.c_int16)
+    if hasattr(lib, "wtpu_vp8_pack_stats"):
+        lib.wtpu_vp8_pack_stats.restype = None
+        lib.wtpu_vp8_pack_stats.argtypes = [
+            i16p_, u8p, u8p, i32p, c.c_int, c.c_int, i32p,
+        ]
+        lib.wtpu_vp8_pack_emit.restype = c.c_int
+        lib.wtpu_vp8_pack_emit.argtypes = [
+            i16p_, u8p, u8p, i32p, c.c_int, c.c_int, c.c_int,
+            i8p, i16p_,                       # lv8, dc16
+            i32p, i8p, c.c_int64,             # tail idx/val/cap
+            i32p, i16p_, c.c_int64,           # exc idx/val/cap
+            c.POINTER(c.c_int64),             # counts_out[2]
+        ]
+
     if hasattr(lib, "wtpu_vp8_decode_frame_mt"):
         lib.wtpu_vp8_decode_frame_mt.restype = c.c_int
         lib.wtpu_vp8_decode_frame_mt.argtypes = \

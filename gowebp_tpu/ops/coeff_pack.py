@@ -29,12 +29,17 @@ symbol engine's dequantized output into
   the device uses to re-dequantize with the same where-chain select
   the encoder's quant lanes use (no gathers).
 
-Typical payload at q75 natural images: ~330-390 B/MB vs 768 dense
-(2-2.4x fewer wire bytes; more on smoother content); the unpack is a
-handful of fused elementwise ops + two row scatters + a static-slice
-zigzag permutation (deliberately NOT the MXU one-hot matmul — the
-axon TPU backend evaluates f32 matmuls at bf16 mantissa precision,
-which corrupts values above 2^8), bit-identical to the dense path
+The K chooser charges scattered rows a device penalty (TPU serializes
+row scatters; an unpack with ~30% tail rows measured 4x slower than
+the scatter-free K=16 layout), so textured content lands on K=16
+(~420 B/MB = 1.8x fewer wire bytes, zero scatters) and smooth content
+on K=4/8 (up to 4x).  The pack itself runs native
+(entropy/native/vp8_dec.cpp wtpu_vp8_pack_*, ~8 ms/MP; numpy
+reference kept as oracle and fallback).  The unpack is a handful of
+fused elementwise ops + a static-slice zigzag permutation
+(deliberately NOT the MXU one-hot matmul — the axon TPU backend
+evaluates f32 matmuls at bf16 mantissa precision, which corrupts
+values above 2^8), bit-identical to the dense path
 (tests/test_vp8_recon_jax.py, verified on the real chip).
 """
 
@@ -62,6 +67,85 @@ def _pow2_cap(n: int, lo: int = 64) -> int:
     return c
 
 
+_ROW_COST = 64      # device byte-equivalents charged per scattered row
+
+
+def _choose_k(nblocks: int, n_base: int, n_t4: int, n_t8: int) -> int:
+    """K by total cost: wire bytes (tail = 4 + 16-K, raw row = 36)
+    plus the device scatter penalty per row — TPU serializes row
+    scatters, and an unpack with ~30% tail rows measured 4x slower
+    than the scatter-free K=16 layout (only ~8% more payload)."""
+    best_k = 16
+    best = nblocks * 16 + n_base * (36 + _ROW_COST)
+    for K, ntail in ((8, n_t8), (4, n_t4)):
+        cost = (nblocks * K + ntail * (4 + 16 - K + _ROW_COST)
+                + n_base * (36 + _ROW_COST))
+        if cost < best:
+            best_k, best = K, cost
+    return best_k
+
+
+def _pack_coeffs_native(c, seg, is_i4, qs, B, N):
+    """C++ fast path of :func:`pack_coeffs` (bit-identical layout);
+    None when the native layer is unavailable."""
+    import ctypes
+
+    from ..entropy.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wtpu_vp8_pack_emit"):
+        return None
+    seg8 = np.ascontiguousarray(seg, np.uint8)
+    i48 = np.ascontiguousarray(is_i4, np.uint8)
+    qsc = np.ascontiguousarray(qs, np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    counts3 = np.zeros(3, np.int32)
+    lib.wtpu_vp8_pack_stats(p(c, ctypes.c_int16), p(seg8, ctypes.c_uint8),
+                            p(i48, ctypes.c_uint8), p(qsc, ctypes.c_int32),
+                            B, N, p(counts3, ctypes.c_int32))
+    nblocks = B * N * 24
+    K = _choose_k(nblocks, int(counts3[0]), int(counts3[1]),
+                  int(counts3[2]))
+    ntail0 = 0 if K == 16 else int(counts3[2] if K == 8 else counts3[1])
+    tail_cap = _pow2_cap(ntail0, lo=16)
+    cap = _pow2_cap(int(counts3[0]), lo=16)
+    tw = max(1, 16 - K)
+    while True:
+        lv8 = np.empty((B, N, 24, K), np.int8)
+        dc16 = np.empty((B, N, 16), np.int16)
+        tail_idx = np.full(tail_cap, nblocks, np.int32)
+        tail_val = np.zeros((tail_cap, tw), np.int8)
+        exc_idx = np.full(cap, nblocks, np.int32)
+        exc_val = np.zeros((cap, 16), np.int16)
+        counts2 = np.zeros(2, np.int64)
+        rc = lib.wtpu_vp8_pack_emit(
+            p(c, ctypes.c_int16), p(seg8, ctypes.c_uint8),
+            p(i48, ctypes.c_uint8), p(qsc, ctypes.c_int32), B, N, K,
+            p(lv8, ctypes.c_int8), p(dc16, ctypes.c_int16),
+            p(tail_idx, ctypes.c_int32), p(tail_val, ctypes.c_int8),
+            tail_cap,
+            p(exc_idx, ctypes.c_int32), p(exc_val, ctypes.c_int16), cap,
+            p(counts2, ctypes.c_int64))
+        if rc == 0:
+            break
+        tail_cap = _pow2_cap(int(counts2[0]), lo=16)
+        cap = _pow2_cap(int(counts2[1]), lo=16)
+    return {
+        "lv8": lv8,
+        "dc16": dc16,
+        "tail_idx": tail_idx,
+        "tail_val": tail_val,
+        "exc_idx": exc_idx,
+        "exc_val": exc_val,
+        "seg": seg8,
+        "is_i4": i48,
+        "qmat": qsc,
+    }, K, cap
+
+
 def pack_coeffs(coeffs: np.ndarray, seg: np.ndarray, is_i4: np.ndarray,
                 qmat: np.ndarray):
     """Host-side pack of dequantized coefficients into the wire layout.
@@ -78,6 +162,13 @@ def pack_coeffs(coeffs: np.ndarray, seg: np.ndarray, is_i4: np.ndarray,
     seg = seg.astype(np.int64)
     qs = qmat.astype(np.int32)                          # (B, 4, 6)
     is_luma = np.arange(24) < 16                        # (24,)
+
+    import os
+
+    if os.environ.get("GOWEBP_PACK_NUMPY") != "1":
+        native = _pack_coeffs_native(c, seg, is_i4, qs, B, N)
+        if native is not None:
+            return native
 
     # Per-image processing bounds host memory to ~10 MB of temporaries
     # per 1 MP image regardless of batch size.
@@ -113,18 +204,11 @@ def pack_coeffs(coeffs: np.ndarray, seg: np.ndarray, is_i4: np.ndarray,
     per = [per_image(b) for b in range(B)]
     dc16 = np.stack([p[5] for p in per])
 
-    # choose K by total wire bytes: a tail entry costs 4 + (16-K)
-    # (index + remaining int8 levels), a raw exception 36.
     nblocks = B * N * 24
     n_base = sum(int(p[2].sum()) for p in per)
     n_t4 = sum(int((p[3] & ~p[2]).sum()) for p in per)
     n_t8 = sum(int((p[4] & ~p[2]).sum()) for p in per)
-    best_k, best_bytes = 16, nblocks * 16 + n_base * 36
-    for K, ntail in ((8, n_t8), (4, n_t4)):
-        bytes_k = nblocks * K + ntail * (4 + 16 - K) + n_base * 36
-        if bytes_k < best_bytes:
-            best_k, best_bytes = K, bytes_k
-    K = best_k
+    K = _choose_k(nblocks, n_base, n_t4, n_t8)
 
     lv8 = np.empty((B, N, 24, K), np.int8)
     tidx_parts, tval_parts = [], []

@@ -245,3 +245,48 @@ def test_packed_coeff_upload_bit_exact(quality):
     np.testing.assert_array_equal(np.asarray(Yp), np.asarray(Yd))
     np.testing.assert_array_equal(np.asarray(Up), np.asarray(Ud))
     np.testing.assert_array_equal(np.asarray(Vp), np.asarray(Vd))
+
+
+def test_native_pack_matches_numpy_reference():
+    """The C++ pack (wtpu_vp8_pack_stats/emit) must produce the exact
+    wire layout of the numpy reference — same K, caps, and every
+    array — across qualities (segments, i16 DCs, tails, exceptions)."""
+    import os
+
+    from gowebp_tpu.entropy.native_loader import get_lib
+    from gowebp_tpu.ops import coeff_pack as CP
+
+    if get_lib() is None or not hasattr(get_lib(), "wtpu_vp8_pack_emit"):
+        pytest.skip("native layer unavailable")
+    for quality in (25, 75):
+        imgs = [_photo((96, 112), seed=40 + quality + s) for s in range(2)]
+        payloads = []
+        for img in imgs:
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "WEBP", quality=quality,
+                                      method=4)
+            payloads.append(_vp8_payload(buf.getvalue()))
+        sts, cs, ms = [], [], []
+        for p in payloads:
+            st, c, m = D.decode_vp8_symbols(p)
+            sts.append(st)
+            cs.append(c)
+            ms.append(m)
+        coeffs = np.stack(cs)
+        modes = np.stack(ms)
+        qmat = np.stack([
+            np.array([[m.y1_dc, m.y1_ac, m.y2_dc, m.y2_ac,
+                       m.uv_dc, m.uv_ac] for m in st.dqm], np.int32)
+            for st in sts])
+        os.environ["GOWEBP_PACK_NUMPY"] = "1"
+        try:
+            want, K_w, cap_w = CP.pack_coeffs(
+                coeffs, modes[:, :, 2], modes[:, :, 0], qmat)
+        finally:
+            os.environ.pop("GOWEBP_PACK_NUMPY", None)
+        got, K_g, cap_g = CP.pack_coeffs(
+            coeffs, modes[:, :, 2], modes[:, :, 0], qmat)
+        assert (K_w, cap_w) == (K_g, cap_g)
+        for k in want:
+            assert want[k].dtype == got[k].dtype, k
+            np.testing.assert_array_equal(want[k], got[k], err_msg=k)
