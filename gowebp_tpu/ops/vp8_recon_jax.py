@@ -378,17 +378,13 @@ def _skew_rows(arr, mb_w, mh_local, T, row_offset):
                        + arr.shape[2:])[:, my, mx]
 
 
-def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h,
-                    axis_name=None, mb_h_global=None, n_shards=1):
-    """Intra-predict + add residuals over the MB anti-diagonal wavefront.
-
-    Inputs are per-MB tensors (B, N, ...); returns skewed tile arrays
-    (Sk_y (B,mb_h,T+3,16,16), Sk_u, Sk_v (…,8,8)) int32.
-
-    With ``axis_name`` (inside shard_map over MB-row shards) the
-    row-shift context reads become ppermute halo exchanges; columns are
-    global diagonals so every shard runs the same program.
-    """
+def _recon_wavefront_steps(Yres, Ures, Vres, is_i4, imodes, uvmode, *,
+                           mb_w, mb_h, axis_name=None, mb_h_global=None,
+                           n_shards=1):
+    """Factory form of :func:`recon_wavefront`: returns
+    (init_carry, step, T) so callers can drive the diagonal loop
+    themselves — the fused recon+filter path interleaves this step
+    with the loop filter's at a 2-diagonal lag."""
     B = Yres.shape[0]
     M = mb_h
     mhg = mb_h_global if mb_h_global is not None else mb_h
@@ -510,7 +506,24 @@ def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h,
             Sk_v, vblk[:, :, None], (0, 0, t + 3, 0, 0))
         return Sk_y, Sk_u, Sk_v
 
-    return lax.fori_loop(0, T, step, (Sk_y, Sk_u, Sk_v))
+    return (Sk_y, Sk_u, Sk_v), step, T
+
+
+def recon_wavefront(Yres, Ures, Vres, is_i4, imodes, uvmode, *, mb_w, mb_h,
+                    axis_name=None, mb_h_global=None, n_shards=1):
+    """Intra-predict + add residuals over the MB anti-diagonal wavefront.
+
+    Inputs are per-MB tensors (B, N, ...); returns skewed tile arrays
+    (Sk_y (B,mb_h,T+3,16,16), Sk_u, Sk_v (…,8,8)) int32.
+
+    With ``axis_name`` (inside shard_map over MB-row shards) the
+    row-shift context reads become ppermute halo exchanges; columns are
+    global diagonals so every shard runs the same program.
+    """
+    init, step, T = _recon_wavefront_steps(
+        Yres, Ures, Vres, is_i4, imodes, uvmode, mb_w=mb_w, mb_h=mb_h,
+        axis_name=axis_name, mb_h_global=mb_h_global, n_shards=n_shards)
+    return lax.fori_loop(0, T, step, init)
 
 
 # ---------------------------------------------------------------------------
@@ -621,23 +634,10 @@ def _edge_v(w, row, c0, c1, params, mask, edge, simple):
     return w.at[:, :, row - K:row + K, c0:c1].set(out.swapaxes(-1, -2))
 
 
-def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
-                          mb_w, mb_h, filter_type,
-                          axis_name=None, mb_h_global=None, n_shards=1):
-    """In-loop deblocking over the same slope-2 wavefront, in place.
-
-    fparams: int32 (B, mb_h, mb_w, 4) = [limit, ilevel, hev_t, inner];
-    limit < 0 disables the MB.  filter_type: 1 = simple (luma only),
-    2 = complex (luma + chroma).
-
-    Under MB-row sharding the filtered bottom rows of each shard's top
-    tile flow back to the shard above with a reverse ppermute (the
-    filter's only up-going write), and the context reads use the same
-    down-halo as reconstruction.
-    """
-    if filter_type == 0:
-        return Sk_y, Sk_u, Sk_v
-    B = Sk_y.shape[0]
+def _filter_wavefront_steps(B, fparams, *, mb_w, mb_h, filter_type,
+                            axis_name=None, mb_h_global=None, n_shards=1):
+    """Factory form of :func:`loop_filter_wavefront`: returns
+    (step, T) with step(t, (Sk_y, Sk_u, Sk_v)) filtering diagonal t."""
     M = mb_h
     mhg = mb_h_global if mb_h_global is not None else mb_h
     T = num_diagonals(mb_w, mhg)
@@ -737,6 +737,29 @@ def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
         Sk_v = cwrite(Sk_v, v[B:], cwv)
         return Sk_y, Sk_u, Sk_v
 
+    return step, T
+
+
+def loop_filter_wavefront(Sk_y, Sk_u, Sk_v, fparams, *,
+                          mb_w, mb_h, filter_type,
+                          axis_name=None, mb_h_global=None, n_shards=1):
+    """In-loop deblocking over the same slope-2 wavefront, in place.
+
+    fparams: int32 (B, mb_h, mb_w, 4) = [limit, ilevel, hev_t, inner];
+    limit < 0 disables the MB.  filter_type: 1 = simple (luma only),
+    2 = complex (luma + chroma).
+
+    Under MB-row sharding the filtered bottom rows of each shard's top
+    tile flow back to the shard above with a reverse ppermute (the
+    filter's only up-going write), and the context reads use the same
+    down-halo as reconstruction.
+    """
+    if filter_type == 0:
+        return Sk_y, Sk_u, Sk_v
+    step, T = _filter_wavefront_steps(
+        Sk_y.shape[0], fparams, mb_w=mb_w, mb_h=mb_h,
+        filter_type=filter_type, axis_name=axis_name,
+        mb_h_global=mb_h_global, n_shards=n_shards)
     return lax.fori_loop(0, T, step, (Sk_y, Sk_u, Sk_v))
 
 
@@ -769,6 +792,15 @@ def recon_frame(coeffs, is_i4, imodes, uvmode, fparams, *,
             jnp.concatenate([fparams, jnp.full_like(fparams, -1)], axis=1),
             mb_w=mb_w, mb_h=2, filter_type=filter_type)
         return Y[:, :16], U[:, :8], V[:, :8]
+    # Measured dead end kept for the record: fusing the loop filter
+    # into the recon wavefront at a 2-diagonal lag (one T-step loop,
+    # provably bit-exact — a tile's own filter writes stop at row/col
+    # 13 and every boundary pixel the filter touches is read by its
+    # recon consumers strictly earlier) ran 2.4x SLOWER (44 -> 18
+    # MP/s): the fused body reads state columns t..t+2 while writing
+    # t-1..t+1, so XLA cannot prove the in-place update safe and
+    # copies the ~200 MB skewed state every step.  The two-phase form
+    # keeps each loop's dynamic-update-slices trivially in place.
     Yres, Ures, Vres = residual_blocks(coeffs.astype(I32))
     Sk_y, Sk_u, Sk_v = recon_wavefront(
         Yres, Ures, Vres, is_i4.astype(I32), imodes.astype(I32),
