@@ -976,10 +976,11 @@ def _wavefront_impl(y, u, v, seg_map, qsteps, tables, *,
 
     carry = (Sk_y, Sk_u, Sk_v, Sk_dt, Sk_dl,
              O_yl, O_y2, O_uv, O_ym, O_um, O_i4, O_im)
-    # Outer-loop unrolling: the per-step bodies are dispatch-bound
-    # tiny ops, so folding k steps into one while-loop turn lets XLA
-    # fuse across consecutive diagonals.  Env-tunable for measurement;
-    # 1 = off (identical graph to previous rounds).
+    # Outer-loop unrolling knob (measured a dead end on the tunnel
+    # chip: unroll=2/4 ran 10-23% SLOWER than 1 — the bigger while
+    # body defeats XLA's in-place update of the skewed state, the
+    # same aliasing wall as the fused decode loop).  Kept env-tunable
+    # for other hardware; 1 = off (identical graph to prior rounds).
     wf_unroll = int(_os.environ.get("GOWEBP_WF_UNROLL", "1"))
     carry = lax.fori_loop(0, T, step, carry,
                           unroll=wf_unroll if wf_unroll > 1 else 1)
