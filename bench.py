@@ -613,10 +613,11 @@ def main() -> None:
                 "vp8l_libwebp_mps_1core": round(ll_base, 2),
                 "to_device_true_sync_mps": round(dec_dev, 2),
                 "to_device_note": "sparse coeff upload (r5): int8 "
-                "levels, native pack, scatter-aware K chooser; the "
-                "phase is now device-RECON-bound on this tunnel-"
-                "attached chip, no longer wire-bound (r3/r4 "
-                "block_until_ready figures were phantom syncs)",
+                "levels, native pack, scatter-aware K chooser; device "
+                "recon+filter runs ~160 MP/s after the merged-edge "
+                "filter, so the remaining cost is upload wire + "
+                "per-call tunnel overhead (r3/r4 block_until_ready "
+                "figures were phantom syncs)",
                 "upload_mb_per_mp_packed": packed_mb_per_mp,
                 "upload_mb_per_mp_dense": dense_mb_per_mp,
                 "single_image_host_mps": single_mps,

@@ -681,13 +681,109 @@ def _filter_wavefront_steps(B, fparams, *, mb_w, mb_h, filter_type,
         w = w.at[:, :, 0:4, 4:20].set(top_t[:, :, 12:16, :])
         w = w.at[:, :, 4:20, 0:4].set(left_t[:, :, :, 12:16])
 
-        # Raster-exact edge order: left H, inner H x3, top V, inner V x3.
-        w = _edge_h(w, 4, 4, 20, pl4(limit), m_left, True, simple)
-        for dx in (8, 12, 16):
-            w = _edge_h(w, dx, 4, 20, pe(limit), m_inner, False, simple)
-        w = _edge_v(w, 4, 4, 20, pl4(limit), m_top, True, simple)
-        for dy in (8, 12, 16):
-            w = _edge_v(w, dy, 4, 20, pe(limit), m_inner, False, simple)
+        if simple:
+            # Raster-exact edge order: left H, inner H x3, top V,
+            # inner V x3 (simple filter is luma-only).
+            w = _edge_h(w, 4, 4, 20, pl4(limit), m_left, True, True)
+            for dx in (8, 12, 16):
+                w = _edge_h(w, dx, 4, 20, pe(limit), m_inner, False, True)
+            w = _edge_v(w, 4, 4, 20, pl4(limit), m_top, True, True)
+            for dy in (8, 12, 16):
+                w = _edge_v(w, dy, 4, 20, pe(limit), m_inner, False, True)
+            Sk_y = lax.dynamic_update_slice(
+                Sk_y, w[:, :, None, 4:20, 4:20], (0, 0, t + 3, 0, 0))
+            Sk_y = lax.dynamic_update_slice(
+                Sk_y, w[:, :, None, 4:20, 0:4], (0, 0, t + 2, 0, 12))
+            bot = _shift_up(w[:, :, 0:4, 4:20], win[:, -1:, 0, 12:16, :])
+            Sk_y = lax.dynamic_update_slice(
+                Sk_y, bot[:, :, None], (0, 0, t + 1, 12, 0))
+            return Sk_y, Sk_u, Sk_v
+
+        # ---- complex: luma + chroma, the independent planes' edge
+        # filters SHARE _lanes_complex calls on the lane axis (the MB
+        # edges ride together, the chroma inners hitch onto the first
+        # luma inner) — 8 filter calls per step instead of 12, each
+        # with 32 lanes instead of 16, on this dispatch-bound loop. ----
+        cwu = lax.dynamic_slice(Sk_u, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
+        cwv = lax.dynamic_slice(Sk_v, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
+
+        def cwin(cw):
+            v = jnp.zeros((B, M, 12, 12), I32)
+            v = v.at[:, :, 4:12, 4:12].set(cw[:, :, 2])
+            v = v.at[:, :, 0:4, 4:12].set(_shift(cw[:, :, 0], 0)[:, :, 4:8])
+            v = v.at[:, :, 4:12, 0:4].set(cw[:, :, 1][:, :, :, 4:8])
+            return v
+
+        vu = cwin(cwu)
+        vv = cwin(cwv)
+
+        def merged_h(w, vu, vv, params, mask, edge):
+            thresh2, it_, hv_ = params
+            Sy = w[:, :, 4:20, 0:8]
+            Su = vu[:, :, 4:12, 0:8]
+            Sv = vv[:, :, 4:12, 0:8]
+            S = jnp.concatenate([Sy, Su, Sv], axis=2)      # (B,M,32,8)
+            out = _lanes_complex(S, thresh2, it_, hv_, edge)
+            out = jnp.where(mask[..., None, None], out, S)
+            w = w.at[:, :, 4:20, 0:8].set(out[:, :, :16])
+            vu = vu.at[:, :, 4:12, 0:8].set(out[:, :, 16:24])
+            vv = vv.at[:, :, 4:12, 0:8].set(out[:, :, 24:32])
+            return w, vu, vv
+
+        def merged_v(w, vu, vv, params, mask, edge):
+            thresh2, it_, hv_ = params
+            Sy = w[:, :, 0:8, 4:20].swapaxes(-1, -2)
+            Su = vu[:, :, 0:8, 4:12].swapaxes(-1, -2)
+            Sv = vv[:, :, 0:8, 4:12].swapaxes(-1, -2)
+            S = jnp.concatenate([Sy, Su, Sv], axis=2)
+            out = _lanes_complex(S, thresh2, it_, hv_, edge)
+            out = jnp.where(mask[..., None, None], out, S)
+            w = w.at[:, :, 0:8, 4:20].set(out[:, :, :16].swapaxes(-1, -2))
+            vu = vu.at[:, :, 0:8, 4:12].set(
+                out[:, :, 16:24].swapaxes(-1, -2))
+            vv = vv.at[:, :, 0:8, 4:12].set(
+                out[:, :, 24:32].swapaxes(-1, -2))
+            return w, vu, vv
+
+        def merged_inner_h(w, vu, vv, params, mask):
+            # luma inner dx=8 + both chroma inners (col 8) together
+            thresh2, it_, hv_ = params
+            Sy = w[:, :, 4:20, 4:12]
+            Su = vu[:, :, 4:12, 4:12]
+            Sv = vv[:, :, 4:12, 4:12]
+            S = jnp.concatenate([Sy, Su, Sv], axis=2)
+            out = _lanes_complex(S, thresh2, it_, hv_, False)
+            out = jnp.where(mask[..., None, None], out, S)
+            w = w.at[:, :, 4:20, 4:12].set(out[:, :, :16])
+            vu = vu.at[:, :, 4:12, 4:12].set(out[:, :, 16:24])
+            vv = vv.at[:, :, 4:12, 4:12].set(out[:, :, 24:32])
+            return w, vu, vv
+
+        def merged_inner_v(w, vu, vv, params, mask):
+            thresh2, it_, hv_ = params
+            Sy = w[:, :, 4:12, 4:20].swapaxes(-1, -2)
+            Su = vu[:, :, 4:12, 4:12].swapaxes(-1, -2)
+            Sv = vv[:, :, 4:12, 4:12].swapaxes(-1, -2)
+            S = jnp.concatenate([Sy, Su, Sv], axis=2)
+            out = _lanes_complex(S, thresh2, it_, hv_, False)
+            out = jnp.where(mask[..., None, None], out, S)
+            w = w.at[:, :, 4:12, 4:20].set(out[:, :, :16].swapaxes(-1, -2))
+            vu = vu.at[:, :, 4:12, 4:12].set(
+                out[:, :, 16:24].swapaxes(-1, -2))
+            vv = vv.at[:, :, 4:12, 4:12].set(
+                out[:, :, 24:32].swapaxes(-1, -2))
+            return w, vu, vv
+
+        # Raster-exact per plane: left, inners, top, inners.  Luma and
+        # chroma are independent planes, so their interleaving is free.
+        w, vu, vv = merged_h(w, vu, vv, pl4(limit), m_left, True)
+        w, vu, vv = merged_inner_h(w, vu, vv, pe(limit), m_inner)
+        for dx in (12, 16):
+            w = _edge_h(w, dx, 4, 20, pe(limit), m_inner, False, False)
+        w, vu, vv = merged_v(w, vu, vv, pl4(limit), m_top, True)
+        w, vu, vv = merged_inner_v(w, vu, vv, pe(limit), m_inner)
+        for dy in (12, 16):
+            w = _edge_v(w, dy, 4, 20, pe(limit), m_inner, False, False)
 
         # Write back: own tile, left tile's right 4 cols, top tile's
         # bottom 4 rows (shifted back up; last row keeps current values).
@@ -699,31 +795,6 @@ def _filter_wavefront_steps(B, fparams, *, mb_w, mb_h, filter_type,
         Sk_y = lax.dynamic_update_slice(
             Sk_y, bot[:, :, None], (0, 0, t + 1, 12, 0))
 
-        if simple:
-            return Sk_y, Sk_u, Sk_v
-
-        # ---- chroma: window (2B,M,12,12) — U and V stacked on batch ----
-        cwu = lax.dynamic_slice(Sk_u, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
-        cwv = lax.dynamic_slice(Sk_v, (0, 0, t + 1, 0, 0), (B, M, 3, 8, 8))
-        cw = jnp.concatenate([cwu, cwv], axis=0)
-        ctop = _shift(cw[:, :, 0], 0)
-        cleft = cw[:, :, 1]
-        cself = cw[:, :, 2]
-        v = jnp.zeros((2 * B, M, 12, 12), I32)
-        v = v.at[:, :, 4:12, 4:12].set(cself)
-        v = v.at[:, :, 0:4, 4:12].set(ctop[:, :, 4:8, :])
-        v = v.at[:, :, 4:12, 0:4].set(cleft[:, :, :, 4:8])
-        il2 = jnp.concatenate([il, il], axis=0)
-        hev2 = jnp.concatenate([hev_t, hev_t], axis=0)
-        lim2 = jnp.concatenate([limit, limit], axis=0)
-        m2 = lambda m: jnp.concatenate([m, m], axis=0)
-        pe2 = (2 * lim2 + 1, il2, hev2)
-        pl42 = (2 * (lim2 + 4) + 1, il2, hev2)
-        v = _edge_h(v, 4, 4, 12, pl42, m2(m_left), True, False)
-        v = _edge_h(v, 8, 4, 12, pe2, m2(m_inner), False, False)
-        v = _edge_v(v, 4, 4, 12, pl42, m2(m_top), True, False)
-        v = _edge_v(v, 8, 4, 12, pe2, m2(m_inner), False, False)
-
         def cwrite(Sk, v, cw):
             Sk = lax.dynamic_update_slice(
                 Sk, v[:, :, None, 4:12, 4:12], (0, 0, t + 3, 0, 0))
@@ -733,8 +804,8 @@ def _filter_wavefront_steps(B, fparams, *, mb_w, mb_h, filter_type,
             return lax.dynamic_update_slice(
                 Sk, cbot[:, :, None], (0, 0, t + 1, 4, 0))
 
-        Sk_u = cwrite(Sk_u, v[:B], cwu)
-        Sk_v = cwrite(Sk_v, v[B:], cwv)
+        Sk_u = cwrite(Sk_u, vu, cwu)
+        Sk_v = cwrite(Sk_v, vv, cwv)
         return Sk_y, Sk_u, Sk_v
 
     return step, T
